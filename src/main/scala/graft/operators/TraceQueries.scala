@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.core.QueryRequest
+import graft.model.{Span, Trace}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** The Zipkin query surface (reference HTTP routes,
+  * /root/reference storage/.../KafkaStorageHttpService.java:69-326 — SURVEY
+  * §2.1 S7, §3.3) as a library of DataFrame expressions over the pipeline's
+  * sink tables. Scatter-gather/interactive-query routing (S8/S9) disappears:
+  * a Dataset over all partitions IS the gather; the reference's per-store
+  * result caps (W4) are kept as `limit`s so driver-side collects stay small.
+  */
+object TraceQueries {
+
+  /** find-traces (F1+F2+W1+W2): time-range prune relationally (partition
+    * prunable at scale), full predicate per trace, newest-first, limit.
+    * Deviation noted in SURVEY §2.6 W2: deterministic global top-k instead of
+    * the reference's scan-order-dependent limit-before-sort.
+    */
+  def getTraces(traces: Dataset[Trace], request: QueryRequest): Dataset[Trace] = {
+    val startUs = (request.endTs - request.lookback) * 1000
+    val endUs = request.endTs * 1000
+    traces
+      .where(col("root_ts").between(startUs, endUs)) // F2: prunable range scan
+      .filter((t: Trace) => request.test(t.spans))   // F1: full truth table
+      .orderBy(desc("root_ts"), asc("trace_id"))     // W1/W3 + deterministic tiebreak
+      .limit(request.limit)
+  }
+
+  /** get-trace by ID (single-key lookup; KafkaStorageHttpService.java:243-266). */
+  def getTrace(traces: Dataset[Trace], traceId: String): Dataset[Trace] =
+    traces.where(col("trace_id") === normalizeId(traceId))
+
+  /** get-traces by ID list, capped at 1,000 ids (SURVEY §2.5 J4, W4). */
+  def getTraceMany(traces: Dataset[Trace], traceIds: Seq[String]): Dataset[Trace] = {
+    val ids = traceIds.take(1000).map(normalizeId)
+    traces.where(col("trace_id").isin(ids: _*)).dropDuplicates("trace_id")
+  }
+
+  /** All service names, sorted, capped 1,000 (KafkaSpanStore.java:130). */
+  def serviceNames(spanNamesTable: DataFrame): DataFrame =
+    spanNamesTable.select(col("service")).distinct().orderBy("service").limit(1000)
+
+  /** Span names for one service. */
+  def spanNames(spanNamesTable: DataFrame, service: String): DataFrame =
+    spanNamesTable.where(col("service") === service)
+      .select(explode(col("span_names")).as("span_name")).orderBy("span_name").limit(1000)
+
+  /** Remote service names for one service. */
+  def remoteServiceNames(remoteTable: DataFrame, service: String): DataFrame =
+    remoteTable.where(col("service") === service)
+      .select(explode(col("remote_service_names")).as("remote_service_name"))
+      .orderBy("remote_service_name").limit(1000)
+
+  /** Dependency graph over [endTs−lookback, endTs]: range-prune the windowed
+    * store then merge = groupBy(parent, child).sum (SURVEY §2.4 A5;
+    * KafkaStorageHttpService.java:69-96).
+    */
+  def dependencies(dependencyWindows: DataFrame, endTs: Long, lookback: Long): DataFrame =
+    dependencyWindows
+      .where(col("window_start_ms").between(endTs - lookback, endTs))
+      .groupBy("parent", "child")
+      .agg(sum("call_count").as("call_count"), sum("error_count").as("error_count"))
+      .limit(1000)
+
+  /** Autocomplete tag keys (KafkaStorageHttpService.java:292-309). */
+  def autocompleteKeys(autocompleteTable: DataFrame): DataFrame =
+    autocompleteTable.select(col("tag_key")).distinct().orderBy("tag_key").limit(1000)
+
+  /** Autocomplete values for one key (KafkaAutocompleteTags.java:27 cap). */
+  def autocompleteValues(autocompleteTable: DataFrame, key: String): DataFrame =
+    autocompleteTable.where(col("tag_key") === key)
+      .select(explode(col("values")).as("value")).orderBy("value").limit(1000)
+
+  private def normalizeId(id: String): String = {
+    val lowered = id.toLowerCase
+    if (lowered.length > 16) ("0" * (32 - lowered.length)) + lowered
+    else ("0" * (16 - lowered.length)) + lowered
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.model.{Endpoint, Span}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Adapter from a generic event log (the driver's `events` table:
+  * event_id, ts, user_id, event_type, value, props) to the span/trace data
+  * model, so the trace engine's operators run — and are oracle-checked —
+  * against the driver harness data.
+  *
+  * Mapping: each user's activity is sessionized with a 30-minute inactivity
+  * gap (the batch analog of the reference's session-window trace aggregation,
+  * SpanAggregationTopology.java:74-86); each session becomes one trace whose
+  * spans form a chain in event order (parent = previous event). Every span is
+  * a SERVER span of service `event_type`, so DependencyLinker derives one
+  * edge per consecutive event-type transition. `error` events carry an
+  * "error" tag, feeding errorCount.
+  *
+  * Scale: one window shuffle on user_id (sessionization + chaining share the
+  * same partitioning — single Exchange), then the trace groupBy; per-group
+  * state is bounded by session size.
+  */
+object EventSpans {
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** events → one row per event with session_id and parent event id. */
+  def sessionized(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      // `>=` matches Spark session_window semantics: an event exactly one gap
+      // after the previous one starts a new session (event ranges are
+      // half-open [ts, ts+gap)).
+      .withColumn("new_session",
+        (col("prev_us").isNull || col("ts_us") - col("prev_us") >= SessionGapMs * 1000L)
+          .cast("int"))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      // previous event in the same user is the chain parent unless this event
+      // starts a new session (sessions are contiguous in the sort order).
+      .withColumn("parent_event",
+        when(col("new_session") === 1, lit(null)).otherwise(lag("event_id", 1).over(byUser)))
+  }
+
+  /** events → Dataset[Span] chains per (user, session). */
+  def spans(spark: SparkSession, events: DataFrame): Dataset[Span] = {
+    import spark.implicits._
+    sessionized(events)
+      .select("user_id", "session_id", "event_id", "parent_event", "event_type", "ts_us", "value")
+      .as[(Long, Long, Long, Option[Long], String, Long, Double)]
+      .map { case (userId, sessionId, eventId, parentEvent, eventType, tsUs, value) =>
+        Span(
+          trace_id = s"$userId:$sessionId",
+          parent_id = parentEvent.map(_.toString),
+          id = eventId.toString,
+          kind = Some("SERVER"),
+          name = Some(eventType),
+          timestamp = Some(tsUs),
+          duration = Some((value * 1000).toLong),
+          local_endpoint = Some(Endpoint(service_name = Some(eventType))),
+          tags = if (eventType == "error") Map("error" -> "") else Map.empty)
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft.core
+
+import graft.model.{DependencyLink, Endpoint, Span}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the reference's observable linking behavior
+  * (SpanAggregationTopologyTest.java:94-103 and zipkin-core DependencyLinker
+  * published semantics, SURVEY §1.4).
+  */
+class DependencyLinkerSpec extends AnyFunSuite {
+
+  private def ep(s: String) = Some(Endpoint(service_name = Some(s)))
+
+  test("reference aggregation fixture: CLIENT svc_a + SERVER svc_b → one svc_a:svc_b link") {
+    // SpanAggregationTopologyTest.java:76-81: span b has no parent_id; zipkin
+    // attaches parentless nodes under the root, so the edge is svc_a → svc_b.
+    val a = Span(trace_id = "000000000000000a", id = "000000000000000a",
+      kind = Some("CLIENT"), name = Some("op_a"), local_endpoint = ep("svc_a"))
+    val b = Span(trace_id = "000000000000000a", id = "000000000000000b",
+      kind = Some("SERVER"), name = Some("op_b"), local_endpoint = ep("svc_b"))
+    assert(DependencyLinker.link(Seq(a, b)) ==
+      Seq(DependencyLink("svc_a", "svc_b", 1, 0)))
+  }
+
+  test("client span with remote endpoint produces edge when no shared server twin") {
+    val c = Span(trace_id = "000000000000000a", id = "000000000000000a",
+      kind = Some("CLIENT"), local_endpoint = ep("front"), remote_endpoint = ep("back"))
+    assert(DependencyLinker.link(Seq(c)) == Seq(DependencyLink("front", "back", 1, 0)))
+  }
+
+  test("shared server twin suppresses the client half (no double count)") {
+    val client = Span(trace_id = "000000000000000a", id = "000000000000000b",
+      parent_id = Some("000000000000000a"), kind = Some("CLIENT"),
+      local_endpoint = ep("front"), remote_endpoint = ep("back"))
+    val server = Span(trace_id = "000000000000000a", id = "000000000000000b",
+      parent_id = Some("000000000000000a"), kind = Some("SERVER"),
+      local_endpoint = ep("back"), shared = Some(true))
+    val links = DependencyLinker.link(Seq(client, server))
+    assert(links == Seq(DependencyLink("front", "back", 1, 0)))
+  }
+
+  test("server-side error tag increments errorCount") {
+    val server = Span(trace_id = "000000000000000a", id = "000000000000000a",
+      kind = Some("SERVER"), local_endpoint = ep("back"), remote_endpoint = ep("front"),
+      tags = Map("error" -> "500"))
+    assert(DependencyLinker.link(Seq(server)) == Seq(DependencyLink("front", "back", 1, 1)))
+  }
+
+  test("SERVER without remote endpoint walks to nearest instrumented ancestor") {
+    val root = Span(trace_id = "000000000000000a", id = "000000000000000a",
+      kind = Some("SERVER"), local_endpoint = ep("gateway"), remote_endpoint = ep("edge"))
+    val mid = Span(trace_id = "000000000000000a", id = "000000000000000b",
+      parent_id = Some("000000000000000a"), local_endpoint = None) // uninstrumented local op
+    val leaf = Span(trace_id = "000000000000000a", id = "000000000000000c",
+      parent_id = Some("000000000000000b"), kind = Some("SERVER"), local_endpoint = ep("db"))
+    val links = DependencyLinker.link(Seq(root, mid, leaf))
+    assert(links.contains(DependencyLink("gateway", "db", 1, 0)))
+    assert(links.contains(DependencyLink("edge", "gateway", 1, 0)))
+  }
+
+  test("PRODUCER/CONSUMER map like CLIENT/SERVER") {
+    val p = Span(trace_id = "000000000000000a", id = "000000000000000a",
+      kind = Some("PRODUCER"), local_endpoint = ep("app"), remote_endpoint = ep("kafka"))
+    val c = Span(trace_id = "000000000000000b", id = "000000000000000b",
+      kind = Some("CONSUMER"), local_endpoint = ep("worker"), remote_endpoint = ep("kafka"))
+    assert(DependencyLinker.link(Seq(p)) == Seq(DependencyLink("app", "kafka", 1, 0)))
+    assert(DependencyLinker.link(Seq(c)) == Seq(DependencyLink("kafka", "worker", 1, 0)))
+  }
+
+  test("merge sums counts per edge") {
+    val merged = DependencyLinker.merge(Seq(
+      DependencyLink("a", "b", 1, 0), DependencyLink("a", "b", 2, 1),
+      DependencyLink("b", "c", 1, 1)))
+    assert(merged.toSet == Set(DependencyLink("a", "b", 3, 1), DependencyLink("b", "c", 1, 1)))
+  }
+
+  test("span order does not change the linked edges") {
+    val spans = Seq(
+      Span(trace_id = "000000000000000a", id = "000000000000000a", kind = Some("SERVER"),
+        local_endpoint = ep("front"), remote_endpoint = ep("lb")),
+      Span(trace_id = "000000000000000a", id = "000000000000000b",
+        parent_id = Some("000000000000000a"), kind = Some("CLIENT"),
+        local_endpoint = ep("front"), remote_endpoint = ep("back")),
+      Span(trace_id = "000000000000000a", id = "000000000000000b",
+        parent_id = Some("000000000000000a"), kind = Some("SERVER"),
+        local_endpoint = ep("back"), shared = Some(true), tags = Map("error" -> "")))
+    val expected = DependencyLinker.link(spans).toSet
+    assert(expected == Set(DependencyLink("lb", "front", 1, 0), DependencyLink("front", "back", 1, 1)))
+    for (perm <- spans.permutations)
+      assert(DependencyLinker.link(perm).toSet == expected)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.QueryRequest
+import graft.model.{DependencyLink, Endpoint, Span}
+
+/** End-to-end batch pipeline asserts mirroring the reference's
+  * TraceStorageTopologyTest / ITKafkaStorage observable facts (FIXTURES.md
+  * 1a-1c; ITKafkaStorage.java:175-274) — without Kafka.
+  */
+class SpanPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ep(s: String) = Some(Endpoint(service_name = Some(s)))
+  private val todayUs = 1_700_000_000_000_000L
+
+  // FIXTURES.md 1c: two-span trace a (svc_a→svc_b), later single-span trace c.
+  private val fixture = Seq(
+    Span(trace_id = "000000000000000a", id = "000000000000000a", name = Some("op_a"),
+      kind = Some("CLIENT"), local_endpoint = ep("svc_a"), remote_endpoint = ep("svc_b"),
+      timestamp = Some(todayUs), duration = Some(10L), tags = Map("environment" -> "dev")),
+    Span(trace_id = "000000000000000a", id = "000000000000000b",
+      parent_id = Some("000000000000000a"), name = Some("op_b"), kind = Some("SERVER"),
+      local_endpoint = ep("svc_b"), timestamp = Some(todayUs), duration = Some(2L),
+      shared = Some(true)),
+    Span(trace_id = "000000000000000c", id = "000000000000000c", name = Some("op_c"),
+      kind = Some("SERVER"), local_endpoint = ep("svc_c"),
+      timestamp = Some(todayUs + 10), duration = Some(8L)))
+
+  private lazy val spans = spark.createDataset(fixture)
+  private lazy val traces = SpanPipeline.aggregateTraces(spans).cache()
+
+  test("aggregateTraces groups and merges spans per trace id") {
+    val byId = traces.collect().map(t => t.trace_id -> t).toMap
+    assert(byId.keySet == Set("000000000000000a", "000000000000000c"))
+    assert(byId("000000000000000a").spans.map(_.id).sorted ==
+      Seq("000000000000000a", "000000000000000b"))
+    assert(byId("000000000000000a").root_ts == todayUs)
+  }
+
+  test("redelivered span batches deduplicate (ST7)") {
+    val redelivered = spark.createDataset(fixture ++ fixture)
+    val agg = SpanPipeline.aggregateTraces(redelivered).collect()
+    assert(agg.map(t => t.trace_id -> t.spans.size).toMap ==
+      Map("000000000000000a" -> 2, "000000000000000c" -> 1))
+  }
+
+  test("dependency links: one svc_a→svc_b edge with call_count 1 (IT dependencies assert)") {
+    val links = SpanPipeline.dependencyLinks(traces).collect().map(_._2)
+    assert(links.toSeq == Seq(DependencyLink("svc_a", "svc_b", 1, 0)))
+  }
+
+  test("dependencyWindows buckets per minute and sums counts") {
+    val links = SpanPipeline.dependencyLinks(traces)
+    val win = SpanPipeline.dependencyWindows(links).collect()
+    assert(win.length == 1)
+    val row = win.head
+    assert(row.getAs[Long]("window_start_ms") % 60000 == 0)
+    assert(row.getAs[String]("parent") == "svc_a" && row.getAs[Long]("call_count") == 1L)
+  }
+
+  test("span names / remote service names / autocomplete stores (TraceStorageTopologyTest asserts)") {
+    val names = SpanPipeline.spanNames(spans).collect()
+      .map(r => r.getAs[String]("service") -> r.getSeq[String](1).toSet).toMap
+    assert(names == Map("svc_a" -> Set("op_a"), "svc_b" -> Set("op_b"), "svc_c" -> Set("op_c")))
+
+    val remotes = SpanPipeline.remoteServiceNames(spans).collect()
+      .map(r => r.getAs[String]("service") -> r.getSeq[String](1).toSet).toMap
+    assert(remotes == Map("svc_a" -> Set("svc_b")))
+
+    val tags = SpanPipeline.autocompleteTags(spans, Seq("environment")).collect()
+      .map(r => r.getAs[String]("tag_key") -> r.getSeq[String](1).toSet).toMap
+    assert(tags == Map("environment" -> Set("dev")))
+  }
+
+  test("getTraces: serviceName filter returns the 2-span trace (ITKafkaStorage.java:175-233)") {
+    val endTs = todayUs / 1000 + 1
+    val req = QueryRequest(serviceName = Some("svc_a"), endTs = endTs, lookback = 30_000L)
+    val got = TraceQueries.getTraces(traces, req).collect()
+    assert(got.length == 1 && got.head.spans.size == 2)
+  }
+
+  test("getTraces: limit 1 returns the newest trace first (trace c)") {
+    val endTs = todayUs / 1000 + 1
+    val got = TraceQueries.getTraces(traces, QueryRequest(endTs = endTs, lookback = 30_000L, limit = 1))
+      .collect()
+    assert(got.map(_.trace_id).toSeq == Seq("000000000000000c"))
+  }
+
+  test("getTrace / getTraceMany point lookups (J4)") {
+    assert(TraceQueries.getTrace(traces, "a").collect().head.trace_id == "000000000000000a")
+    val many = TraceQueries.getTraceMany(traces, Seq("a", "c")).collect()
+    assert(many.map(_.trace_id).sorted.toSeq == Seq("000000000000000a", "000000000000000c"))
+  }
+
+  test("serviceNames / spanNames / remoteServiceNames query surface") {
+    val nameTable = SpanPipeline.spanNames(spans)
+    assert(TraceQueries.serviceNames(nameTable).as[String].collect().toSeq ==
+      Seq("svc_a", "svc_b", "svc_c"))
+    assert(TraceQueries.spanNames(nameTable, "svc_a").as[String].collect().toSeq == Seq("op_a"))
+    val remoteTable = SpanPipeline.remoteServiceNames(spans)
+    assert(TraceQueries.remoteServiceNames(remoteTable, "svc_a").as[String].collect().toSeq ==
+      Seq("svc_b"))
+  }
+
+  test("dependencies endpoint merges windows over the lookback (A5)") {
+    val win = SpanPipeline.dependencyWindows(SpanPipeline.dependencyLinks(traces))
+    val endTs = todayUs / 1000 + 1
+    val deps = TraceQueries.dependencies(win, endTs, 86_400_000L).as[DependencyLink].collect()
+    assert(deps.toSeq == Seq(DependencyLink("svc_a", "svc_b", 1, 0)))
+    // outside the window → empty
+    assert(TraceQueries.dependencies(win, 1000L, 1000L).count() == 0)
+  }
+
+  test("autocomplete keys and values") {
+    val table = SpanPipeline.autocompleteTags(spans, Seq("environment"))
+    assert(TraceQueries.autocompleteKeys(table).as[String].collect().toSeq == Seq("environment"))
+    assert(TraceQueries.autocompleteValues(table, "environment").as[String].collect().toSeq ==
+      Seq("dev"))
+  }
+}
