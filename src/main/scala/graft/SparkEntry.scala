@@ -1,8 +1,9 @@
 package graft
 
 import graft.core.QueryRequest
+import graft.functions.{Dedup, Similarity, TextAnalysis}
 import graft.model.Span
-import graft.operators.{SpanPipeline, TraceQueries}
+import graft.operators.{Multimodal, SpanPipeline, TraceQueries}
 import graft.sources.EventSpans
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -115,7 +116,145 @@ object SparkEntry {
 
     // ——— A7/W4: span-name store → service-name enumeration ———
     "q_w4_service_names" -> ((s, dir) =>
-      TraceQueries.serviceNames(SpanPipeline.spanNames(eventSpans(s, dir))))
+      TraceQueries.serviceNames(SpanPipeline.spanNames(eventSpans(s, dir)))),
+
+    // ——— J-class joins (SURVEY §2.5; broadcast dims, semi/anti) ———
+    "q_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q_j_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
+    "q_j_anti" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+      p.join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_brand")
+    }),
+
+    // ——— W5: rank-per-group top-N ———
+    "q_window_topn" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk").cast("long").as("rnk"),
+          col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    // ——— SO: set operations (union/distinct/except — A9/SO1/SO2) ———
+    "q_so_except" -> ((s, dir) => {
+      val e = events(s, dir)
+      val week1 = e.where(col("ts") < lit("2024-01-08").cast("timestamp"))
+        .select("user_id", "event_type").distinct()
+      val week4 = e.where(col("ts") >= lit("2024-01-22").cast("timestamp"))
+        .select("user_id", "event_type").distinct()
+      week1.except(week4)
+    }),
+
+    // ——— A-class: grouping-set rollup ———
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))),
+
+    // ——— P5/SC8: canonical hex-id normalization ———
+    "q_p5_normalize" -> ((s, dir) =>
+      events(s, dir)
+        .select(lower(lpad(hex(col("user_id")), 16, "0")).as("norm_id"))
+        .distinct()),
+
+    // ——— text analysis: token/subword counts, quality scoring ———
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+        TextAnalysis.stopwordCount(col("text")).cast("long").as("n_stopwords"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // ——— text analysis: n-gram-heuristic language ID ———
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.languageId(col("text")).as("lang"))),
+
+    // ——— text analysis: rolling-hash fingerprint (custom codegen Expression) ———
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ——— dedup: exact (hash groupBy) ———
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", Seq(col("text")))
+        .select("doc_id", "n_copies")),
+
+    // ——— dedup: exact n-gram Jaccard via shingle inverted-index join ———
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    // ——— dedup: MinHash+LSH with exact verification (same result set,
+    //     candidate-pruned plan — the 100 TB path) ———
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    // ——— dedup: SimHash signatures + banded hamming join ———
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))),
+
+    // ——— similarity: exact brute-force cosine top-k ———
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ——— similarity: embedding cosine near-dup pairs ———
+    "q_emb_neardup" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // ——— multimodal: binary columns + stubbed decode/feature extraction ———
+    "q_mm_features" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      Multimodal.extractFeatures(s, media, dim = 8).toDF()
+        .select(col("media_id"), col("byte_len"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"),
+          round(element_at(col("features"), 4), 6).as("f3"))
+    }),
+
+    // ——— multimodal: deterministic frame sampling fan-out ———
+    "q_mm_frames" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      Multimodal.sampleFrames(s, media, maxFrames = 4).toDF()
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames_out"))
+    })
   )
 
   /** Shared DuckDB CTEs replicating the sessionization/chaining semantics. */
@@ -194,6 +333,155 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1""".stripMargin,
 
     "q_w4_service_names" ->
-      "SELECT DISTINCT event_type AS service FROM events ORDER BY service LIMIT 1000"
+      "SELECT DISTINCT event_type AS service FROM events ORDER BY service LIMIT 1000",
+
+    "q_join_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_j_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+
+    "q_j_anti" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 45)""".stripMargin,
+
+    "q_window_topn" ->
+      """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+        |       round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q_so_except" ->
+      """SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-08'
+        |EXCEPT
+        |SELECT DISTINCT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-22'""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_p5_normalize" ->
+      "SELECT DISTINCT lower(lpad(to_hex(user_id), 16, '0')) AS norm_id FROM events",
+
+    "q_text_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(trim(text)) AS BIGINT) AS n_chr,
+        |    CAST(len(list_filter(string_split(trim(text), ' '),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS BIGINT) AS n_stop,
+        |    CAST(list_sum(list_transform(string_split(trim(text), ' '),
+        |      t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS BIGINT) AS n_sub
+        |  FROM documents)
+        |SELECT doc_id, n_tok AS n_tokens, n_sub AS n_subwords, n_stop AS n_stopwords,
+        |  round(((CASE WHEN n_tok BETWEEN 8 AND 512 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN (n_chr - (n_tok - 1)) * 1.0 / n_tok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |       + (CASE WHEN n_stop * 1.0 / n_tok BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+        |FROM f""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH g AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it'], t))) AS se,
+        |  len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','en','un'], t))) AS ss,
+        |  len(list_filter(toks, t -> list_contains(['der','die','und','das','nicht','ist','ich','ein'], t))) AS sd
+        |  FROM g)
+        |SELECT doc_id, CASE WHEN se = 0 AND ss = 0 AND sd = 0 THEN 'und'
+        |  WHEN se >= ss AND se >= sd THEN 'en'
+        |  WHEN ss >= sd THEN 'es' ELSE 'de' END AS lang FROM sc""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    "q_dedup_ngram" -> JaccardOracle,
+    "q_dedup_minhash" -> JaccardOracle,
+
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) AS hv FROM tok),
+        |bits AS (SELECT doc_id, bb.bit AS bit,
+        |         sum(CASE WHEN (hv >> bb.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |         FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bb GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY 1)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |        list_dot_product(q.ev, c.ev) / (q.nrm * c.nrm) AS cosine
+        |      FROM v q JOIN v c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM p)
+        |SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_emb_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    "q_mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  round(CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) / 255.0, 6) AS f0,
+        |  round(CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) / 255.0, 6) AS f1,
+        |  round(CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) / 255.0, 6) AS f2,
+        |  round(CAST(concat('0x', substr(md5(text), 7, 2)) AS INTEGER) / 255.0, 6) AS f3
+        |FROM documents""".stripMargin,
+
+    "q_mm_frames" ->
+      """SELECT doc_id AS media_id,
+        |  least(4, CAST(ceil(n * 1.0 / greatest(1, n // 4)) AS BIGINT)) AS n_frames_out
+        |FROM (SELECT doc_id, n_chars % 16 + 1 AS n FROM documents)""".stripMargin
   )
+
+  /** Shared oracle for q_dedup_ngram / q_dedup_minhash: both compute the
+    * exact Jaccard ≥ 0.5 pair set (minhash+LSH verifies candidates exactly,
+    * so only an astronomically unlikely all-band miss could differ).
+    */
+  private val JaccardOracle =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+      |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin
 }

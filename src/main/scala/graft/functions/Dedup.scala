@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact: one hash-groupBy shuffle, map-side partial agg;
+  *  - n-gram Jaccard: shingle-inverted-index self-join (shuffle keyed by
+  *    shingle — never a cross join), with an optional document-frequency cap
+  *    to cut stop-shingle skew;
+  *  - MinHash+LSH: signatures via map-side element-wise min, band-bucket
+  *    join, exact verification only on candidates;
+  *  - SimHash: 32-bit signatures, byte-banded join (pigeonhole-exact for
+  *    hamming ≤ 3), verification on candidates only.
+  */
+object Dedup {
+
+  /** Exact dedup: representative id + multiplicity per distinct key. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** doc → exploded distinct word n-gram shingles. */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDocFreq: Option[Long]): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.distinctShingles(col(textCol), n)).as("shingle"))
+    maxDocFreq match {
+      case None => sh
+      case Some(cap) =>
+        // drop ultra-common shingles (stopword runs): bounded skew for the
+        // self-join at scale; a Window count avoids a second scan.
+        val w = Window.partitionBy("shingle")
+        sh.withColumn("df", count(lit(1)).over(w)).where(col("df") <= cap).drop("df")
+    }
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: minhash_j(doc) = min over shingles of hash_j(shingle),
+    * computed as one explode + element-wise-min aggregation (partial-agg
+    * friendly; numHashes·|shingles| intermediate rows, no driver state).
+    * Output: doc_id, seed (0..numHashes-1), mh.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128): DataFrame =
+    shingleIndex(docs, idCol, textCol, n, None)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => HashFunctions.seededHash(col("shingle"), i))))
+      .toDF("doc_id", "seed", "h")
+      .groupBy("doc_id", "seed").agg(min("h").as("mh"))
+
+  /** MinHash+LSH near-dup pairs: band the signature, bucket-join, then verify
+    * candidates with exact Jaccard (so false positives never escape; false
+    * negatives require every one of `bands` band-collisions to miss).
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val bandKeys = sig
+      .withColumn("band", expr(s"seed div $rowsPerBand"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh").cast("string"))).as("band_key"))
+    val candidates = bandKeys.as("x").join(bandKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, docs, idCol, textCol, n, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (array intersect over the
+    * two docs' shingle sets — joins keyed by doc id, cost ∝ candidates).
+    */
+  def verifyJaccard(candidates: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.distinctShingles(col(textCol), n).as("sh"))
+    candidates
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))) /
+          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash signature per doc. Bit i votes +1/−1 per token whose
+    * portable hash has bit i set; signature bit = sign of the tally. Uses the
+    * oracle-portable hash so DuckDB can mirror the exact signatures.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), HashFunctions.portableHash64(col("tok")).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(shiftright(h, bit) & 1)") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist (≤ 3 for exact
+    * recall under 4-byte banding: 3 flipped bits cannot hit all 4 bands).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-byte banding guarantees recall only for maxDist <= 3")
+    val sig = simhashSignatures(docs, idCol, textCol)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("shiftright(simhash, band * 8) & 255"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold. Brute self-join here; the
+    * scale path buckets by [[Similarity.ivfAssign]] first.
+    */
+  def embeddingCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    vectors.as("a").join(vectors.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
+      .where(col("cosine") >= threshold)
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`):
+  * brute-force cosine top-k as the exact baseline, and an IVF-bucketed
+  * variant as the scale path (cost ∝ nProbe/nCentroids of brute force).
+  * All math is `zip_with`/`aggregate` column expressions in double
+  * precision — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision (index order — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k: broadcast the (small) query set against the
+    * corpus, rank per query. Deterministic tiebreak on corpus id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Assign each vector to its nearest centroid (IVF cell). Centroids must be
+    * broadcastable (they are by construction: nCentroids ≪ corpus).
+    */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("sim"), asc("centroid_id"))
+    vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"))))
+      .withColumn("sim", cosine(col(vecCol), col("centroid_vec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** Deterministic stand-in for trained IVF centroids: the first nCentroids
+    * vectors by id. (A k-means refinement would slot in here; the index
+    * structure and query path are what matter for the engine.)
+    */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  /** IVF top-k: probe the nProbe nearest cells per query, exact cosine within
+    * probed cells only. Approximate (recall < 1 when the true neighbor lives
+    * in an unprobed cell) — the 1000×-scale path where brute force is
+    * size-of-corpus per query.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = seedCentroids(corpus, idCol, vecCol, nCentroids).cache()
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+      .withColumnRenamed(idCol, "corpus_id").withColumnRenamed(vecCol, "cv")
+    val probes = {
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("centroid_id"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .join(broadcast(centroids))
+        .withColumn("sim", cosine(col("qv"), col("centroid_vec")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= nProbe)
+        .select(col("query_id"), col("qv"), col("centroid_id"))
+    }
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    probes.join(assigned, "centroid_id")
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

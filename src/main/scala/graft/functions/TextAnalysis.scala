@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All are pure
+  * column expressions (whole-stage-codegen friendly, no UDFs), so they run
+  * inside the parquet scan's generated loop and distribute trivially.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a trimmed document. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Contiguous word n-grams ("shingles"), the dedup unit. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // one shingle per window position; empty array when the doc is shorter than n
+    when(size(toks) < n, array()).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  def distinctShingles(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Crude BPE-ish subword count: whitespace tokens plus an extra unit per 4
+    * characters of long tokens (a deterministic proxy for subword splits).
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long")))
+
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  /** Quality features + a composite score in [0,1]: length band, mean token
+    * length band, stopword presence. Deterministic arithmetic only.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val meanLen = (length(trim(text)) - (nTok - 1)) / nTok // mean token length
+    val stopRatio = stopwordCount(text).cast("double") / nTok
+    val lengthBand = when(nTok.between(8, 512), 1.0).otherwise(0.0)
+    val tokenBand = when(meanLen.between(2.0, 12.0), 1.0).otherwise(0.0)
+    val stopBand = when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.0)
+    round((lengthBand + tokenBand + stopBand) / 3.0, 4)
+  }
+
+  /** N-gram-heuristic language ID: score English/Spanish/German stopword
+    * hits over whitespace tokens; the max-scoring language wins, `und`
+    * (undetermined) on zero hits. Tie order: en > es > de.
+    */
+  def languageId(text: Column): Column = {
+    val en = Seq("the", "and", "of", "to", "is", "in", "that", "it")
+    val es = Seq("el", "la", "de", "que", "y", "los", "en", "un")
+    val de = Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein")
+    def score(ws: Seq[String]) = size(filter(tokens(lower(text)), t => t.isin(ws: _*)))
+    val (se, ss, sd) = (score(en), score(es), score(de))
+    when(se === 0 && ss === 0 && sd === 0, "und")
+      .when(se >= ss && se >= sd, "en")
+      .when(ss >= sd, "es")
+      .otherwise("de")
+  }
+
+  /** Rolling-hash fingerprint via the codegen'd [[PolyHash]] expression. */
+  def fingerprint(text: Column): Column = PolyHash(text)
+}

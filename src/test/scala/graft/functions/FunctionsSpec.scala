@@ -1,0 +1,112 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different words appear here now always"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "el la de que y los en un")
+  ).toDF("doc_id", "text")
+
+  test("PolyHash matches the reference scala fold and is codegen-consistent") {
+    assert(PolyHash.eval("ab") == 97L * 31 + 98) // (0·31+97)·31+98
+    val got = docs.select(col("doc_id"), PolyHash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == PolyHash.eval("the quick brown fox jumps over the lazy dog"))
+    assert(got(0L) == got(3L)) // identical text, identical fingerprint
+    assert(got(0L) != got(1L))
+  }
+
+  test("tokenCount / shingles / subwordCount") {
+    val r = docs.where($"doc_id" === 0)
+      .select(
+        TextAnalysis.tokenCount($"text"),
+        TextAnalysis.distinctShingles($"text", 3),
+        TextAnalysis.subwordCount($"text"))
+      .head()
+    assert(r.getInt(0) == 9)
+    assert(r.getSeq[String](1).head == "the quick brown")
+    assert(r.getSeq[String](1).length == 7) // 9 tokens → 7 trigrams, all distinct
+    assert(r.getLong(2) == 12L) // quick/brown/jumps have 5 chars → 2 units each
+  }
+
+  test("shorter-than-n docs produce no shingles") {
+    val r = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(TextAnalysis.distinctShingles($"text", 3)).head()
+    assert(r.getSeq[String](0).isEmpty)
+  }
+
+  test("languageId picks the max-scoring stopword set") {
+    val got = docs.select($"doc_id", TextAnalysis.languageId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en" && got(4L) == "es" && got(2L) == "und")
+  }
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs, "doc_id", Seq($"text")).collect()
+    assert(got.length == 4)
+    val dupRow = got.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupRow.getAs[Long]("doc_id") == 0L) // min id representative
+  }
+
+  test("ngram jaccard finds the near-dup and exact-dup pairs only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("minhash+LSH verified pairs equal the exact jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, numHashes = 128,
+      bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, distinct docs far") {
+    val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(0L) == sig(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(1L)) <= 8)
+    assert(ham(sig(0L), sig(2L)) > 3)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  private lazy val vectors = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine / brute-force top-k") {
+    val top = Similarity.bruteForceTopK(
+      vectors.where($"vec_id" === 0), vectors, "vec_id", "embedding", 2).collect()
+    assert(top.map(_.getAs[Long]("corpus_id")).toSeq == Seq(1L, 2L))
+    assert(math.abs(top.head.getAs[Double]("cosine") - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
+  test("IVF top-k returns ranked neighbors from probed cells") {
+    val got = Similarity.ivfTopK(vectors.where($"vec_id" === 0), vectors,
+      "vec_id", "embedding", k = 2, nCentroids = 2, nProbe = 2).collect()
+    assert(got.nonEmpty && got.head.getAs[Long]("corpus_id") == 1L)
+  }
+
+  test("embedding cosine near-dup pairs") {
+    val pairs = Dedup.embeddingCosinePairs(vectors, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
