@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.core.{DependencyLinker, TraceMerge}
+import graft.model.{DependencyLink, Span, Trace}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A span batch on the wire: the event time is the transport's record
+  * timestamp (the reference sessionizes on the Kafka record timestamp —
+  * SpanAggregationTopologyTest.java:82-86, SURVEY §2.9 ST1), carried
+  * separately from the span's own µs timestamp.
+  */
+final case class SpanEnvelope(ingest_ts: Timestamp, span: Span)
+
+/** A completed trace with its session close time (watermark-driven emit). */
+final case class ClosedTrace(trace_id: String, close_ts: Timestamp, spans: Seq[Span],
+    root_ts: Long)
+
+final case class LinkEvent(event_ts: Timestamp, parent: String, child: String,
+    call_count: Long, error_count: Long)
+
+/** The reference's three Kafka Streams topologies as Structured Streaming
+  * stages (SURVEY §3.2). Each stage is a composable Dataset transform; wire
+  * them source→sink with `writeStream` (kafka/parquet/memory). Emit-on-close
+  * (the reference's `suppress(untilWindowCloses)`) falls out of Append mode +
+  * watermark: a session's row is produced exactly once, when the watermark
+  * passes its end (ST2/ST4).
+  *
+  * Scale posture: state is keyed by (trace_id, session) / (edge, window) —
+  * partitioned by key across executors, no global state; watermark bounds
+  * state retention exactly like the reference's store retention (ST6).
+  */
+object StreamingPipeline {
+
+  /** A1/A2: session-window trace aggregation, gap = traceTimeout (default
+    * 1 min, KafkaStorageBuilder.java:225), grace 0 ⇒ watermark delay 0
+    * (late spans for a closed session are dropped — same as the reference,
+    * ST5). Append output: one row per closed session.
+    */
+  def sessionTraces(envelopes: Dataset[SpanEnvelope], gap: String = "1 minute",
+      watermarkDelay: String = "0 seconds"): Dataset[ClosedTrace] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    envelopes
+      .withWatermark("ingest_ts", watermarkDelay)
+      .groupBy(session_window(col("ingest_ts"), gap), col("span.trace_id").as("trace_id"))
+      .agg(collect_list(col("span")).as("spans"))
+      .select(col("trace_id"), col("session_window.end").as("close_ts"), col("spans"))
+      .as[(String, Timestamp, Seq[Span])]
+      .map { case (id, close, spans) =>
+        val merged = TraceMerge.merge(spans)
+        ClosedTrace(id, close, merged, graft.operators.SpanPipeline.rootTimestamp(merged))
+      }
+  }
+
+  /** A1/A2 via explicit state (ST8): `flatMapGroupsWithState` with event-time
+    * timeout — the direct analog of the reference's session store + suppress.
+    * Behaviorally equivalent to [[sessionTraces]]; kept as the escape hatch
+    * for semantics `session_window` can't express (e.g. per-key gap).
+    */
+  def sessionTracesWithState(envelopes: Dataset[SpanEnvelope],
+      gapMs: Long = 60000L): Dataset[ClosedTrace] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    envelopes
+      .withWatermark("ingest_ts", "0 seconds")
+      .groupByKey(_.span.trace_id)
+      .flatMapGroupsWithState[(Long, Seq[Span]), ClosedTrace](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (traceId: String, batch: Iterator[SpanEnvelope],
+         state: GroupState[(Long, Seq[Span])]) =>
+          if (state.hasTimedOut) {
+            val (lastTs, spans) = state.get
+            state.remove()
+            val merged = TraceMerge.merge(spans)
+            Iterator.single(ClosedTrace(traceId, new Timestamp(lastTs + gapMs), merged,
+              graft.operators.SpanPipeline.rootTimestamp(merged)))
+          } else {
+            val arrived = batch.toSeq
+            val newest = arrived.map(_.ingest_ts.getTime).max
+            val (prevTs, prevSpans) = state.getOption.getOrElse((0L, Seq.empty[Span]))
+            val lastTs = math.max(prevTs, newest)
+            state.update((lastTs, prevSpans ++ arrived.map(_.span)))
+            // close one gap after the newest span, gated on the watermark
+            state.setTimeoutTimestamp(lastTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** A3/P3/P4: closed traces → keyed dependency-link events, stamped with the
+    * session close time (the reference emits links when the session closes).
+    */
+  def dependencyLinkEvents(traces: Dataset[ClosedTrace]): Dataset[LinkEvent] = {
+    val spark = traces.sparkSession
+    import spark.implicits._
+    traces.flatMap(t => DependencyLinker.link(t.spans)
+      .map(l => LinkEvent(t.close_ts, l.parent, l.child, l.call_count, l.error_count)))
+  }
+
+  /** A4: per-minute windowed call/error counts per edge
+    * (DependencyStorageTopology.java:70-105). Append emits a window's total
+    * once the watermark passes it; Update mode streams running counts.
+    */
+  def dependencyWindowCounts(links: Dataset[LinkEvent], window: String = "1 minute",
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    links.toDF()
+      .withWatermark("event_ts", watermarkDelay)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_ts"), window),
+        col("parent"), col("child"))
+      .agg(sum("call_count").as("call_count"), sum("error_count").as("error_count"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("parent"), col("child"), col("call_count"), col("error_count"))
+
+  /** A7/A8 streaming name stores (Update mode: sets grow monotonically,
+    * mirroring the reference's upsert processors).
+    */
+  def spanNameSets(envelopes: Dataset[SpanEnvelope]): DataFrame =
+    envelopes.toDF()
+      .select(col("span.local_endpoint.service_name").as("service"),
+        col("span.name").as("name"))
+      .where(col("service").isNotNull && col("name").isNotNull)
+      .groupBy("service").agg(collect_set("name").as("span_names"))
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.model.{Endpoint, Span}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics pinned by the reference's TopologyTestDriver tests
+  * (SpanAggregationTopologyTest.java:57-108): two spans of trace `a` in one
+  * session; a trace-`c` record one-gap-later closes it; exactly one trace and
+  * one dependency link are emitted. Event times start at 1000 ms, not the
+  * reference's 0: Spark's initial watermark is 0 and rows at event-time ≤
+  * watermark are dropped as late (deviation from TopologyTestDriver's event
+  * clock, same observable behavior for any realistic timestamp).
+  */
+class StreamingPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ep(s: String) = Some(Endpoint(service_name = Some(s)))
+  private val spanA = Span(trace_id = "000000000000000a", id = "000000000000000a",
+    name = Some("op_a"), kind = Some("CLIENT"), local_endpoint = ep("svc_a"),
+    remote_endpoint = ep("svc_b"))
+  private val spanB = Span(trace_id = "000000000000000a", id = "000000000000000b",
+    parent_id = Some("000000000000000a"), name = Some("op_b"), kind = Some("SERVER"),
+    local_endpoint = ep("svc_b"), shared = Some(true))
+  private val spanC = Span(trace_id = "000000000000000c", id = "000000000000000c")
+
+  private val gapMs = 60000L
+
+  private def runSession(viaState: Boolean): Array[ClosedTrace] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SpanEnvelope]
+    val traces =
+      if (viaState) StreamingPipeline.sessionTracesWithState(input.toDS(), gapMs)
+      else StreamingPipeline.sessionTraces(input.toDS(), "1 minute")
+    val name = s"traces_out_$viaState"
+    val q = traces.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(SpanEnvelope(new Timestamp(1000L), spanA))
+      input.addData(SpanEnvelope(new Timestamp(1000L), spanB))
+      q.processAllAvailable()
+      // nothing emitted while the session is open (suppress-until-close, ST4)
+      assert(spark.table(name).count() == 0)
+      // a record one-gap-later advances the watermark and closes trace a
+      input.addData(SpanEnvelope(new Timestamp(gapMs + 1001), spanC))
+      q.processAllAvailable()
+      if (viaState) {
+        // event-time timeouts fire against the previous batch's watermark:
+        // one more micro-batch (still within trace c's session) triggers it
+        input.addData(SpanEnvelope(new Timestamp(gapMs + 1002), spanC))
+        q.processAllAvailable()
+      }
+      spark.table(name).as[ClosedTrace].collect()
+    } finally q.stop()
+  }
+
+  test("session_window path: trace emitted once, on close, merged (A1/A2/ST4)") {
+    val emitted = runSession(viaState = false)
+    assert(emitted.length == 1)
+    assert(emitted.head.trace_id == "000000000000000a")
+    assert(emitted.head.spans.map(_.id).sorted ==
+      Seq("000000000000000a", "000000000000000b"))
+  }
+
+  test("flatMapGroupsWithState path emits the same closed trace (ST8)") {
+    val emitted = runSession(viaState = true)
+    assert(emitted.length == 1)
+    assert(emitted.head.trace_id == "000000000000000a")
+    assert(emitted.head.spans.map(_.id).sorted ==
+      Seq("000000000000000a", "000000000000000b"))
+  }
+
+  test("full chain: spans → sessions → links → windowed counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SpanEnvelope]
+    val links = StreamingPipeline.dependencyLinkEvents(
+      StreamingPipeline.sessionTraces(input.toDS(), "1 minute"))
+    val q = links.writeStream.format("memory").queryName("links_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(SpanEnvelope(new Timestamp(1000L), spanA))
+      input.addData(SpanEnvelope(new Timestamp(1000L), spanB))
+      input.addData(SpanEnvelope(new Timestamp(gapMs + 1001), spanC))
+      q.processAllAvailable()
+      // close trace c too, so both sessions' links are final
+      input.addData(SpanEnvelope(new Timestamp(3 * gapMs + 1000), spanC.copy(trace_id = "000000000000000d", id = "000000000000000d")))
+      q.processAllAvailable()
+      val got = spark.table("links_out").as[LinkEvent].collect()
+      assert(got.length == 1) // trace a: svc_a → svc_b; traces c/d have no kinds+endpoints
+      val l = got.head
+      assert(l.parent == "svc_a" && l.child == "svc_b" &&
+        l.call_count == 1L && l.error_count == 0L)
+      // the link is stamped with the session close time (start + gap)
+      assert(l.event_ts.getTime == gapMs + 1000) // session start (1000) + gap
+
+      // batch-verify the windowed count stage over the emitted links
+      val winDf = StreamingPipeline.dependencyWindowCounts(
+        spark.createDataset(got.toIndexedSeq))
+      // (batch path: same expression tree works un-streamed)
+      val rows = winDf.collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("call_count") == 1L)
+      assert(rows.head.getAs[Long]("window_start_ms") % 60000 == 0)
+    } finally q.stop()
+  }
+
+  test("streaming name store accumulates sets in Update mode (A7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SpanEnvelope]
+    val q = StreamingPipeline.spanNameSets(input.toDS())
+      .writeStream.format("memory").queryName("names_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(SpanEnvelope(new Timestamp(1000L), spanA))
+      input.addData(SpanEnvelope(new Timestamp(1001L), spanB))
+      q.processAllAvailable()
+      val got = spark.table("names_out")
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+      assert(got("svc_a") == Set("op_a") && got("svc_b") == Set("op_b"))
+    } finally q.stop()
+  }
+}
