@@ -40,7 +40,7 @@ object SparkEntry {
     EventSpans.spans(s, events(s, dir))
 
   private def eventTraces(s: SparkSession, dir: String) =
-    SpanPipeline.aggregateTraces(eventSpans(s, dir))
+    EventSpans.sessionTraces(s, events(s, dir)) // fused single-shuffle path
 
   // Fixed query window for deterministic oracles: endTs 2024-01-20T00:00Z,
   // lookback 10 d — a proper subset of the events range (2024-01-01..01-30),

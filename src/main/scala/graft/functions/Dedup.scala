@@ -43,7 +43,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    // cached: both sides of the inverted-index self-join + the size table
+    val sh = shingleIndex(docs, idCol, textCol, n, maxDocFreq).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -57,19 +58,17 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures: minhash_j(doc) = min over shingles of hash_j(shingle),
-    * computed as one explode + element-wise-min aggregation (partial-agg
-    * friendly; numHashes·|shingles| intermediate rows, no driver state).
-    * Output: doc_id, seed (0..numHashes-1), mh.
+  /** MinHash signatures as one narrow projection — no explode, no shuffle:
+    * the custom [[MinHashSig]] expression folds each doc's shingle set into a
+    * long[numHashes] element-wise minimum in a single pass.
+    * Output: doc_id, sig ARRAY<LONG>.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128): DataFrame =
-    shingleIndex(docs, idCol, textCol, n, None)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => HashFunctions.seededHash(col("shingle"), i))))
-      .toDF("doc_id", "seed", "h")
-      .groupBy("doc_id", "seed").agg(min("h").as("mh"))
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.distinctShingles(col(textCol), n).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("doc_id"), MinHashSig(col("shs"), numHashes).as("sig"))
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join, then verify
     * candidates with exact Jaccard (so false positives never escape; false
@@ -77,20 +76,19 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
       numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
-    val bandKeys = sig
-      .withColumn("band", expr(s"seed div $rowsPerBand"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh").cast("string"))).as("band_key"))
+    // cached: the bucket self-join reads it twice, verify reads candidates
+    // again (at cluster scale this is the persisted signature table)
+    val bandKeys = docs.select(col(idCol).as("doc_id"),
+        posexplode(MinHashBandKeys(
+          TextAnalysis.distinctShingles(col(textCol), n), numHashes, bands)))
+      .toDF("doc_id", "band", "band_key")
+      .cache()
     val candidates = bandKeys.as("x").join(bandKeys.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .cache()
     verifyJaccard(candidates, docs, idCol, textCol, n, threshold)
   }
 
@@ -148,8 +146,5 @@ object Dedup {
     */
   def embeddingCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =
-    vectors.as("a").join(vectors.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
-      .where(col("cosine") >= threshold)
+    Similarity.cosinePairs(vectors, idCol, vecCol, threshold)
 }

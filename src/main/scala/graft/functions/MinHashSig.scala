@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature of a shingle set, as one custom Catalyst expression:
+  * a single pass over the shingle array updating a primitive long[numHashes]
+  * accumulator — no per-shingle array copies, no shuffle, no interpreted
+  * higher-order-function lambdas (the `aggregate`/`zip_with` formulation
+  * measured 3× slower than even the explode+groupBy one).
+  *
+  * Hash family (Kirsch-Mitzenmacher): hᵢ(x) = h₁(x) + (i+1)·h₂(x), with
+  * h₁/h₂ two independent 31-bit reductions of a 64-bit byte hash — i·h₂
+  * stays far below 2⁶³ (no overflow under ANSI mode).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string>, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashSig.signature(input.asInstanceOf[ArrayData], numHashes))
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** LSH band keys straight from the shingle set: one 64-bit FNV hash per band
+  * of `rowsPerBand` consecutive minhashes — skips materializing the signature
+  * and the interpreted slice/concat lambdas (measured 3.4 s → negligible on
+  * 5k docs × 32 bands). Output: ARRAY<LONG>, one key per band; band index =
+  * array position.
+  */
+case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes % bands == 0, "numHashes must divide into bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_bands requires array<string>, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sig = MinHashSig.signature(input.asInstanceOf[ArrayData], numHashes)
+    val rowsPerBand = numHashes / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < rowsPerBand) {
+        val v = sig(b * rowsPerBand + i)
+        var k = 0
+        while (k < 8) { h ^= (v >>> (8 * k)) & 0xffL; h *= 0x100000001b3L; k += 1 }
+        i += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+object MinHashBandKeys {
+  def apply(c: Column, numHashes: Int, bands: Int): Column =
+    GraftColumnBridge.column(
+      MinHashBandKeys(GraftColumnBridge.expression(c), numHashes, bands))
+}
+
+object MinHashSig {
+
+  /** One pass over the shingle array into a primitive long[numHashes] min. */
+  private[functions] def signature(arr: ArrayData, numHashes: Int): Array[Long] = {
+    val acc = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < arr.numElements()) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val h = hash64(s)
+        val h1 = h & 0x7fffffffL
+        val h2 = ((h >>> 32) & 0x7fffffffL) | 1L // odd, non-zero
+        var i = 0
+        var v = h1
+        while (i < numHashes) {
+          v += h2 // h1 + (i+1)·h2, incrementally
+          if (v < acc(i)) acc(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    acc
+  }
+
+  /** FNV-1a 64-bit over the UTF-8 bytes (engine-local; no oracle-parity
+    * requirement — LSH output is verified against exact Jaccard).
+    */
+  private[functions] def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def apply(c: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c), numHashes))
+}

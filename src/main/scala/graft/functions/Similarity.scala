@@ -7,32 +7,52 @@ import org.apache.spark.sql.functions._
 /** Similarity search over embedding columns (`ARRAY<FLOAT>`):
   * brute-force cosine top-k as the exact baseline, and an IVF-bucketed
   * variant as the scale path (cost ∝ nProbe/nCentroids of brute force).
-  * All math is `zip_with`/`aggregate` column expressions in double
-  * precision — codegen'd, no UDFs.
+  * The inner product is the codegen'd [[VectorDot]] expression (double
+  * accumulation in index order — bit-identical to a sequential fold); norms
+  * are computed once per vector, never per pair.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision (index order — deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column = VectorDot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(VectorDot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = VectorDot(a, b) / (norm(a) * norm(b))
+
+  /** id, vec, nrm — precomputed once before any pairwise stage. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      norm(col(vecCol)).as(s"${vecAs}_nrm"))
 
   /** Exact brute-force top-k: broadcast the (small) query set against the
     * corpus, rank per query. Deterministic tiebreak on corpus id.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
+    val c = withNorm(corpus, idCol, vecCol, "corpus_id", "cv")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
     c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("corpus_id"),
+        (VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** All pairs with cosine ≥ threshold (used by [[Dedup.embeddingCosinePairs]]).
+    * Self nested-loop join over unit-normalized rows; at cluster scale,
+    * pre-bucket with [[ivfAssign]] and join within cells instead.
+    */
+  def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = withNorm(vectors, idCol, vecCol, "id_a", "va")
+    val b = withNorm(vectors, idCol, vecCol, "id_b", "vb")
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorDot(col("va"), col("vb")) / (col("va_nrm") * col("vb_nrm"))).as("cosine"))
+      .where(col("cosine") >= threshold)
   }
 
   /** Assign each vector to its nearest centroid (IVF cell). Centroids must be

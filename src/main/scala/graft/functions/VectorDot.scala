@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over `ARRAY<FLOAT|DOUBLE>` in double precision, with
+  * whole-stage codegen: a tight primitive loop per row pair, no intermediate
+  * array allocation. Replaces `aggregate(zip_with(a, b, *), 0d, +)` in the
+  * similarity hot paths (the zip_with form materializes a products array per
+  * pair — measured 75 s → seconds on the sf0.1 near-dup self-join).
+  * Accumulation is in index order, so results are bit-identical to the
+  * sequential-fold oracle.
+  */
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vector_dot requires array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val (lt, rt) = (elemType(left).get, elemType(right).get)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, t: DataType) =
+        if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${get(a, elemType(left).get)} * ${get(b, elemType(right).get)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
+    copy(l, r)
+}
+
+object VectorDot {
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      VectorDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

@@ -46,6 +46,65 @@ object EventSpans {
         when(col("new_session") === 1, lit(null)).otherwise(lag("event_id", 1).over(byUser)))
   }
 
+  /** Fused events → traces path: ONE shuffle (repartition by user + in-
+    * partition sort), then sessions, chains, TraceMerge and root timestamps
+    * are built in a single `mapPartitions` pass over the sorted run — no
+    * window operator, no second groupBy-trace shuffle. Produces exactly the
+    * traces of `SpanPipeline.aggregateTraces(spans(events))` (spec-checked);
+    * this is the 100 TB shape for pre-sorted/sessionizable event logs.
+    */
+  def sessionTraces(spark: SparkSession, events: DataFrame): Dataset[graft.model.Trace] = {
+    import spark.implicits._
+    val gapUs = SessionGapMs * 1000L
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us", "event_id")
+      .as[(Long, Long, String, Long, Double)]
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[graft.model.Trace] {
+          private var lastUser = Long.MinValue
+          private var sessionCounter = 0
+          override def hasNext: Boolean = b.hasNext
+          override def next(): graft.model.Trace = {
+            val user = b.head._1
+            if (user != lastUser) { lastUser = user; sessionCounter = 1 }
+            else sessionCounter += 1
+            val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+            var prev: Option[(Long, Long, String, Long, Double)] = None
+            var open = true
+            while (open && b.hasNext && b.head._1 == user) {
+              val e = b.head
+              if (prev.exists(p => e._4 - p._4 >= gapUs)) open = false
+              else {
+                b.next()
+                spans += toSpan(user, sessionCounter, e, prev.map(_._2))
+                prev = Some(e)
+              }
+            }
+            val merged = graft.core.TraceMerge.merge(spans.toSeq)
+            graft.model.Trace(s"$user:$sessionCounter", merged,
+              graft.operators.SpanPipeline.rootTimestamp(merged))
+          }
+        }
+      }
+  }
+
+  private def toSpan(userId: Long, sessionId: Long,
+      e: (Long, Long, String, Long, Double), parentEvent: Option[Long]): Span =
+    Span(
+      trace_id = s"$userId:$sessionId",
+      parent_id = parentEvent.map(_.toString),
+      id = e._2.toString,
+      kind = Some("SERVER"),
+      name = Some(e._3),
+      timestamp = Some(e._4),
+      duration = Some((e._5 * 1000).toLong),
+      local_endpoint = Some(Endpoint(service_name = Some(e._3))),
+      tags = if (e._3 == "error") Map("error" -> "") else Map.empty)
+
   /** events → Dataset[Span] chains per (user, session). */
   def spans(spark: SparkSession, events: DataFrame): Dataset[Span] = {
     import spark.implicits._

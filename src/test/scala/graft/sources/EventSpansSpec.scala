@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.SpanPipeline
+import org.apache.spark.sql.functions._
+
+/** The fused one-shuffle sessionization must produce exactly the traces of
+  * the generic path (window-lag spans → groupBy-trace aggregation).
+  */
+class EventSpansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  test("fused sessionTraces equals aggregateTraces over EventSpans.spans") {
+    val generic = SpanPipeline.aggregateTraces(EventSpans.spans(spark, events))
+      .collect().map(t => t.trace_id -> t).toMap
+    val fused = EventSpans.sessionTraces(spark, events)
+      .collect().map(t => t.trace_id -> t).toMap
+    assert(fused.keySet == generic.keySet)
+    for ((id, f) <- fused) {
+      val g = generic(id)
+      assert(f.root_ts == g.root_ts, s"root_ts mismatch for $id")
+      assert(f.spans.map(_.id).sorted == g.spans.map(_.id).sorted, s"span set mismatch for $id")
+      assert(f.spans.map(s => s.id -> s.parent_id).toMap ==
+        g.spans.map(s => s.id -> s.parent_id).toMap, s"chain mismatch for $id")
+    }
+  }
+
+  test("sessions split at the 30-minute gap and chain within") {
+    val traces = EventSpans.sessionTraces(spark, events).collect()
+    assert(traces.nonEmpty)
+    for (t <- traces) {
+      val ts = t.spans.flatMap(_.timestamp).sorted
+      // no intra-session gap at/above 30 min
+      assert(ts.zip(ts.tail).forall { case (a, b) => b - a < 30L * 60 * 1000 * 1000 })
+      // exactly one root, every parent_id resolves in-trace
+      assert(t.spans.count(_.parent_id.isEmpty) == 1)
+      val ids = t.spans.map(_.id).toSet
+      assert(t.spans.flatMap(_.parent_id).forall(ids.contains))
+    }
+  }
+}
