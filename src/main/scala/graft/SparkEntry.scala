@@ -105,6 +105,23 @@ object SparkEntry {
           size(col("spans")).cast("long").as("n_spans"))
     }),
 
+    // ——— A6: materialized trace store (trace_id → root ts, span count) ———
+    "q_a6_trace_store" -> ((s, dir) =>
+      eventTraces(s, dir).toDF()
+        .select(col("trace_id"),
+          expr("root_ts DIV 1000").as("root_ts_ms"),
+          size(col("spans")).cast("long").as("n_spans"))),
+
+    // ——— F1 full predicate: annotationQuery + duration bounds ———
+    "q_f1_duration" -> ((s, dir) => {
+      val req = QueryRequest(annotationQuery = Map("error" -> ""),
+        minDuration = Some(150000L), endTs = EndTsMs, lookback = LookbackMs, limit = 20)
+      TraceQueries.getTraces(eventTraces(s, dir), req)
+        .select(col("trace_id"),
+          expr("root_ts DIV 1000").as("root_ts_ms"),
+          size(col("spans")).cast("long").as("n_spans"))
+    }),
+
     // ——— F3/W5: latest entry per key (backwardFetch + first) ———
     "q_f3_latest_event" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
@@ -213,11 +230,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
 
-    // ——— dedup: MinHash+LSH with exact verification (same result set,
-    //     candidate-pruned plan — the 100 TB path) ———
+    // ——— dedup: MinHash+LSH with exact verification, at its design
+    //     threshold 0.8 (near-dup regime: band-miss probability ≈ 5e-8;
+    //     at 0.5 the 32×4 banding measurably drops boundary pairs) ———
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
 
     // ——— dedup: SimHash signatures + banded hamming join ———
@@ -229,6 +247,16 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ——— similarity: IVF-bucketed ANN (approximate — rows-only check; the
+    //     exact baseline q_ann_topk is the oracle-checked one) ———
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
         .select(col("query_id"), col("corpus_id"),
           col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
     }),
@@ -260,7 +288,7 @@ object SparkEntry {
   /** Shared DuckDB CTEs replicating the sessionization/chaining semantics. */
   private val SessionCtes =
     """WITH e AS (
-      |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS ts_us,
+      |  SELECT user_id, event_id, event_type, ts, value, epoch_us(ts) AS ts_us,
       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       |  FROM events
       |), s AS (
@@ -325,6 +353,29 @@ object SparkEntry {
          |WHERE has_purchase
          |  AND root_us BETWEEN ${(EndTsMs - LookbackMs) * 1000} AND ${EndTsMs * 1000}
          |ORDER BY root_us DESC, trace_id LIMIT 10""".stripMargin),
+
+    "q_a6_trace_store" -> (SessionCtes +
+      """
+        |SELECT concat(user_id, ':', session_id) AS trace_id,
+        |       root_us//1000 AS root_ts_ms, n_spans
+        |FROM (SELECT user_id, session_id, min(ts_us) AS root_us, count(*) AS n_spans
+        |      FROM s GROUP BY user_id, session_id) t""".stripMargin),
+
+    // trace matches iff: root ts in range AND some span carries tag key
+    // "error" (annotationQuery bare key) AND some span's duration ≥ 150 ms
+    // (duration µs = event value·1000 ⇒ value ≥ 150)
+    "q_f1_duration" -> (SessionCtes +
+      s"""
+         |, agg AS (
+         |  SELECT concat(user_id, ':', session_id) AS trace_id, min(ts_us) AS root_us,
+         |         count(*) AS n_spans,
+         |         bool_or(event_type = 'error') AS has_error,
+         |         bool_or(CAST(trunc(value * 1000) AS BIGINT) >= 150000) AS has_dur
+         |  FROM s GROUP BY user_id, session_id)
+         |SELECT trace_id, root_us//1000 AS root_ts_ms, n_spans FROM agg
+         |WHERE has_error AND has_dur
+         |  AND root_us BETWEEN ${(EndTsMs - LookbackMs) * 1000} AND ${EndTsMs * 1000}
+         |ORDER BY root_us DESC, trace_id LIMIT 20""".stripMargin),
 
     "q_f3_latest_event" ->
       """SELECT user_id, event_id, event_type FROM (
@@ -416,8 +467,8 @@ object SparkEntry {
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
 
-    "q_dedup_ngram" -> JaccardOracle,
-    "q_dedup_minhash" -> JaccardOracle,
+    "q_dedup_ngram" -> jaccardOracle(0.5),
+    "q_dedup_minhash" -> jaccardOracle(0.8),
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
@@ -467,12 +518,12 @@ object SparkEntry {
         |FROM (SELECT doc_id, n_chars % 16 + 1 AS n FROM documents)""".stripMargin
   )
 
-  /** Shared oracle for q_dedup_ngram / q_dedup_minhash: both compute the
-    * exact Jaccard ≥ 0.5 pair set (minhash+LSH verifies candidates exactly,
-    * so only an astronomically unlikely all-band miss could differ).
+  /** Shared oracle for q_dedup_ngram (≥0.5) / q_dedup_minhash (≥0.8): both
+    * compute an exact Jaccard pair set (minhash+LSH verifies candidates
+    * exactly; at its 0.8 design threshold an all-band miss is ~5e-8).
     */
-  private val JaccardOracle =
-    """WITH sh AS (
+  private def jaccardOracle(threshold: Double) =
+    s"""WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
@@ -483,5 +534,5 @@ object SparkEntry {
       |          GROUP BY 1, 2)
       |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
       |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-      |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin
+      |WHERE i * 1.0 / (x.n + y.n - i) >= $threshold""".stripMargin
 }

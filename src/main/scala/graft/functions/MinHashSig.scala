@@ -85,7 +85,12 @@ object MinHashBandKeys {
 
 object MinHashSig {
 
-  /** One pass over the shingle array into a primitive long[numHashes] min. */
+  /** One pass over the shingle array into a primitive long[numHashes] min.
+    * Per-seed independence matters: a linear h₁+i·h₂ family makes the 128
+    * minhashes correlated (the i·h₂ term dominates the argmin for large i),
+    * which measurably breaks LSH band recall even at jaccard ≥ 0.8. Each
+    * seed therefore gets a full splitmix64 finalization of h(x) XOR seedᵢ.
+    */
   private[functions] def signature(arr: ArrayData, numHashes: Int): Array[Long] = {
     val acc = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
@@ -93,13 +98,13 @@ object MinHashSig {
       val s = arr.getUTF8String(j)
       if (s != null) {
         val h = hash64(s)
-        val h1 = h & 0x7fffffffL
-        val h2 = ((h >>> 32) & 0x7fffffffL) | 1L // odd, non-zero
         var i = 0
-        var v = h1
         while (i < numHashes) {
-          v += h2 // h1 + (i+1)·h2, incrementally
-          if (v < acc(i)) acc(i) = v
+          var z = h ^ (i.toLong * 0x9e3779b97f4a7c15L)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= (z >>> 31)
+          if (z < acc(i)) acc(i) = z
           i += 1
         }
       }

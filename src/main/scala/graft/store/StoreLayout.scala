@@ -1,0 +1,67 @@
+package graft.store
+
+import graft.model.Trace
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical layout of the serving tables (SURVEY §4, §1.5): the reference's
+  * time-segmented RocksDB window stores become date-partitioned parquet
+  * tables, so
+  *  - range queries prune partitions at file-listing time (the analog of
+  *    "range scans only touch live segments"),
+  *  - retention is a partition drop (the analog of segment expiry — traces
+  *    1 d, names 7 d, dependencies 7 d by default), and
+  *  - point lookups on key prune via min/max row-group stats.
+  */
+object StoreLayout {
+
+  /** Traces store: one row per trace, partitioned by the root-span date. */
+  def writeTraces(traces: Dataset[Trace], path: String): Unit =
+    traces.toDF()
+      .withColumn("trace_date", to_date(timestamp_micros(col("root_ts"))))
+      .write.partitionBy("trace_date").mode(SaveMode.Append).parquet(path)
+
+  /** Range read with partition pruning: only `trace_date` partitions
+    * intersecting [endTs−lookback, endTs] (ms) are listed.
+    */
+  def readTraces(spark: SparkSession, path: String, endTs: Long, lookback: Long): DataFrame = {
+    val from = to_date(timestamp_millis(lit(endTs - lookback)))
+    val to = to_date(timestamp_millis(lit(endTs)))
+    spark.read.parquet(path)
+      .where(col("trace_date").between(from, to))
+      .where(col("root_ts").between((endTs - lookback) * 1000, endTs * 1000))
+  }
+
+  /** Dependency-window store partitioned by window date. */
+  def writeDependencyWindows(windows: DataFrame, path: String): Unit =
+    windows
+      .withColumn("window_date", to_date(timestamp_millis(col("window_start_ms"))))
+      .write.partitionBy("window_date").mode(SaveMode.Append).parquet(path)
+
+  def readDependencyWindows(spark: SparkSession, path: String, endTs: Long,
+      lookback: Long): DataFrame =
+    spark.read.parquet(path)
+      .where(col("window_date").between(
+        to_date(timestamp_millis(lit(endTs - lookback))), to_date(timestamp_millis(lit(endTs)))))
+      .where(col("window_start_ms").between(endTs - lookback, endTs))
+
+  /** Retention = drop expired date partitions (cheap metadata+delete op, the
+    * reference's store-retention analog, ST6). Returns dropped partition names.
+    */
+  def dropExpired(spark: SparkSession, path: String, partitionCol: String,
+      olderThan: java.time.LocalDate): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith(prefix))
+    val expired = dirs.filter { d =>
+      val v = d.getPath.getName.stripPrefix(prefix)
+      try java.time.LocalDate.parse(v).isBefore(olderThan)
+      catch { case _: Exception => false }
+    }
+    expired.foreach(d => fs.delete(d.getPath, true))
+    expired.map(_.getPath.getName)
+  }
+}

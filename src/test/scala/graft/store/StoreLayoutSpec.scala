@@ -1,0 +1,53 @@
+package graft.store
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.model.{Span, Trace}
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+class StoreLayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // two traces a day apart: 2024-01-10 and 2024-01-11 (µs timestamps)
+  private val day1Us = 1704844800000000L // 2024-01-10T00:00Z
+  private val day2Us = day1Us + 86400L * 1000000L + 41400L * 1000000L // day 2, 11:30
+  private def trace(id: String, ts: Long) =
+    Trace(id, Seq(Span(trace_id = id, id = id, timestamp = Some(ts))), ts)
+
+  private def freshStore(): String = {
+    val dir = Files.createTempDirectory("graft-store").toString + "/traces"
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us), trace("000000000000000b", day2Us))), dir)
+    dir
+  }
+
+  test("traces land in date partitions and range reads prune them") {
+    val dir = freshStore()
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("trace_date=2024-01-10", "trace_date=2024-01-11"))
+
+    // range fully inside day 2 (trace b at 11:30, window 11:00-12:00)
+    val endTs = day2Us / 1000 + 1800_000L
+    val read = StoreLayout.readTraces(spark, dir, endTs, 3600_000L)
+    // collect through THIS DataFrame's queryExecution so its metrics populate
+    assert(read.collect().map(_.getAs[String]("trace_id")).toSeq == Seq("000000000000000b"))
+    // partition pruning: the executed scan touched exactly one partition/file
+    val scan = read.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "expected partition filters on trace_date")
+    assert(scan.metrics("numFiles").value == 1, "expected only the day-2 file to be read")
+    assert(scan.metrics("numPartitions").value == 1)
+  }
+
+  test("retention drops expired partitions only") {
+    val dir = freshStore()
+    val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
+      java.time.LocalDate.parse("2024-01-11"))
+    assert(dropped == Seq("trace_date=2024-01-10"))
+    val left = spark.read.parquet(dir).select("trace_id").as[String].collect()
+    assert(left.toSeq == Seq("000000000000000b"))
+  }
+}
