@@ -45,6 +45,21 @@ object StoreLayout {
         to_date(timestamp_millis(lit(endTs - lookback))), to_date(timestamp_millis(lit(endTs)))))
       .where(col("window_start_ms").between(endTs - lookback, endTs))
 
+  /** Point-lookup store: traces bucketed by trace_id, so getTrace/getTraceMany
+    * and co-located joins on trace_id skip the shuffle entirely (the analog of
+    * the reference's key-hash partition routing,
+    * internal/KafkaStoreSingleKeyListCall.java:36-45 — SURVEY §4).
+    */
+  def writeTracesBucketed(traces: Dataset[Trace], tableName: String, path: String,
+      buckets: Int = 32): Unit =
+    traces.toDF()
+      .write.format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, "trace_id")
+      .sortBy("trace_id")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(tableName)
+
   /** Retention = drop expired date partitions (cheap metadata+delete op, the
     * reference's store-retention analog, ST6). Returns dropped partition names.
     */

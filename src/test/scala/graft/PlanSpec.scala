@@ -1,0 +1,43 @@
+package graft
+
+/** Guards the physical-plan properties the 100 TB posture depends on:
+  * column pruning + filter pushdown into the parquet scans, broadcast joins
+  * for dimension tables, and the driver smoke contract.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def explain(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+
+  test("q1_agg: scan reads only the needed columns") {
+    val plan = explain("q1_agg")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"),
+      "scan must prune unused columns")
+  }
+
+  test("q_join_revenue: date filter pushed to the orders scan; dims broadcast") {
+    val plan = explain("q_join_revenue")
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+    assert(plan.contains("LessThan(o_orderdate"),
+      "date filter should reach the orders parquet scan as a pushed filter")
+  }
+
+  test("q_a5_dependencies: partial aggregation before the exchange") {
+    val plan = explain("q_a5_dependencies")
+    assert(plan.contains("partial_sum"), "expected map-side partial aggregation")
+  }
+
+  test("driver smoke contract: entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

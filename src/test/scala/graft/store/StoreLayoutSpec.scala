@@ -42,6 +42,22 @@ class StoreLayoutSpec extends SparkSpec {
     assert(scan.metrics("numPartitions").value == 1)
   }
 
+  test("bucketed trace store: groupBy/join on trace_id plans without a shuffle") {
+    val dir = Files.createTempDirectory("graft-bucket").toString + "/traces_bucketed"
+    StoreLayout.writeTracesBucketed(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us), trace("000000000000000b", day2Us))),
+      "traces_bucketed_test", dir, buckets = 4)
+    try {
+      val stored = spark.table("traces_bucketed_test")
+      // an aggregation keyed by the bucket column needs no Exchange
+      val agg = stored.groupBy("trace_id").count()
+      agg.collect()
+      val exchanges = agg.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 0, "bucketed scan should satisfy the hash requirement")
+    } finally spark.sql("DROP TABLE IF EXISTS traces_bucketed_test")
+  }
+
   test("retention drops expired partitions only") {
     val dir = freshStore()
     val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
