@@ -135,6 +135,11 @@ object SparkEntry {
     "q_w4_service_names" -> ((s, dir) =>
       TraceQueries.serviceNames(SpanPipeline.spanNames(eventSpans(s, dir)))),
 
+    // ——— A8/W4: autocomplete tag values for configured keys ———
+    "q_a8_autocomplete" -> ((s, dir) =>
+      TraceQueries.autocompleteValues(
+        SpanPipeline.autocompleteTags(eventSpans(s, dir), Seq("k")), "k")),
+
     // ——— J-class joins (SURVEY §2.5; broadcast dims, semi/anti) ———
     "q_join_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -385,6 +390,10 @@ object SparkEntry {
 
     "q_w4_service_names" ->
       "SELECT DISTINCT event_type AS service FROM events ORDER BY service LIMIT 1000",
+
+    "q_a8_autocomplete" ->
+      """SELECT DISTINCT json_extract_string(props, '$.k') AS value
+        |FROM events WHERE props IS NOT NULL ORDER BY value LIMIT 1000""".stripMargin,
 
     "q_join_revenue" ->
       """SELECT r_name, n_name,

@@ -58,10 +58,10 @@ object EventSpans {
     val gapUs = SessionGapMs * 1000L
     events
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"), col("value"))
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("props"))
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "ts_us", "event_id")
-      .as[(Long, Long, String, Long, Double)]
+      .as[(Long, Long, String, Long, Double, String)]
       .mapPartitions { it =>
         val b = it.buffered
         new Iterator[graft.model.Trace] {
@@ -73,7 +73,7 @@ object EventSpans {
             if (user != lastUser) { lastUser = user; sessionCounter = 1 }
             else sessionCounter += 1
             val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
-            var prev: Option[(Long, Long, String, Long, Double)] = None
+            var prev: Option[(Long, Long, String, Long, Double, String)] = None
             var open = true
             while (open && b.hasNext && b.head._1 == user) {
               val e = b.head
@@ -92,8 +92,11 @@ object EventSpans {
       }
   }
 
+  private val PropsK = """"k"\s*:\s*(\d+)""".r
+
   private def toSpan(userId: Long, sessionId: Long,
-      e: (Long, Long, String, Long, Double), parentEvent: Option[Long]): Span =
+      e: (Long, Long, String, Long, Double, String), parentEvent: Option[Long]): Span = {
+    val kTag = Option(e._6).flatMap(p => PropsK.findFirstMatchIn(p).map("k" -> _.group(1)))
     Span(
       trace_id = s"$userId:$sessionId",
       parent_id = parentEvent.map(_.toString),
@@ -103,25 +106,18 @@ object EventSpans {
       timestamp = Some(e._4),
       duration = Some((e._5 * 1000).toLong),
       local_endpoint = Some(Endpoint(service_name = Some(e._3))),
-      tags = if (e._3 == "error") Map("error" -> "") else Map.empty)
+      tags = (if (e._3 == "error") Map("error" -> "") else Map.empty[String, String]) ++ kTag)
+  }
 
   /** events → Dataset[Span] chains per (user, session). */
   def spans(spark: SparkSession, events: DataFrame): Dataset[Span] = {
     import spark.implicits._
     sessionized(events)
-      .select("user_id", "session_id", "event_id", "parent_event", "event_type", "ts_us", "value")
-      .as[(Long, Long, Long, Option[Long], String, Long, Double)]
-      .map { case (userId, sessionId, eventId, parentEvent, eventType, tsUs, value) =>
-        Span(
-          trace_id = s"$userId:$sessionId",
-          parent_id = parentEvent.map(_.toString),
-          id = eventId.toString,
-          kind = Some("SERVER"),
-          name = Some(eventType),
-          timestamp = Some(tsUs),
-          duration = Some((value * 1000).toLong),
-          local_endpoint = Some(Endpoint(service_name = Some(eventType))),
-          tags = if (eventType == "error") Map("error" -> "") else Map.empty)
+      .select("user_id", "session_id", "event_id", "parent_event", "event_type", "ts_us", "value", "props")
+      .as[(Long, Long, Long, Option[Long], String, Long, Double, String)]
+      .map { case (userId, sessionId, eventId, parentEvent, eventType, tsUs, value, props) =>
+        toSpan(userId, sessionId, (userId, eventId, eventType, tsUs, value, props),
+          parentEvent)
       }
   }
 }
