@@ -135,6 +135,11 @@ object SparkEntry {
     "q_w4_service_names" -> ((s, dir) =>
       TraceQueries.serviceNames(SpanPipeline.spanNames(eventSpans(s, dir)))),
 
+    // ——— A8/W4: remote-service-name store, exploded ———
+    "q_w4_remote_names" -> ((s, dir) =>
+      SpanPipeline.remoteServiceNames(eventSpans(s, dir))
+        .select(col("service"), explode(col("remote_service_names")).as("remote_service"))),
+
     // ——— A8/W4: autocomplete tag values for configured keys ———
     "q_a8_autocomplete" -> ((s, dir) =>
       TraceQueries.autocompleteValues(
@@ -390,6 +395,11 @@ object SparkEntry {
 
     "q_w4_service_names" ->
       "SELECT DISTINCT event_type AS service FROM events ORDER BY service LIMIT 1000",
+
+    "q_w4_remote_names" -> (SessionCtes +
+      """
+        |SELECT DISTINCT event_type AS service, parent AS remote_service
+        |FROM tr WHERE parent IS NOT NULL""".stripMargin),
 
     "q_a8_autocomplete" ->
       """SELECT DISTINCT json_extract_string(props, '$.k') AS value

@@ -44,6 +44,8 @@ object EventSpans {
       // starts a new session (sessions are contiguous in the sort order).
       .withColumn("parent_event",
         when(col("new_session") === 1, lit(null)).otherwise(lag("event_id", 1).over(byUser)))
+      .withColumn("parent_type",
+        when(col("new_session") === 1, lit(null)).otherwise(lag("event_type", 1).over(byUser)))
   }
 
   /** Fused events → traces path: ONE shuffle (repartition by user + in-
@@ -80,7 +82,7 @@ object EventSpans {
               if (prev.exists(p => e._4 - p._4 >= gapUs)) open = false
               else {
                 b.next()
-                spans += toSpan(user, sessionCounter, e, prev.map(_._2))
+                spans += toSpan(user, sessionCounter, e, prev.map(_._2), prev.map(_._3))
                 prev = Some(e)
               }
             }
@@ -94,8 +96,13 @@ object EventSpans {
 
   private val PropsK = """"k"\s*:\s*(\d+)""".r
 
+  /** remote endpoint = the calling (previous) event's service: the linker
+    * derives the same parent it would via the ancestor walk, and the
+    * remote-service-names store (A8) gets real data.
+    */
   private def toSpan(userId: Long, sessionId: Long,
-      e: (Long, Long, String, Long, Double, String), parentEvent: Option[Long]): Span = {
+      e: (Long, Long, String, Long, Double, String), parentEvent: Option[Long],
+      callerType: Option[String]): Span = {
     val kTag = Option(e._6).flatMap(p => PropsK.findFirstMatchIn(p).map("k" -> _.group(1)))
     Span(
       trace_id = s"$userId:$sessionId",
@@ -106,6 +113,7 @@ object EventSpans {
       timestamp = Some(e._4),
       duration = Some((e._5 * 1000).toLong),
       local_endpoint = Some(Endpoint(service_name = Some(e._3))),
+      remote_endpoint = callerType.map(c => Endpoint(service_name = Some(c))),
       tags = (if (e._3 == "error") Map("error" -> "") else Map.empty[String, String]) ++ kTag)
   }
 
@@ -113,11 +121,12 @@ object EventSpans {
   def spans(spark: SparkSession, events: DataFrame): Dataset[Span] = {
     import spark.implicits._
     sessionized(events)
-      .select("user_id", "session_id", "event_id", "parent_event", "event_type", "ts_us", "value", "props")
-      .as[(Long, Long, Long, Option[Long], String, Long, Double, String)]
-      .map { case (userId, sessionId, eventId, parentEvent, eventType, tsUs, value, props) =>
+      .select("user_id", "session_id", "event_id", "parent_event", "event_type",
+        "ts_us", "value", "props", "parent_type")
+      .as[(Long, Long, Long, Option[Long], String, Long, Double, String, Option[String])]
+      .map { case (userId, sessionId, eventId, parentEvent, eventType, tsUs, value, props, parentType) =>
         toSpan(userId, sessionId, (userId, eventId, eventType, tsUs, value, props),
-          parentEvent)
+          parentEvent, parentType)
       }
   }
 }

@@ -91,6 +91,17 @@ class FunctionsSpec extends SparkSpec {
     (3L, Array(0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("SQL registration: poly_hash / vector_dot / minhash_sig usable from spark.sql") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT poly_hash('ab')").head().getLong(0) == 97L * 31 + 98)
+    val d = spark.sql(
+      "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head().getDouble(0)
+    assert(d == 11.0)
+    val sig = spark.sql("SELECT minhash_sig(array('a b c', 'b c d'), 16)")
+      .head().getSeq[Long](0)
+    assert(sig.length == 16)
+  }
+
   test("cosine / brute-force top-k") {
     val top = Similarity.bruteForceTopK(
       vectors.where($"vec_id" === 0), vectors, "vec_id", "embedding", 2).collect()
