@@ -199,6 +199,14 @@ object SparkEntry {
       week1.except(week4)
     }),
 
+    // ——— A-class: distinct aggregation (Expand-based) ———
+    "q_count_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))),
+
     // ——— A-class: grouping-set rollup ———
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -441,6 +449,11 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-08'
         |EXCEPT
         |SELECT DISTINCT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-22'""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty

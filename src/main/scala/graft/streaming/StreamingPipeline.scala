@@ -104,6 +104,12 @@ object StreamingPipeline {
   /** A4: per-minute windowed call/error counts per edge
     * (DependencyStorageTopology.java:70-105). Append emits a window's total
     * once the watermark passes it; Update mode streams running counts.
+    *
+    * Run this as its own streaming query over the link stream's sink: Spark
+    * drops event-time lineage across the typed flatMap in
+    * [[dependencyLinkEvents]], so a second stateful window cannot chain into
+    * the session-aggregation plan — the stage boundary here mirrors the
+    * reference's `zipkin-dependency` topic between its two topologies.
     */
   def dependencyWindowCounts(links: Dataset[LinkEvent], window: String = "1 minute",
       watermarkDelay: String = "0 seconds"): DataFrame =
