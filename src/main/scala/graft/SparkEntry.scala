@@ -207,6 +207,19 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("sum_value"))),
 
+    // ——— A-class: exact interpolated percentiles ———
+    "q_percentile" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))),
+
+    // ——— text: normalization fingerprint (lower + strip non-alnum) ———
+    "q_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("norm_md5"))),
+
     // ——— A-class: grouping-set rollup ———
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -454,6 +467,15 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm_md5
+        |FROM documents""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
