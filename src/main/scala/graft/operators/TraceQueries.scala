@@ -74,6 +74,15 @@ object TraceQueries {
     autocompleteTable.where(col("tag_key") === key)
       .select(explode(col("values")).as("value")).orderBy("value").limit(1000)
 
+  /** Adapt a store-layout DataFrame (possibly carrying partition columns)
+    * back to the typed trace Dataset the query functions take.
+    */
+  def fromStore(df: DataFrame): Dataset[Trace] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("trace_id", "spans", "root_ts").as[Trace]
+  }
+
   private def normalizeId(id: String): String = {
     val lowered = id.toLowerCase
     if (lowered.length > 16) ("0" * (32 - lowered.length)) + lowered

@@ -121,6 +121,25 @@ object StreamingPipeline {
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("parent"), col("child"), col("call_count"), col("error_count"))
 
+  /** Wire the closed-trace stream into the date-partitioned serving store
+    * (S6): each micro-batch appends its partitions; retention is
+    * [[graft.store.StoreLayout.dropExpired]] out-of-band. Exactly-once via
+    * the checkpoint + idempotent partition appends (ST7).
+    */
+  def tracesToStore(traces: Dataset[ClosedTrace], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    traces.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[ClosedTrace], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        graft.store.StoreLayout.writeTraces(
+          batch.map(ct => Trace(ct.trace_id, ct.spans, ct.root_ts)), path)
+      }
+      .start()
+  }
+
   /** A7/A8 streaming name stores (Update mode: sets grow monotonically,
     * mirroring the reference's upsert processors).
     */

@@ -108,6 +108,30 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming → partitioned store → query surface round trip (S6/ST7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-store")
+    val storePath = s"$tmp/traces"
+    val input = MemoryStream[SpanEnvelope]
+    val q = StreamingPipeline.tracesToStore(
+      StreamingPipeline.sessionTraces(input.toDS(), "1 minute"),
+      storePath, s"$tmp/chk")
+    try {
+      // realistic (date-bearing) event times so the store partitions sanely
+      val t0 = 1704844800000L // 2024-01-10T00:00Z ms
+      input.addData(SpanEnvelope(new Timestamp(t0), spanA.copy(timestamp = Some(t0 * 1000))))
+      input.addData(SpanEnvelope(new Timestamp(t0), spanB.copy(timestamp = Some(t0 * 1000))))
+      input.addData(SpanEnvelope(new Timestamp(t0 + gapMs + 1), spanC))
+      q.processAllAvailable()
+      val stored = graft.operators.TraceQueries.fromStore(
+        graft.store.StoreLayout.readTraces(spark, storePath, t0 + 1000, 3600_000L))
+      val got = graft.operators.TraceQueries.getTraces(stored,
+        graft.core.QueryRequest(serviceName = Some("svc_a"), endTs = t0 + 1000)).collect()
+      assert(got.length == 1 && got.head.trace_id == "000000000000000a" &&
+        got.head.spans.size == 2)
+    } finally q.stop()
+  }
+
   test("streaming name store accumulates sets in Update mode (A7)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SpanEnvelope]
