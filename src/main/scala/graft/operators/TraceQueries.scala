@@ -75,12 +75,22 @@ object TraceQueries {
       .select(explode(col("values")).as("value")).orderBy("value").limit(1000)
 
   /** Adapt a store-layout DataFrame (possibly carrying partition columns)
-    * back to the typed trace Dataset the query functions take.
+    * back to the typed trace Dataset the query functions take, re-merging
+    * per trace id: the store's at-least-once appends and multi-session
+    * partial traces collapse here, exactly like the reference's query-time
+    * fetch+merge (TraceStorageTopology.java:108-115 / zipkin-core
+    * Trace.merge). TraceMerge is idempotent, so already-canonical rows pass
+    * through unchanged.
     */
   def fromStore(df: DataFrame): Dataset[Trace] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select("trace_id", "spans", "root_ts").as[Trace]
+      .groupByKey(_.trace_id)
+      .mapGroups { (id, it) =>
+        val merged = graft.core.TraceMerge.merge(it.flatMap(_.spans).toSeq)
+        Trace(id, merged, graft.operators.SpanPipeline.rootTimestamp(merged))
+      }
   }
 
   private def normalizeId(id: String): String = {

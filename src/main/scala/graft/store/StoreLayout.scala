@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object StoreLayout {
 
-  /** Traces store: one row per trace, partitioned by the root-span date. */
-  def writeTraces(traces: Dataset[Trace], path: String): Unit =
-    traces.toDF()
+  /** Traces store: one row per (trace, session) append, partitioned by the
+    * root-span date. Expects columns (trace_id, spans, root_ts µs). Appends
+    * are at-least-once under streaming retries; duplicates and multi-session
+    * partials collapse at read time via `TraceQueries.fromStore`'s merge.
+    */
+  def writeTraces(traces: DataFrame, path: String): Unit =
+    traces.select(col("trace_id"), col("spans"), col("root_ts"))
       .withColumn("trace_date", to_date(timestamp_micros(col("root_ts"))))
       .write.partitionBy("trace_date").mode(SaveMode.Append).parquet(path)
 

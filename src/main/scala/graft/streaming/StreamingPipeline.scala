@@ -122,9 +122,17 @@ object StreamingPipeline {
         col("parent"), col("child"), col("call_count"), col("error_count"))
 
   /** Wire the closed-trace stream into the date-partitioned serving store
-    * (S6): each micro-batch appends its partitions; retention is
-    * [[graft.store.StoreLayout.dropExpired]] out-of-band. Exactly-once via
-    * the checkpoint + idempotent partition appends (ST7).
+    * (S6). Semantics (ST7): appends are at-least-once — a micro-batch
+    * retried after a crash re-appends its rows — and a trace whose spans
+    * span several sessions lands as several partial rows. Both collapse at
+    * read time: `TraceQueries.fromStore` re-merges per trace_id with
+    * TraceMerge (the reference's read/upsert merge,
+    * TraceStorageTopology.java:108-115; dedup is exactly TraceMerge's job
+    * per SURVEY ST7). Retention is `StoreLayout.dropExpired` out-of-band.
+    *
+    * Traces with no span timestamps take the session close time as their
+    * store timestamp (root_ts 0 would land them in the 1970-01-01 partition,
+    * unreachable by any realistic range read).
     */
   def tracesToStore(traces: Dataset[ClosedTrace], path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -132,10 +140,11 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[ClosedTrace], _: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
+        // pure column projection — no encoder round trip on the spans array
         graft.store.StoreLayout.writeTraces(
-          batch.map(ct => Trace(ct.trace_id, ct.spans, ct.root_ts)), path)
+          batch.toDF().select(col("trace_id"), col("spans"),
+            when(col("root_ts") === 0L, unix_micros(col("close_ts")))
+              .otherwise(col("root_ts")).as("root_ts")), path)
       }
       .start()
   }

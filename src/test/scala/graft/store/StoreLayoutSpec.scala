@@ -19,7 +19,7 @@ class StoreLayoutSpec extends SparkSpec {
   private def freshStore(): String = {
     val dir = Files.createTempDirectory("graft-store").toString + "/traces"
     StoreLayout.writeTraces(spark.createDataset(Seq(
-      trace("000000000000000a", day1Us), trace("000000000000000b", day2Us))), dir)
+      trace("000000000000000a", day1Us), trace("000000000000000b", day2Us))).toDF(), dir)
     dir
   }
 
@@ -56,6 +56,25 @@ class StoreLayoutSpec extends SparkSpec {
         .linesIterator.count(_.contains("Exchange"))
       assert(exchanges == 0, "bucketed scan should satisfy the hash requirement")
     } finally spark.sql("DROP TABLE IF EXISTS traces_bucketed_test")
+  }
+
+  test("fromStore re-merges at-least-once appends and multi-session partials") {
+    val dir = freshStore()
+    // simulate a retried micro-batch (duplicate append) and a second partial
+    // session of trace a with one extra span
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us),
+      graft.model.Trace("000000000000000a",
+        Seq(graft.model.Span(trace_id = "000000000000000a", id = "000000000000000b",
+          parent_id = Some("000000000000000a"), timestamp = Some(day1Us + 5))),
+        day1Us + 5))).toDF(), dir)
+    val merged = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
+      .collect().map(t => t.trace_id -> t).toMap
+    assert(merged.size == 2)
+    // duplicate span 'a' collapsed, partial span 'b' merged in
+    assert(merged("000000000000000a").spans.map(_.id).sorted ==
+      Seq("000000000000000a", "000000000000000b"))
+    assert(merged("000000000000000a").root_ts == day1Us)
   }
 
   test("retention drops expired partitions only") {
