@@ -487,11 +487,11 @@ object SparkEntry {
     "q_text_stats" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
         |    CAST(length(trim(text)) AS BIGINT) AS n_chr,
-        |    CAST(len(list_filter(string_split(trim(text), ' '),
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
         |      t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS BIGINT) AS n_stop,
-        |    CAST(list_sum(list_transform(string_split(trim(text), ' '),
+        |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
         |      t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS BIGINT) AS n_sub
         |  FROM documents)
         |SELECT doc_id, n_tok AS n_tokens, n_sub AS n_subwords, n_stop AS n_stopwords,
@@ -501,7 +501,7 @@ object SparkEntry {
         |FROM f""".stripMargin,
 
     "q_lang_id" ->
-      """WITH g AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents),
+      """WITH g AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |sc AS (SELECT doc_id,
         |  len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it'], t))) AS se,
         |  len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','en','un'], t))) AS ss,
@@ -525,7 +525,7 @@ object SparkEntry {
     "q_dedup_minhash" -> jaccardOracle(0.8),
 
     "q_dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) AS hv FROM tok),
         |bits AS (SELECT doc_id, bb.bit AS bit,
         |         sum(CASE WHEN (hv >> bb.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
@@ -580,7 +580,7 @@ object SparkEntry {
     s"""WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
-      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
       |  WHERE len(w) >= 3),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

@@ -72,10 +72,13 @@ object DependencyLinker {
         if (s.localServiceName.isDefined && s.remoteServiceName.isDefined) "CLIENT" else "")
       if (ClientKinds.contains(kind)) {
         // The server half of an RPC — a shared twin (same span ID) or a
-        // direct child SERVER/CONSUMER span — produces this link with its
-        // own error tags; count it there, not here (no double count).
-        val serverHalf = spans.exists(t => (t ne s) &&
-          ServerKinds.contains(t.kind.getOrElse("")) &&
+        // direct child SERVER span — produces this link with its own error
+        // tags; count it there, not here (no double count). Messaging spans
+        // are NOT suppressed: a PRODUCER with a CONSUMER child represents
+        // two hops through the broker (svcA→broker and broker→svcB), and
+        // zipkin emits both edges.
+        val serverHalf = kind == "CLIENT" && spans.exists(t => (t ne s) &&
+          t.kind.contains("SERVER") &&
           ((t.id == s.id && t.isShared) || t.parent_id.contains(s.id)))
         if (!serverHalf) {
           val parent = s.localServiceName.orElse(ancestorService(s))

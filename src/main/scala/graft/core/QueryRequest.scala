@@ -31,20 +31,20 @@ final case class QueryRequest(
   /** Timestamp the trace is indexed/ordered by: the root span's (null
     * parent), else the minimum non-zero timestamp (SURVEY §2.3 F1.1).
     */
-  def traceTimestamp(spans: Seq[Span]): Long =
-    spans.find(s => s.parent_id.isEmpty && s.timestamp.isDefined)
-      .flatMap(_.timestamp)
-      .getOrElse {
-        val ts = spans.flatMap(_.timestamp).filter(_ != 0)
-        if (ts.isEmpty) 0L else ts.min
-      }
+  def traceTimestamp(spans: Seq[Span]): Long = Traces.rootTimestamp(spans)
 
-  def test(spans: Seq[Span]): Boolean = {
+  def test(spans: Seq[Span]): Boolean =
+    testWithTimestamp(traceTimestamp(spans), spans)
+
+  /** Full predicate with the range check against an externally-indexed trace
+    * timestamp (the store's root_ts — which may carry a session-close
+    * fallback for timestamp-less traces, keeping them findable).
+    */
+  def testWithTimestamp(traceTs: Long, spans: Seq[Span]): Boolean = {
     if (spans.isEmpty) return false
     val startTsMicros = (endTs - lookback) * 1000
     val endTsMicros = endTs * 1000
-    val ts = traceTimestamp(spans)
-    if (ts < startTsMicros || ts > endTsMicros) return false
+    if (traceTs < startTsMicros || traceTs > endTsMicros) return false
 
     if (serviceName.exists(sn => !spans.exists(_.localServiceName.contains(sn)))) return false
     if (remoteServiceName.exists(rn => !spans.exists(_.remoteServiceName.contains(rn)))) return false

@@ -26,17 +26,33 @@ object TraceMerge {
     val traceId = spans.map(_.trace_id).maxBy(_.length)
     val renamed = spans.map(s => if (s.trace_id == traceId) s else s.copy(trace_id = traceId))
     // 2. canonical order: id, then non-shared before shared (client side of an
-    //    RPC precedes its shared server twin), then timestamp-bearing first.
-    val sorted = renamed.sortBy(s => (s.id, s.isShared, s.timestamp.isEmpty))
-    // 3. collapse adjacent duplicates (same id + shared flag).
+    //    RPC precedes its shared server twin), then local service (stabilizes
+    //    the collapse when same-id reports disagree), then timestamp-bearing.
+    val sorted = renamed.sortBy(s =>
+      (s.id, s.isShared, s.localServiceName.getOrElse(""), s.timestamp.isEmpty,
+        s.timestamp.getOrElse(Long.MaxValue), s.kind.getOrElse(""), s.name.getOrElse("")))
+    // 3. collapse adjacent duplicates (same id + shared flag) — but only when
+    //    their endpoints are compatible: zipkin's Trace.merge keeps same-id
+    //    spans from DIFFERENT services apart (single-host instrumentation
+    //    that reuses the span id without setting shared).
     val out = scala.collection.mutable.ArrayBuffer.empty[Span]
     for (s <- sorted) {
-      if (out.nonEmpty && out.last.id == s.id && out.last.isShared == s.isShared)
+      if (out.nonEmpty && out.last.id == s.id && out.last.isShared == s.isShared &&
+          compatibleEndpoints(out.last, s))
         out(out.length - 1) = union(out.last, s)
       else out += s
     }
     out.toSeq
   }
+
+  /** Two reports describe the same span only if neither names a different
+    * local service (null is compatible with anything).
+    */
+  private def compatibleEndpoints(a: Span, b: Span): Boolean =
+    (a.localServiceName, b.localServiceName) match {
+      case (Some(x), Some(y)) => x == y
+      case _ => true
+    }
 
   /** Field-wise union of two duplicate reports of the same span. */
   private def union(a: Span, b: Span): Span = Span(

@@ -77,10 +77,14 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
       numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     // cached: the bucket self-join reads it twice, verify reads candidates
-    // again (at cluster scale this is the persisted signature table)
+    // again (at cluster scale this is the persisted signature table).
+    // Shingle-less docs (shorter than n words) are excluded BEFORE banding:
+    // their all-MaxValue signatures would collide in every band and the
+    // bucket join would go quadratic in the number of short docs.
     val bandKeys = docs.select(col(idCol).as("doc_id"),
-        posexplode(MinHashBandKeys(
-          TextAnalysis.distinctShingles(col(textCol), n), numHashes, bands)))
+        TextAnalysis.distinctShingles(col(textCol), n).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("doc_id"), posexplode(MinHashBandKeys(col("shs"), numHashes, bands)))
       .toDF("doc_id", "band", "band_key")
       .cache()
     val candidates = bandKeys.as("x").join(bandKeys.as("y"),

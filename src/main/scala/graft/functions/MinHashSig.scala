@@ -15,9 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * higher-order-function lambdas (the `aggregate`/`zip_with` formulation
   * measured 3× slower than even the explode+groupBy one).
   *
-  * Hash family (Kirsch-Mitzenmacher): hᵢ(x) = h₁(x) + (i+1)·h₂(x), with
-  * h₁/h₂ two independent 31-bit reductions of a 64-bit byte hash — i·h₂
-  * stays far below 2⁶³ (no overflow under ANSI mode).
+  * Hash family: seed-mixed splitmix64 finalization of one base byte hash —
+  * see [[MinHashSig.signature]] for why a cheaper linear h₁+i·h₂ family is
+  * NOT usable here (correlated minhashes break LSH band recall).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {

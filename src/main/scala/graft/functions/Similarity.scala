@@ -28,13 +28,17 @@ object Similarity {
 
   /** Exact brute-force top-k: broadcast the (small) query set against the
     * corpus, rank per query. Deterministic tiebreak on corpus id.
+    * `excludeSelf` (default true) is for the self-search case where queries
+    * share the corpus id space — set false when the two tables are unrelated
+    * (a coincidental id match would silently drop a true neighbor).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
     val c = withNorm(corpus, idCol, vecCol, "corpus_id", "cv")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
-    c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+    val joinCond = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
+    c.join(broadcast(q), joinCond)
       .select(col("query_id"), col("corpus_id"),
         (VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
@@ -56,14 +60,17 @@ object Similarity {
   }
 
   /** Assign each vector to its nearest centroid (IVF cell). Centroids must be
-    * broadcastable (they are by construction: nCentroids ≪ corpus).
+    * broadcastable (they are by construction: nCentroids ≪ corpus). Norms on
+    * both sides are computed once per row, not per (vector, centroid) pair.
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(desc("sim"), asc("centroid_id"))
-    vectors.select(col(idCol), col(vecCol))
-      .join(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"))))
-      .withColumn("sim", cosine(col(vecCol), col("centroid_vec")))
+    vectors.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__vn"))
+      .join(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"),
+        norm(col("centroid_vec")).as("__cn"))))
+      .withColumn("sim",
+        VectorDot(col(vecCol), col("centroid_vec")) / (col("__vn") * col("__cn")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id"))
@@ -90,17 +97,20 @@ object Similarity {
       .withColumnRenamed(idCol, "corpus_id").withColumnRenamed(vecCol, "cv")
     val probes = {
       val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("centroid_id"))
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-        .join(broadcast(centroids))
-        .withColumn("sim", cosine(col("qv"), col("centroid_vec")))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          norm(col(vecCol)).as("qv_nrm"))
+        .join(broadcast(centroids.withColumn("__cn", norm(col("centroid_vec")))))
+        .withColumn("sim",
+          VectorDot(col("qv"), col("centroid_vec")) / (col("qv_nrm") * col("__cn")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= nProbe)
-        .select(col("query_id"), col("qv"), col("centroid_id"))
+        .select(col("query_id"), col("qv"), col("qv_nrm"), col("centroid_id"))
     }
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
-    probes.join(assigned, "centroid_id")
+    probes.join(assigned.withColumn("cv_nrm", norm(col("cv"))), "centroid_id")
       .where(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("corpus_id"),
+        (VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

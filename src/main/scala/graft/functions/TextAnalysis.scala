@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of a trimmed document. */
-  def tokens(text: Column): Column = split(trim(text), " ")
+  /** Whitespace tokens of a trimmed document — any whitespace run is one
+    * separator (single-space split would keep newline-joined pseudo-tokens
+    * and emit empty tokens on double spaces).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

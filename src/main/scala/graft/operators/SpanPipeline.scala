@@ -30,12 +30,7 @@ object SpanPipeline {
     }
   }
 
-  def rootTimestamp(spans: Seq[Span]): Long =
-    spans.find(s => s.parent_id.isEmpty && s.timestamp.isDefined).flatMap(_.timestamp)
-      .getOrElse {
-        val ts = spans.flatMap(_.timestamp).filter(_ != 0)
-        if (ts.isEmpty) 0L else ts.min
-      }
+  def rootTimestamp(spans: Seq[Span]): Long = graft.core.Traces.rootTimestamp(spans)
 
   /** Traces → per-trace dependency edges (SURVEY §2.4 A3, P3).
     * Narrow (no shuffle): runs on the already-grouped trace rows.

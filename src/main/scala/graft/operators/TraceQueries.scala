@@ -24,7 +24,10 @@ object TraceQueries {
     val endUs = request.endTs * 1000
     traces
       .where(col("root_ts").between(startUs, endUs)) // F2: prunable range scan
-      .filter((t: Trace) => request.test(t.spans))   // F1: full truth table
+      // F1: full truth table, ranged against the STORE's trace timestamp so
+      // timestamp-less traces (stored under their session close time) stay
+      // findable instead of failing a recomputed ts=0 range check
+      .filter((t: Trace) => request.testWithTimestamp(t.root_ts, t.spans))
       .orderBy(desc("root_ts"), asc("trace_id"))     // W1/W3 + deterministic tiebreak
       .limit(request.limit)
   }

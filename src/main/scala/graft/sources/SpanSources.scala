@@ -25,13 +25,20 @@ object SpanSources {
   def fromKafka(spark: SparkSession, bootstrapServers: String,
       topic: String = "zipkin-spans"): Dataset[SpanEnvelope] = {
     import spark.implicits._
-    spark.readStream
+    val flat = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .load()
       .select(col("timestamp").as("ingest_ts"),
         explode(from_json(col("value").cast("string"), ArrayType(Spans.schema))).as("span"))
+      .select(col("ingest_ts"), col("span.*"))
+    // normalize exactly like the file/batch paths: canonical trace ids (a
+    // 64- vs 128-bit report of one trace must session to ONE key) and
+    // non-null containers (TraceMerge/DependencyLinker dereference them)
+    Spans.normalize(flat)
+      .select(col("ingest_ts"),
+        struct(Spans.schema.fieldNames.map(col): _*).as("span"))
       .as[SpanEnvelope]
   }
 
@@ -58,12 +65,15 @@ object SpanSources {
 
   /** File-based streaming source: JSON_V2 span lines landing in a directory
     * (runs in any environment; same downstream pipeline as Kafka). The span's
-    * own timestamp (µs→ms) is the event time.
+    * own timestamp (µs→ms) is the event time; spans without one take the
+    * arrival (batch) time — epoch 0 would be dropped as late by the
+    * watermark, silently losing the span from its trace.
     */
   def fromJsonFiles(spark: SparkSession, path: String): Dataset[SpanEnvelope] = {
     import spark.implicits._
     Spans.normalize(spark.readStream.schema(Spans.schema).json(path))
-      .select(timestamp_micros(coalesce(col("timestamp"), lit(0L))).as("ingest_ts"),
+      .select(coalesce(timestamp_micros(col("timestamp")), current_timestamp())
+        .as("ingest_ts"),
         struct(col("*")).as("span"))
       .as[SpanEnvelope]
   }

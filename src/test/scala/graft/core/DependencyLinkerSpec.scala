@@ -58,6 +58,19 @@ class DependencyLinkerSpec extends AnyFunSuite {
     assert(links.contains(DependencyLink("edge", "gateway", 1, 0)))
   }
 
+  test("messaging spans emit BOTH broker hops (producer→broker, broker→consumer)") {
+    val p = Span(trace_id = "000000000000000a", id = "000000000000000a",
+      kind = Some("PRODUCER"), local_endpoint = ep("svc_a"), remote_endpoint = ep("kafka"))
+    val c = Span(trace_id = "000000000000000a", id = "000000000000000b",
+      parent_id = Some("000000000000000a"), kind = Some("CONSUMER"),
+      local_endpoint = ep("svc_b"), remote_endpoint = ep("kafka"))
+    // the consumer child must NOT suppress the producer edge (only a SERVER
+    // child suppresses its CLIENT half — that is the same RPC; these are two
+    // distinct hops through the broker)
+    assert(DependencyLinker.link(Seq(p, c)).toSet ==
+      Set(DependencyLink("svc_a", "kafka", 1, 0), DependencyLink("kafka", "svc_b", 1, 0)))
+  }
+
   test("PRODUCER/CONSUMER map like CLIENT/SERVER") {
     val p = Span(trace_id = "000000000000000a", id = "000000000000000a",
       kind = Some("PRODUCER"), local_endpoint = ep("app"), remote_endpoint = ep("kafka"))

@@ -68,12 +68,25 @@ class TraceMergeSpec extends AnyFunSuite {
     }
   }
 
-  test("merge result size is order-insensitive and ids are deduplicated per shared flag") {
+  test("merge is order-insensitive and same-service duplicates collapse") {
     forAllSamples(Gen.listOfN(6, genSpan)) { spans =>
       val m1 = TraceMerge.merge(spans)
       val m2 = TraceMerge.merge(scala.util.Random.shuffle(spans))
-      assert(m1.map(s => (s.id, s.isShared)) == m2.map(s => (s.id, s.isShared)))
-      assert(m1.map(s => (s.id, s.isShared)).distinct.size == m1.size)
+      assert(m1 == m2)
+      // within one (id, shared) group, the named local services are distinct
+      // (null-service reports were absorbed; incompatible services stay apart)
+      for ((_, group) <- m1.groupBy(s => (s.id, s.isShared))) {
+        val named = group.flatMap(_.localServiceName)
+        assert(named.distinct.size == named.size)
+      }
     }
+  }
+
+  test("same-id reports from DIFFERENT services stay separate (endpoint guard)") {
+    val client = span("000000000000000b", kind = "CLIENT", svc = "frontend")
+    val server = span("000000000000000b", kind = "SERVER", svc = "backend") // no shared flag
+    val merged = TraceMerge.merge(Seq(client, server))
+    assert(merged.size == 2)
+    assert(merged.map(_.localServiceName.get).toSet == Set("frontend", "backend"))
   }
 }
