@@ -207,6 +207,14 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("sum_value"))),
 
+    // ——— ST3-adjacent: sliding event-time windows (2 h window, 1 h slide) ———
+    "q_st3_sliding" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n"), col("sum_value"))),
+
     // ——— A-class: exact interpolated percentiles ———
     "q_percentile" -> ((s, dir) =>
       events(s, dir)
@@ -467,6 +475,13 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    // each event lands in the two 1h-aligned 2h windows covering it
+    "q_st3_sliding" ->
+      """SELECT (epoch_ms(ts) // 3600000 - k.k) * 3600000 AS window_start_ms,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_percentile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,

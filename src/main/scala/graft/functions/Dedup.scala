@@ -78,13 +78,12 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     // cached: the bucket self-join reads it twice, verify reads candidates
     // again (at cluster scale this is the persisted signature table).
-    // Shingle-less docs (shorter than n words) are excluded BEFORE banding:
-    // their all-MaxValue signatures would collide in every band and the
-    // bucket join would go quadratic in the number of short docs.
+    // Shingle-less docs (shorter than n words) produce zero band keys inside
+    // MinHashBandKeys, so posexplode drops them — no extra filter pass over
+    // the shingle expression.
     val bandKeys = docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.distinctShingles(col(textCol), n).as("shs"))
-      .where(size(col("shs")) > 0)
-      .select(col("doc_id"), posexplode(MinHashBandKeys(col("shs"), numHashes, bands)))
+        posexplode(MinHashBandKeys(
+          TextAnalysis.distinctShingles(col(textCol), n), numHashes, bands)))
       .toDF("doc_id", "band", "band_key")
       .cache()
     val candidates = bandKeys.as("x").join(bandKeys.as("y"),
@@ -101,8 +100,10 @@ object Dedup {
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
+    // cached: joined once per pair side — without it the shingle expression
+    // (regex tokenization) re-evaluates over the full corpus twice
     val sets = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.distinctShingles(col(textCol), n).as("sh"))
+      TextAnalysis.distinctShingles(col(textCol), n).as("sh")).cache()
     candidates
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -54,7 +54,12 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val sig = MinHashSig.signature(input.asInstanceOf[ArrayData], numHashes)
+    val arr = input.asInstanceOf[ArrayData]
+    // shingle-less docs get NO band keys (posexplode then drops the row):
+    // an all-MaxValue signature would collide in every band and send every
+    // short doc into one quadratic bucket
+    if (arr.numElements() == 0) return new GenericArrayData(Array.empty[Long])
+    val sig = MinHashSig.signature(arr, numHashes)
     val rowsPerBand = numHashes / bands
     val keys = new Array[Long](bands)
     var b = 0

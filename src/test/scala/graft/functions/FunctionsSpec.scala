@@ -62,6 +62,20 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("ngram jaccard maxDocFreq cap drops stop-shingles from the join") {
+    // "the quick brown" etc. appear in 3 docs; a cap of 2 excludes them, so
+    // the 0-1 near-dup pair (which shares ONLY high-frequency shingles with
+    // doc 3 variants) loses intersection mass but identical docs still match
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.9, maxDocFreq = Some(2L))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.9, maxDocFreq = None)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(uncapped.contains((0L, 3L))) // exact dups survive without cap
+  }
+
   test("minhash+LSH verified pairs equal the exact jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -32,6 +32,20 @@ class EventSpansSpec extends SparkSpec {
     }
   }
 
+  test("fused sessions agree with Spark's session_window operator") {
+    import org.apache.spark.sql.functions._
+    val sessionWindowSessions = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getStruct(1).getTimestamp(0).getTime, r.getLong(2)))
+      .toSet
+    val fusedSessions = EventSpans.sessionTraces(spark, events).collect()
+      .map(t => (t.trace_id.split(":")(0).toLong, t.root_ts / 1000, t.spans.size.toLong))
+      .toSet
+    assert(fusedSessions == sessionWindowSessions)
+  }
+
   test("sessions split at the 30-minute gap and chain within") {
     val traces = EventSpans.sessionTraces(spark, events).collect()
     assert(traces.nonEmpty)
