@@ -222,6 +222,11 @@ object SparkEntry {
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.95)"), 4).as("p95"))),
 
+    // ——— sampling: deterministic content-hash train/val/test split ———
+    "q_sample_split" -> ((s, dir) =>
+      graft.functions.Sampling.split(t(s, dir, "documents"), "doc_id")
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))),
+
     // ——— text: normalization fingerprint (lower + strip non-alnum) ———
     "q_text_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -487,6 +492,15 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_sample_split" ->
+      """SELECT lang,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM (SELECT lang,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS norm_md5

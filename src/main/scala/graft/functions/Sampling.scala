@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines. All
+  * assignments derive from a portable content hash (md5), so they are
+  * reproducible across runs, engines and cluster sizes — never `rand()`,
+  * which would re-deal on every retry/backfill and leak val into train.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the id column. */
+  def bucket(id: Column, buckets: Int): Column =
+    pmod(HashFunctions.portableHash64(id.cast("string")), lit(buckets.toLong))
+
+  /** Deterministic train/val/test split: fractions in buckets of 1/denom. */
+  def split(df: DataFrame, idCol: String, trainPct: Int = 90, valPct: Int = 5,
+      denom: Int = 100): DataFrame = {
+    val b = bucket(col(idCol), denom)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Keep `pct`% of rows per stratum (e.g. per language/source), chosen by
+    * content hash — deterministic stratified downsampling.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.where(bucket(col(idCol), 100) < pct)
+}
