@@ -77,6 +77,14 @@ object TraceQueries {
     autocompleteTable.where(col("tag_key") === key)
       .select(explode(col("values")).as("value")).orderBy("value").limit(1000)
 
+  /** JSON_V2 response encoding (SC6: the reference writes nested trace lists
+    * as JSON, KafkaStorageHttpService.java:329-353) — one JSON array of
+    * spans per trace row. Null fields are omitted like zipkin's writer.
+    */
+  def toJsonV2(traces: Dataset[Trace]): DataFrame =
+    traces.toDF().select(col("trace_id"),
+      to_json(col("spans"), java.util.Map.of("ignoreNullFields", "true")).as("json"))
+
   /** Adapt a store-layout DataFrame (possibly carrying partition columns)
     * back to the typed trace Dataset the query functions take, re-merging
     * per trace id: the store's at-least-once appends and multi-session

@@ -129,6 +129,18 @@ class FunctionsSpec extends SparkSpec {
     assert(got.nonEmpty && got.head.getAs[Long]("corpus_id") == 1L)
   }
 
+  test("IVF recall against brute force on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 20)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+    val ivf = topSet(Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 4))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall") // probing half the cells
+  }
+
   test("embedding cosine near-dup pairs") {
     val pairs = Dedup.embeddingCosinePairs(vectors, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -113,6 +113,19 @@ class SpanPipelineSpec extends SparkSpec {
     assert(TraceQueries.dependencies(win, 1000L, 1000L).count() == 0)
   }
 
+  test("toJsonV2 emits parseable span arrays without null fields (SC6)") {
+    val json = TraceQueries.toJsonV2(TraceQueries.getTrace(traces, "a"))
+      .select("json").as[String].head()
+    assert(json.startsWith("[{") && json.contains("\"trace_id\":\"000000000000000a\""))
+    assert(!json.contains("null"))
+    // round-trips through Spark's own JSON reader against the span schema
+    val back = spark.read.schema(graft.model.Spans.schema)
+      .json(spark.createDataset(Seq(json)).toDF("value").select("value").as[String]
+        .flatMap(s => s.stripPrefix("[").stripSuffix("]").split("\\},\\{")
+          .map(p => (if (!p.startsWith("{")) "{" else "") + p + (if (!p.endsWith("}")) "}" else ""))))
+    assert(back.count() == 2)
+  }
+
   test("autocomplete keys and values") {
     val table = SpanPipeline.autocompleteTags(spans, Seq("environment"))
     assert(TraceQueries.autocompleteKeys(table).as[String].collect().toSeq == Seq("environment"))
