@@ -222,6 +222,12 @@ object SparkEntry {
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.95)"), 4).as("p95"))),
 
+    // ——— dedup: near-dup clusters (connected components → canonical doc) ———
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8))),
+
     // ——— sampling: deterministic content-hash train/val/test split ———
     "q_sample_split" -> ((s, dir) =>
       graft.functions.Sampling.split(t(s, dir, "documents"), "doc_id")
@@ -492,6 +498,25 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b FROM inter
+        |      JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |      WHERE i * 1.0 / (x.n + y.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |          UNION SELECT doc_b AS a, doc_a AS b FROM p),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(min(b), a) AS canonical_id FROM reach GROUP BY a""".stripMargin,
 
     "q_sample_split" ->
       """SELECT lang,

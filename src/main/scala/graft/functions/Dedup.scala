@@ -146,6 +146,41 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Near-dup pairs → clusters: connected components over the pair graph,
+    * labeling every member with the minimum doc id of its component (the
+    * canonical survivor; everything else is droppable). Min-label
+    * propagation to fixpoint — near-dup components are small cliques, so
+    * convergence takes O(diameter) ≈ 1-3 rounds; each round is one keyed
+    * shuffle, no driver-side graph state (at extreme scale the same loop
+    * with large-star/small-star rewriting keeps rounds logarithmic).
+    * Output: doc_id, canonical_id (only docs that appear in some pair).
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("canonical_id", col("doc_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // each node adopts the min label among itself and its neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("canonical_id"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("doc_id").agg(min("canonical_id").as("canonical_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
+        .where(col("canonical_id") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold. Brute self-join here; the
     * scale path buckets by [[Similarity.ivfAssign]] first.
     */

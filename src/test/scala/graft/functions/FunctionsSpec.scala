@@ -85,6 +85,15 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("connectedComponents labels chains with the component minimum") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
+      .toDF("doc_a", "doc_b") // {1,2,3,8,9} and {5,6}
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, distinct docs far") {
     val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
