@@ -31,9 +31,18 @@ object SparkEntry {
     * TimestampType `ts` (the same truncation DuckDB's epoch_us applies).
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    // schema resolution happens eagerly inside read.parquet(), so the legacy
+    // conf can be restored right after — no session-wide side effect on
+    // unrelated reads
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private def eventSpans(s: SparkSession, dir: String): Dataset[Span] =
@@ -391,7 +400,7 @@ object SparkEntry {
          |FROM tr JOIN sess USING (user_id, session_id)
          |WHERE parent IS NOT NULL
          |  AND root_ms - root_ms % 60000 BETWEEN ${EndTsMs - LookbackMs} AND $EndTsMs
-         |GROUP BY 1, 2""".stripMargin),
+         |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000""".stripMargin),
 
     "q_f1_find_traces" -> (SessionCtes +
       s"""

@@ -88,6 +88,16 @@ object Spans {
     when(length(lowered) > 16, lpad(lowered, 32, "0")).otherwise(lpad(lowered, 16, "0"))
   }
 
+  /** String twin of the Column normalization — MUST match it exactly (lpad
+    * pads left and truncates over-long input to the target length).
+    */
+  def normalizeTraceId(id: String): String = {
+    val lowered = id.toLowerCase
+    val target = if (lowered.length > 16) 32 else 16
+    if (lowered.length >= target) lowered.take(target)
+    else ("0" * (target - lowered.length)) + lowered
+  }
+
   /** Read Zipkin JSON_V2 span lines into a typed Dataset, with null
     * containers replaced so downstream Scala never sees null Seq/Map.
     */

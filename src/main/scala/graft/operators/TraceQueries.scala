@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.QueryRequest
-import graft.model.{Span, Trace}
+import graft.model.{Span, Spans, Trace}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -32,14 +32,20 @@ object TraceQueries {
       .limit(request.limit)
   }
 
-  /** get-trace by ID (single-key lookup; KafkaStorageHttpService.java:243-266). */
+  /** get-trace by ID: single-key lookup, partial rows merged
+    * (KafkaStorageHttpService.java:243-266).
+    */
   def getTrace(traces: Dataset[Trace], traceId: String): Dataset[Trace] =
-    traces.where(col("trace_id") === normalizeId(traceId))
+    mergeByTraceId(traces.where(col("trace_id") === Spans.normalizeTraceId(traceId)))
 
-  /** get-traces by ID list, capped at 1,000 ids (SURVEY §2.5 J4, W4). */
+  /** get-traces by ID list, capped at 1,000 ids (SURVEY §2.5 J4, W4).
+    * Multiple rows per id (at-least-once appends, multi-session partials)
+    * MERGE — an arbitrary-survivor dropDuplicates would return a partial
+    * trace.
+    */
   def getTraceMany(traces: Dataset[Trace], traceIds: Seq[String]): Dataset[Trace] = {
-    val ids = traceIds.take(1000).map(normalizeId)
-    traces.where(col("trace_id").isin(ids: _*)).dropDuplicates("trace_id")
+    val ids = traceIds.take(1000).map(Spans.normalizeTraceId)
+    mergeByTraceId(traces.where(col("trace_id").isin(ids: _*)))
   }
 
   /** All service names, sorted, capped 1,000 (KafkaSpanStore.java:130). */
@@ -66,6 +72,7 @@ object TraceQueries {
       .where(col("window_start_ms").between(endTs - lookback, endTs))
       .groupBy("parent", "child")
       .agg(sum("call_count").as("call_count"), sum("error_count").as("error_count"))
+      .orderBy("parent", "child") // deterministic truncation at the cap
       .limit(1000)
 
   /** Autocomplete tag keys (KafkaStorageHttpService.java:292-309). */
@@ -93,20 +100,27 @@ object TraceQueries {
     * Trace.merge). TraceMerge is idempotent, so already-canonical rows pass
     * through unchanged.
     */
-  def fromStore(df: DataFrame): Dataset[Trace] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select("trace_id", "spans", "root_ts").as[Trace]
-      .groupByKey(_.trace_id)
-      .mapGroups { (id, it) =>
-        val merged = graft.core.TraceMerge.merge(it.flatMap(_.spans).toSeq)
-        Trace(id, merged, graft.operators.SpanPipeline.rootTimestamp(merged))
-      }
-  }
+  def fromStore(df: DataFrame): Dataset[Trace] =
+    mergeByTraceId {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select("trace_id", "spans", "root_ts").as[Trace]
+    }
 
-  private def normalizeId(id: String): String = {
-    val lowered = id.toLowerCase
-    if (lowered.length > 16) ("0" * (32 - lowered.length)) + lowered
-    else ("0" * (16 - lowered.length)) + lowered
+  /** Query-time fetch+merge per trace id. The merged trace keeps its
+    * recomputed root timestamp, falling back to the smallest stored root_ts
+    * when spans carry none — preserving the store's close-time placement for
+    * timestamp-less traces (they must stay findable by range queries).
+    */
+  private def mergeByTraceId(ds: Dataset[Trace]): Dataset[Trace] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.trace_id).mapGroups { (id, it) =>
+      val rows = it.toSeq
+      val merged = graft.core.TraceMerge.merge(rows.flatMap(_.spans))
+      val recomputed = graft.core.Traces.rootTimestamp(merged)
+      val stored = rows.map(_.root_ts).filter(_ > 0)
+      Trace(id, merged, if (recomputed > 0 || stored.isEmpty) recomputed else stored.min)
+    }
   }
 }

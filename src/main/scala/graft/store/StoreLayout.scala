@@ -22,31 +22,36 @@ object StoreLayout {
     */
   def writeTraces(traces: DataFrame, path: String): Unit =
     traces.select(col("trace_id"), col("spans"), col("root_ts"))
-      .withColumn("trace_date", to_date(timestamp_micros(col("root_ts"))))
+      // UTC epoch-day arithmetic, NOT to_date(): partition assignment must
+      // not depend on the writer session's timezone or readers in another
+      // zone silently prune the wrong partitions
+      .withColumn("trace_date",
+        expr("date_add(DATE'1970-01-01', CAST(root_ts DIV 86400000000 AS INT))"))
       .write.partitionBy("trace_date").mode(SaveMode.Append).parquet(path)
 
   /** Range read with partition pruning: only `trace_date` partitions
     * intersecting [endTs−lookback, endTs] (ms) are listed.
     */
-  def readTraces(spark: SparkSession, path: String, endTs: Long, lookback: Long): DataFrame = {
-    val from = to_date(timestamp_millis(lit(endTs - lookback)))
-    val to = to_date(timestamp_millis(lit(endTs)))
+  def readTraces(spark: SparkSession, path: String, endTs: Long, lookback: Long): DataFrame =
     spark.read.parquet(path)
-      .where(col("trace_date").between(from, to))
+      .where(col("trace_date").between(utcDate(endTs - lookback), utcDate(endTs)))
       .where(col("root_ts").between((endTs - lookback) * 1000, endTs * 1000))
-  }
+
+  /** Epoch-ms → UTC date literal (reader-timezone independent). */
+  private def utcDate(epochMs: Long) =
+    lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(epochMs, 86400000L)).toString).cast("date")
 
   /** Dependency-window store partitioned by window date. */
   def writeDependencyWindows(windows: DataFrame, path: String): Unit =
     windows
-      .withColumn("window_date", to_date(timestamp_millis(col("window_start_ms"))))
+      .withColumn("window_date",
+        expr("date_add(DATE'1970-01-01', CAST(window_start_ms DIV 86400000 AS INT))"))
       .write.partitionBy("window_date").mode(SaveMode.Append).parquet(path)
 
   def readDependencyWindows(spark: SparkSession, path: String, endTs: Long,
       lookback: Long): DataFrame =
     spark.read.parquet(path)
-      .where(col("window_date").between(
-        to_date(timestamp_millis(lit(endTs - lookback))), to_date(timestamp_millis(lit(endTs)))))
+      .where(col("window_date").between(utcDate(endTs - lookback), utcDate(endTs)))
       .where(col("window_start_ms").between(endTs - lookback, endTs))
 
   /** Point-lookup store: traces bucketed by trace_id, so getTrace/getTraceMany

@@ -65,29 +65,48 @@ object StreamingPipeline {
       gapMs: Long = 60000L): Dataset[ClosedTrace] = {
     val spark = envelopes.sparkSession
     import spark.implicits._
+
+    // Split timestamped spans into gap-separated sessions and emit every
+    // session already final under the watermark. One micro-batch can carry
+    // several sessions' worth of a trace (backlog catch-up), so gaps WITHIN
+    // the accumulated state matter, not just the cross-batch timeout.
+    def evaluate(traceId: String, rows: Seq[(Long, Span)], watermark: Long,
+        state: GroupState[Seq[(Long, Span)]]): Iterator[ClosedTrace] = {
+      val sorted = rows.sortBy(_._1)
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Span)])
+      for (r <- sorted) {
+        if (sessions.last.nonEmpty && r._1 - sessions.last.last._1 >= gapMs)
+          sessions += scala.collection.mutable.ArrayBuffer.empty[(Long, Span)]
+        sessions.last += r
+      }
+      val (closed, open) = sessions.filter(_.nonEmpty)
+        .partition(sess => sess.last._1 + gapMs <= watermark)
+      val emitted = closed.iterator.map { sess =>
+        val merged = TraceMerge.merge(sess.map(_._2).toSeq)
+        ClosedTrace(traceId, new Timestamp(sess.last._1 + gapMs), merged,
+          graft.core.Traces.rootTimestamp(merged))
+      }.toVector
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open.flatten.toSeq)
+        // wake when the earliest still-open session could close
+        state.setTimeoutTimestamp(open.map(_.last._1).min + gapMs)
+      }
+      emitted.iterator
+    }
+
     envelopes
       .withWatermark("ingest_ts", "0 seconds")
       .groupByKey(_.span.trace_id)
-      .flatMapGroupsWithState[(Long, Seq[Span]), ClosedTrace](
+      .flatMapGroupsWithState[Seq[(Long, Span)], ClosedTrace](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (traceId: String, batch: Iterator[SpanEnvelope],
-         state: GroupState[(Long, Seq[Span])]) =>
-          if (state.hasTimedOut) {
-            val (lastTs, spans) = state.get
-            state.remove()
-            val merged = TraceMerge.merge(spans)
-            Iterator.single(ClosedTrace(traceId, new Timestamp(lastTs + gapMs), merged,
-              graft.operators.SpanPipeline.rootTimestamp(merged)))
-          } else {
-            val arrived = batch.toSeq
-            val newest = arrived.map(_.ingest_ts.getTime).max
-            val (prevTs, prevSpans) = state.getOption.getOrElse((0L, Seq.empty[Span]))
-            val lastTs = math.max(prevTs, newest)
-            state.update((lastTs, prevSpans ++ arrived.map(_.span)))
-            // close one gap after the newest span, gated on the watermark
-            state.setTimeoutTimestamp(lastTs + gapMs)
-            Iterator.empty
-          }
+         state: GroupState[Seq[(Long, Span)]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty)
+          val arrived = batch.map(e => (e.ingest_ts.getTime, e.span)).toSeq
+          val watermark = state.getCurrentWatermarkMs()
+          evaluate(traceId, prev ++ arrived, watermark, state)
       }
   }
 

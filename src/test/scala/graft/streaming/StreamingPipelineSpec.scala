@@ -74,6 +74,34 @@ class StreamingPipelineSpec extends SparkSpec {
       Seq("000000000000000a", "000000000000000b"))
   }
 
+  test("state path splits gap-separated sessions arriving in ONE batch (backlog catch-up)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SpanEnvelope]
+    val q = StreamingPipeline.sessionTracesWithState(input.toDS(), gapMs)
+      .writeStream.format("memory").queryName("catchup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one batch carries two sessions of trace a (1 s and 5 min), exactly
+      // what a stalled-then-recovered job replays
+      input.addData(
+        SpanEnvelope(new Timestamp(1000L), spanA),
+        SpanEnvelope(new Timestamp(5 * gapMs), spanB.copy(parent_id = None)))
+      q.processAllAvailable()
+      // advance the watermark past both session closes
+      input.addData(SpanEnvelope(new Timestamp(10 * gapMs), spanC))
+      q.processAllAvailable()
+      input.addData(SpanEnvelope(new Timestamp(10 * gapMs + 1), spanC))
+      q.processAllAvailable()
+      val got = spark.table("catchup_out").as[ClosedTrace].collect()
+        .filter(_.trace_id == "000000000000000a").sortBy(_.close_ts.getTime)
+      assert(got.length == 2, s"expected two sessions, got ${got.toSeq}")
+      assert(got(0).spans.map(_.id) == Seq("000000000000000a"))
+      assert(got(1).spans.map(_.id) == Seq("000000000000000b"))
+      assert(got(0).close_ts.getTime == 1000L + gapMs)
+      assert(got(1).close_ts.getTime == 6 * gapMs)
+    } finally q.stop()
+  }
+
   test("full chain: spans → sessions → links → windowed counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SpanEnvelope]
