@@ -11,8 +11,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first timed query doesn't absorb one-time
-    // class-loading + janino compilation (~4 s measured)
+    // class-loading + janino compilation (~4 s measured for the relational
+    // family, ~8 s for the text/shingle expression family)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    locally {
+      import spark.implicits._
+      val tiny = Seq((0L, "a b c d e"), (1L, "b c d e f")).toDF("doc_id", "text")
+      graft.functions.Dedup.minhashPairs(tiny, "doc_id", "text").count()
+      graft.functions.Dedup.ngramJaccardPairs(tiny, "doc_id", "text").count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

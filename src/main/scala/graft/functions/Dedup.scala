@@ -148,14 +148,49 @@ object Dedup {
 
   /** Near-dup pairs → clusters: connected components over the pair graph,
     * labeling every member with the minimum doc id of its component (the
-    * canonical survivor; everything else is droppable). Min-label
-    * propagation to fixpoint — near-dup components are small cliques, so
-    * convergence takes O(diameter) ≈ 1-3 rounds; each round is one keyed
-    * shuffle, no driver-side graph state (at extreme scale the same loop
-    * with large-star/small-star rewriting keeps rounds logarithmic).
+    * canonical survivor; everything else is droppable).
     * Output: doc_id, canonical_id (only docs that appear in some pair).
+    *
+    * The pair set is by construction the near-duplicate FRACTION of the
+    * corpus — even at 100 TB it is typically small enough for a driver-side
+    * union-find (an edge is 16 bytes; the default cap admits ~160 MB).
+    * Below the cap: collect + union-find (milliseconds, no iterative jobs).
+    * Above it: distributed min-label propagation
+    * ([[connectedComponentsDistributed]]).
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+      driverSideEdgeLimit: Int = 10_000_000): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].take(driverSideEdgeLimit + 1)
+    if (edges.length > driverSideEdgeLimit)
+      return connectedComponentsDistributed(pairs)
+    // union-find with path compression; canonical = component minimum
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = parent.keysIterator.map(d => (d, find(d))).toSeq
+    spark.createDataset(labels).toDF("doc_id", "canonical_id")
+  }
+
+  /** Distributed fallback: min-label propagation to fixpoint — one keyed
+    * shuffle per round, no driver-side graph state; near-dup components are
+    * small cliques so convergence is O(diameter) ≈ 1-3 rounds (large-star/
+    * small-star rewriting would bound rounds logarithmically if ever needed).
+    */
+  def connectedComponentsDistributed(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()

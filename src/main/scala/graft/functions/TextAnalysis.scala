@@ -27,7 +27,10 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  def distinctShingles(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+  /** Distinct shingles via the custom [[WordShingles]] expression (the HOF
+    * pipeline above runs interpreted — spec-checked identical semantics).
+    */
+  def distinctShingles(text: Column, n: Int): Column = WordShingles(text, n)
 
   /** Crude BPE-ish subword count: whitespace tokens plus an extra unit per 4
     * characters of long tokens (a deterministic proxy for subword splits).

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles as one custom expression: trim, split on
+  * whitespace runs, slide an n-window, join with single spaces, first-
+  * occurrence-distinct — in a single tight loop. Replaces the
+  * `transform(sequence, slice, concat_ws)` + `array_distinct` column
+  * pipeline, whose higher-order functions evaluate INTERPRETED (measured
+  * ~4 s over 5k docs at sf0.1 vs sub-second here). Semantics are identical
+  * (spec-checked), so the DuckDB oracles are unchanged.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingles requires string, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((tokens.length - n + 1) * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def apply(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c), n))
+}

@@ -37,6 +37,18 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(2) == 12L) // quick/brown/jumps have 5 chars → 2 units each
   }
 
+  test("WordShingles expression ≡ the HOF shingle pipeline") {
+    val texts = Seq((0L, "a b c d e a b c"), (1L, "  x   y\nz  "), (2L, "one two"),
+      (3L, "the quick brown fox the quick brown fox"))
+      .toDF("doc_id", "text")
+    val viaExpr = texts.select($"doc_id", TextAnalysis.distinctShingles($"text", 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaHof = texts.select($"doc_id",
+        array_distinct(TextAnalysis.shingles($"text", 3)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaExpr == viaHof)
+  }
+
   test("shorter-than-n docs produce no shingles") {
     val r = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(TextAnalysis.distinctShingles($"text", 3)).head()
@@ -85,13 +97,17 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
-  test("connectedComponents labels chains with the component minimum") {
+  test("connectedComponents labels chains with the component minimum (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
       .toDF("doc_a", "doc_b") // {1,2,3,8,9} and {5,6}
-    val got = Dedup.connectedComponents(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L)
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
-      5L -> 5L, 6L -> 5L))
+    assert(run(Dedup.connectedComponents(pairs)) == expected)
+    assert(run(Dedup.connectedComponentsDistributed(pairs)) == expected)
+    // union-find path and distributed path agree when forced over the cap
+    assert(run(Dedup.connectedComponents(pairs, driverSideEdgeLimit = 2)) == expected)
   }
 
   test("simhash: identical docs at distance 0, near-dups close, distinct docs far") {
