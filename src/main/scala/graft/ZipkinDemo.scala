@@ -82,6 +82,28 @@ object ZipkinDemo {
       TraceQueries.autocompleteValues(autocomplete, "environment").collect()
         .map(_.getString(0)).toSeq
     }
+
+    // streaming variant: same spans through the session-window pipeline into
+    // the date-partitioned store, queried back through the same surface
+    val tmp = java.nio.file.Files.createTempDirectory("zipkin-demo-stream")
+    val q = graft.streaming.StreamingPipeline.tracesToStore(
+      graft.streaming.StreamingPipeline.sessionTraces(
+        graft.sources.SpanSources.fromJsonFiles(spark, path), "1 minute"),
+      s"$tmp/traces", s"$tmp/chk")
+    q.processAllAvailable()
+    // a later span advances the watermark one gap past the fixture sessions,
+    // closing them (the reference's smoke test waits 61 s for the same reason)
+    val laterUs = (System.currentTimeMillis() + 180000) * 1000
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "clock.json"),
+      s"""{"trace_id":"00000000000000ff","id":"00000000000000ff","timestamp":$laterUs}""")
+    q.processAllAvailable()
+    q.stop()
+    show("streaming → store → GET /traces (closed sessions only)") {
+      TraceQueries.getTraces(
+        TraceQueries.fromStore(spark.read.parquet(s"$tmp/traces")),
+        QueryRequest(endTs = endTs)).collect()
+        .map(t => s"${t.trace_id} (${t.spans.size} spans)").toSeq
+    }
     spark.stop()
   }
 }
