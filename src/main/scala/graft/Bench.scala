@@ -22,7 +22,11 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // full materialization of every output column on the executors —
+      // a bare count() lets Catalyst prune unevaluated projections, which
+      // would time a row count instead of the query
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -216,8 +216,10 @@ object Dedup {
     labels
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold. Brute self-join here; the
-    * scale path buckets by [[Similarity.ivfAssign]] first.
+  /** Embedding near-dup pairs: cosine ≥ threshold, exact via the
+    * grid-partitioned equi-join ([[Similarity.cosinePairs]] — evenly
+    * shuffled Θ(n²) compute, no broadcast nested loop). For high thresholds
+    * the sub-quadratic [[Similarity.cosinePairsLSH]] is the 100 TB path.
     */
   def embeddingCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =

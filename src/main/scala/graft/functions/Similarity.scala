@@ -45,17 +45,73 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** All pairs with cosine ≥ threshold (used by [[Dedup.embeddingCosinePairs]]).
-    * Self nested-loop join over unit-normalized rows; at cluster scale,
-    * pre-bucket with [[ivfAssign]] and join within cells instead.
+  /** All pairs with cosine ≥ threshold, EXACT (used by
+    * [[Dedup.embeddingCosinePairs]]). Grid-partitioned theta-join (the
+    * 1-Bucket-Theta scheme of Okcan & Riedewald, SIGMOD '11): vectors hash
+    * into `numBlocks` groups; block (i, j), i ≤ j, owns all pairs between
+    * groups i and j, and the join is an EQUI-join on the block key — a
+    * shuffled hash/sort-merge join over numBlocks·(numBlocks+1)/2 evenly
+    * sized tasks, never a broadcast nested loop. Each side replicates a row
+    * (numBlocks−g) resp. (g+1) times, so total join input is (numBlocks+1)·n
+    * rows and total comparisons ≈ n²/2·(1+1/numBlocks) — the unavoidable
+    * exact-join work, spread uniformly across the cluster with per-task
+    * memory bounded by 2n/numBlocks rows (raise numBlocks as n grows).
+    *
+    * Exact all-pairs at a low threshold is inherently Θ(n²) compute; when the
+    * threshold is high (≳0.8) prefer the sub-quadratic approximate
+    * [[cosinePairsLSH]], whose false negatives vanish as cosine → 1.
     */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = withNorm(vectors, idCol, vecCol, "id_a", "va")
-    val b = withNorm(vectors, idCol, vecCol, "id_b", "vb")
-    a.join(b, col("id_a") < col("id_b"))
+      threshold: Double, numBlocks: Int = 32): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
+      pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("grp"))
+    val left = base
+      .select(col("grp").as("bi"),
+        explode(sequence(col("grp"), lit(numBlocks - 1))).as("bj"),
+        col("id").as("id_l"), col("v").as("vl"), col("nrm").as("nrm_l"))
+    val right = base
+      .select(explode(sequence(lit(0), col("grp"))).as("bi"),
+        col("grp").as("bj"),
+        col("id").as("id_r"), col("v").as("vr"), col("nrm").as("nrm_r"))
+    left.join(right, Seq("bi", "bj"))
+      // diagonal blocks see both orders of an in-group pair (and self-pairs):
+      // keep one; off-diagonal blocks see each cross-group pair exactly once,
+      // in arbitrary id order — normalize to id_a < id_b on output.
+      .where(col("bi") < col("bj") || col("id_l") < col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        (VectorDot(col("vl"), col("vr")) / (col("nrm_l") * col("nrm_r"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Approximate cosine pairs for the high-threshold regime: sign-random-
+    * hyperplane LSH. [[SignBandKeys]] sketches each vector with
+    * numBits Rademacher projections in one pass, packs them into
+    * `bands` band keys, and the band equi-join yields candidates verified
+    * with exact cosine (false positives never escape). Per-band collision
+    * probability for a pair at angle θ is (1−θ/π)^(numBits/bands), so the
+    * miss rate at cosine 0.95 with 128×16 banding is ~1e-4 and falls
+    * super-exponentially toward cosine 1; below ~0.7 recall degrades — use
+    * the exact [[cosinePairs]] grid join there.
+    */
+  def cosinePairsLSH(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numBits: Int = 128, bands: Int = 16): DataFrame = {
+    val bandKeys = vectors.select(col(idCol).as("doc_id"),
+        posexplode(SignBandKeys(col(vecCol), numBits, bands)))
+      .toDF("doc_id", "band", "band_key")
+      .cache()
+    val candidates = bandKeys.as("x").join(bandKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val v = withNorm(vectors, idCol, vecCol, "vid", "vv")
+    candidates
+      .join(v.as("pa"), col("id_a") === col("pa.vid"))
+      .join(v.as("pb"), col("id_b") === col("pb.vid"))
       .select(col("id_a"), col("id_b"),
-        (VectorDot(col("va"), col("vb")) / (col("va_nrm") * col("vb_nrm"))).as("cosine"))
+        (VectorDot(col("pa.vv"), col("pb.vv")) / (col("pa.vv_nrm") * col("pb.vv_nrm"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

@@ -32,6 +32,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "expected map-side partial aggregation")
   }
 
+  test("q_emb_neardup: grid equi-join, never a broadcast nested loop") {
+    val plan = SparkEntry.queries("q_emb_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"),
+      "exact cosine pairs must run as the grid-partitioned equi-join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -171,4 +171,41 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("grid cosinePairs ≡ brute all-pairs on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def toMapped(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        BigDecimal(r.getAs[Double]("cosine")).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .toMap
+    val grid = toMapped(Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, numBlocks = 8))
+    // brute reference: the non-equi self-join the grid path replaced
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val brute = toMapped(a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", (VectorDot($"va", $"vb") /
+        (sqrt(VectorDot($"va", $"va")) * sqrt(VectorDot($"vb", $"vb")))).as("cosine"))
+      .where($"cosine" >= 0.4))
+    assert(grid == brute)
+    assert(grid.nonEmpty)
+  }
+
+  test("sign-LSH cosine pairs: exact precision, near-total recall on planted near-dups") {
+    // planted pairs at cosine ≥ 0.95 (tiny perturbations of base vectors)
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int) = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
+    val bases = (0 until 40).map(_ => unit(64))
+    val rows = bases.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, perturb(v)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosinePairs(df, "vec_id", "embedding", 0.95, numBlocks = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Similarity.cosinePairsLSH(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(exact), "exact verification must kill every false positive")
+    assert(exact.size >= 40, "fixture should plant at least the 40 base/perturbed pairs")
+    assert(lsh.size >= exact.size * 9 / 10, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
 }
