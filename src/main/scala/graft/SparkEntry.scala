@@ -231,11 +231,14 @@ object SparkEntry {
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.95)"), 4).as("p95"))),
 
-    // ——— dedup: near-dup clusters (connected components → canonical doc) ———
-    "q_dedup_clusters" -> ((s, dir) =>
+    // ——— dedup: near-dup clusters (connected components → canonical doc);
+    //     df-capped shingle index (the skew guard the 100 TB join needs) ———
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
       Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.8))),
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.8, maxDocFreq = Some(Dedup.docFreqCap(docs.count()))))
+    }),
 
     // ——— sampling: deterministic content-hash train/val/test split ———
     "q_sample_split" -> ((s, dir) =>
@@ -284,10 +287,15 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq(col("text")))
         .select("doc_id", "n_copies")),
 
-    // ——— dedup: exact n-gram Jaccard via shingle inverted-index join ———
-    "q_dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
+    // ——— dedup: exact n-gram Jaccard via shingle inverted-index join, with
+    //     the corpus-relative stop-shingle cap active (one viral shingle
+    //     would otherwise own the self-join shuffle at scale) ———
+    "q_dedup_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+          maxDocFreq = Some(Dedup.docFreqCap(docs.count())))
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
 
     // ——— dedup: MinHash+LSH with exact verification, at its design
     //     threshold 0.8 (near-dup regime: band-miss probability ≈ 5e-8;
@@ -509,11 +517,14 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
+      """WITH RECURSIVE sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
         |  WHERE len(w) >= 3),
+        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+        |  SELECT shingle FROM sh0 GROUP BY shingle
+        |  HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 200))),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -584,8 +595,8 @@ object SparkEntry {
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
 
-    "q_dedup_ngram" -> jaccardOracle(0.5),
-    "q_dedup_minhash" -> jaccardOracle(0.8),
+    "q_dedup_ngram" -> jaccardOracle(0.5, capped = true),
+    "q_dedup_minhash" -> jaccardOracle(0.8, capped = false),
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
@@ -635,16 +646,29 @@ object SparkEntry {
         |FROM (SELECT doc_id, n_chars % 16 + 1 AS n FROM documents)""".stripMargin
   )
 
-  /** Shared oracle for q_dedup_ngram (≥0.5) / q_dedup_minhash (≥0.8): both
-    * compute an exact Jaccard pair set (minhash+LSH verifies candidates
-    * exactly; at its 0.8 design threshold an all-band miss is ~5e-8).
+  /** Shared oracle for q_dedup_ngram (≥0.5, df-capped) / q_dedup_minhash
+    * (≥0.8, uncapped): both compute an exact Jaccard pair set (minhash+LSH
+    * verifies candidates exactly; at its 0.8 design threshold an all-band
+    * miss is ~5e-8). `capped` mirrors [[Dedup.docFreqCap]]: shingles in more
+    * than greatest(5, nDocs/200) docs are dropped from the index.
     */
-  private def jaccardOracle(threshold: Double) =
-    s"""WITH sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
-      |  WHERE len(w) >= 3),
+  private def jaccardOracle(threshold: Double, capped: Boolean) = {
+    val shCte = if (capped)
+      """sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+        |  SELECT shingle FROM sh0 GROUP BY shingle
+        |  HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 200)))""".stripMargin
+    else
+      """sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3)""".stripMargin
+    s"""WITH $shCte,
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -652,4 +676,5 @@ object SparkEntry {
       |SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
       |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
       |WHERE i * 1.0 / (x.n + y.n - i) >= $threshold""".stripMargin
+  }
 }

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed for
@@ -23,7 +22,13 @@ object Dedup {
     df.groupBy(keyCols: _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** doc → exploded distinct word n-gram shingles. */
+  /** doc → exploded distinct word n-gram shingles. With a document-frequency
+    * cap, the ultra-common shingles (stopword runs — the keys whose df² terms
+    * make the inverted-index self-join quadratic at scale) are removed via a
+    * broadcast anti-join against the hot-shingle list: the hot set is tiny by
+    * construction (df > cap), so the filter is a map-side hash probe — no
+    * global sort/window over the full index.
+    */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
       maxDocFreq: Option[Long]): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
@@ -31,12 +36,18 @@ object Dedup {
     maxDocFreq match {
       case None => sh
       case Some(cap) =>
-        // drop ultra-common shingles (stopword runs): bounded skew for the
-        // self-join at scale; a Window count avoids a second scan.
-        val w = Window.partitionBy("shingle")
-        sh.withColumn("df", count(lit(1)).over(w)).where(col("df") <= cap).drop("df")
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
   }
+
+  /** Corpus-relative document-frequency cap for [[ngramJaccardPairs]]:
+    * 0.5% of the corpus, floored at 5 so tiny corpora keep their legitimate
+    * repeats. Integer arithmetic (`nDocs / 200`) so the DuckDB oracle mirrors
+    * it exactly (`greatest(5, count(*) // 200)`).
+    */
+  def docFreqCap(nDocs: Long): Long = math.max(5L, nDocs / 200L)
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
     * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
@@ -113,19 +124,15 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash signature per doc. Bit i votes +1/−1 per token whose
-    * portable hash has bit i set; signature bit = sign of the tally. Uses the
-    * oracle-portable hash so DuckDB can mirror the exact signatures.
+  /** 32-bit SimHash signature per doc, via the single-pass [[SimHashSig]]
+    * expression — a narrow projection inside the scan, no row inflation, no
+    * aggregation shuffle. Uses the oracle-portable md5-prefix hash so DuckDB
+    * can mirror the exact signatures.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), HashFunctions.portableHash64(col("tok")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(expr("(shiftright(h, bit) & 1)") === 1, 1).otherwise(-1)).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+        SimHashSig(TextAnalysis.tokens(col(textCol))).as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist (≤ 3 for exact
     * recall under 4-byte banding: 3 flipped bits cannot hit all 4 bands).

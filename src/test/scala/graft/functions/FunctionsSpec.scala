@@ -110,6 +110,25 @@ class FunctionsSpec extends SparkSpec {
     assert(run(Dedup.connectedComponents(pairs, driverSideEdgeLimit = 2)) == expected)
   }
 
+  test("SimHashSig expression ≡ the exploded vote pipeline") {
+    val texts = Seq((0L, "a b c d e a b c"), (1L, "  x   y\nz  "), (2L, "one"),
+      (3L, "the quick brown fox the quick brown fox"), (4L, ""))
+      .toDF("doc_id", "text")
+    val viaExpr = Dedup.simhashSignatures(texts, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExplode = texts
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
+      .select($"doc_id", HashFunctions.portableHash64($"tok").as("h"))
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(shiftright(h, bit) & 1)") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when($"vote" > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaExplode)
+    assert(viaExpr.contains(4L)) // empty text still tokenizes to [""] and signs
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, distinct docs far") {
     val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
