@@ -140,19 +140,22 @@ object SparkEntry {
         .select("user_id", "event_id", "event_type")
     }),
 
-    // ——— A7/W4: span-name store → service-name enumeration ———
+    // ——— A7/W4: span-name store → service-name enumeration (relational
+    //     store build off the events projection — no window, no Span objects) ———
     "q_w4_service_names" -> ((s, dir) =>
-      TraceQueries.serviceNames(SpanPipeline.spanNames(eventSpans(s, dir)))),
+      TraceQueries.serviceNames(
+        SpanPipeline.spanNamesRelational(EventSpans.spanFields(events(s, dir))))),
 
     // ——— A8/W4: remote-service-name store, exploded ———
     "q_w4_remote_names" -> ((s, dir) =>
-      SpanPipeline.remoteServiceNames(eventSpans(s, dir))
+      SpanPipeline.remoteServiceNamesRelational(EventSpans.spanFields(events(s, dir)))
         .select(col("service"), explode(col("remote_service_names")).as("remote_service"))),
 
     // ——— A8/W4: autocomplete tag values for configured keys ———
     "q_a8_autocomplete" -> ((s, dir) =>
       TraceQueries.autocompleteValues(
-        SpanPipeline.autocompleteTags(eventSpans(s, dir), Seq("k")), "k")),
+        SpanPipeline.autocompleteTagsRelational(
+          EventSpans.spanFields(events(s, dir)), Seq("k")), "k")),
 
     // ——— J-class joins (SURVEY §2.5; broadcast dims, semi/anti) ———
     "q_join_revenue" -> ((s, dir) => {

@@ -55,33 +55,53 @@ object SpanPipeline {
       .groupBy("window_start_ms", "parent", "child")
       .agg(sum("call_count").as("call_count"), sum("error_count").as("error_count"))
 
-  /** Span names per service (SURVEY §2.4 A7 — implementing the evident
-    * intent, `collect_set`, not the reference's drop-on-existing-window bug
-    * at TraceStorageTopology.java:175-179).
+  /** Span-projection schema the name stores aggregate over: `service`,
+    * `name`, `remote_service`, `tags MAP<STRING,STRING>`. The typed builders
+    * below project `Dataset[Span]` onto it; sources whose span fields are
+    * derivable as pure columns (e.g. [[graft.sources.EventSpans.spanFields]])
+    * feed the `...Relational` variants directly, so the stores build inside
+    * the scan's codegen loop with no Span object construction.
     */
-  def spanNames(spans: Dataset[Span]): DataFrame =
-    spans.toDF()
-      .select(col("local_endpoint.service_name").as("service"), col("name"))
+  private def projected(spans: Dataset[Span]): DataFrame =
+    spans.toDF().select(
+      col("local_endpoint.service_name").as("service"), col("name"),
+      col("remote_endpoint.service_name").as("remote_service"), col("tags"))
+
+  /** Span names per service over the span projection (SURVEY §2.4 A7 —
+    * implementing the evident intent, `collect_set`, not the reference's
+    * drop-on-existing-window bug at TraceStorageTopology.java:175-179).
+    */
+  def spanNamesRelational(spanFields: DataFrame): DataFrame =
+    spanFields
+      .select(col("service"), col("name"))
       .where(col("service").isNotNull && col("name").isNotNull)
       .groupBy("service").agg(sort_array(collect_set("name")).as("span_names"))
+
+  def spanNames(spans: Dataset[Span]): DataFrame =
+    spanNamesRelational(projected(spans))
 
   /** Remote service names per service (SURVEY §2.4 A8;
     * TraceStorageTopology.java:187-205).
     */
-  def remoteServiceNames(spans: Dataset[Span]): DataFrame =
-    spans.toDF()
-      .select(col("local_endpoint.service_name").as("service"),
-        col("remote_endpoint.service_name").as("remote_service"))
+  def remoteServiceNamesRelational(spanFields: DataFrame): DataFrame =
+    spanFields
+      .select(col("service"), col("remote_service"))
       .where(col("service").isNotNull && col("remote_service").isNotNull)
       .groupBy("service").agg(sort_array(collect_set("remote_service")).as("remote_service_names"))
+
+  def remoteServiceNames(spans: Dataset[Span]): DataFrame =
+    remoteServiceNamesRelational(projected(spans))
 
   /** Autocomplete tag values for the configured keys (SURVEY §2.4 A8;
     * TraceStorageTopology.java:207-228, keys config KafkaStorage.java:61).
     */
-  def autocompleteTags(spans: Dataset[Span], keys: Seq[String]): DataFrame =
-    spans.toDF()
+  def autocompleteTagsRelational(spanFields: DataFrame, keys: Seq[String]): DataFrame =
+    spanFields
       .select(explode(map_entries(col("tags"))).as("kv"))
       .select(col("kv.key").as("tag_key"), col("kv.value").as("tag_value"))
       .where(col("tag_key").isin(keys: _*) && col("tag_value").isNotNull)
       .groupBy("tag_key").agg(sort_array(collect_set("tag_value")).as("values"))
+
+  def autocompleteTags(spans: Dataset[Span], keys: Seq[String]): DataFrame =
+    autocompleteTagsRelational(projected(spans), keys)
 }

@@ -117,6 +117,27 @@ object EventSpans {
       tags = (if (e._3 == "error") Map("error" -> "") else Map.empty[String, String]) ++ kTag)
   }
 
+  /** Relational span projection of the events adapter — the [[toSpan]] field
+    * mapping (service/name = event_type, remote service = previous event's
+    * type, "error"/"k" tags) as pure columns over [[sessionized]], feeding
+    * the `...Relational` store builders in
+    * [[graft.operators.SpanPipeline]]. No Span construction, no typed
+    * encode/decode; stores that don't read `remote_service` never pay the
+    * sessionization windows either (Catalyst prunes the unreferenced window
+    * expressions out of the plan).
+    */
+  def spanFields(events: DataFrame): DataFrame =
+    sessionized(events).select(
+      col("event_type").as("service"),
+      col("event_type").as("name"),
+      col("parent_type").as("remote_service"),
+      map_concat(
+        when(col("event_type") === "error", map(lit("error"), lit("")))
+          .otherwise(map()),
+        when(get_json_object(col("props"), "$.k").isNotNull,
+          map(lit("k"), get_json_object(col("props"), "$.k")))
+          .otherwise(map())).as("tags"))
+
   /** events → Dataset[Span] chains per (user, session). */
   def spans(spark: SparkSession, events: DataFrame): Dataset[Span] = {
     import spark.implicits._

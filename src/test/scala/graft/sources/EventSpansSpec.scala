@@ -46,6 +46,24 @@ class EventSpansSpec extends SparkSpec {
     assert(fusedSessions == sessionWindowSessions)
   }
 
+  test("relational spanFields stores ≡ typed Span-path stores") {
+    val typedSpans = EventSpans.spans(spark, events)
+    val fields = EventSpans.spanFields(events)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSet
+    assert(rows(SpanPipeline.spanNamesRelational(fields)) ==
+      rows(SpanPipeline.spanNames(typedSpans)))
+    assert(rows(SpanPipeline.remoteServiceNamesRelational(fields)) ==
+      rows(SpanPipeline.remoteServiceNames(typedSpans)))
+    assert(rows(SpanPipeline.autocompleteTagsRelational(fields, Seq("k"))) ==
+      rows(SpanPipeline.autocompleteTags(typedSpans, Seq("k"))))
+  }
+
+  test("stores that skip remote_service never pay the sessionization windows") {
+    val plan = SpanPipeline.spanNamesRelational(EventSpans.spanFields(events))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"window survived pruning:\n$plan")
+  }
+
   test("sessions split at the 30-minute gap and chain within") {
     val traces = EventSpans.sessionTraces(spark, events).collect()
     assert(traces.nonEmpty)
