@@ -157,6 +157,36 @@ object SparkEntry {
         SpanPipeline.autocompleteTagsRelational(
           EventSpans.spanFields(events(s, dir)), Seq("k")), "k")),
 
+    // ——— J4/A9/A6: getTraceMany through a store with at-least-once
+    //     redelivery — duplicate store rows MUST collapse at read via
+    //     TraceMerge (reference KafkaStorageHttpService.java:268-290).
+    //     Store ids are ingest-normalized, request ids query-normalized. ———
+    "q_j4_trace_many" -> ((s, dir) => {
+      import s.implicits._
+      val tr = eventTraces(s, dir).toDF()
+        .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
+      val store = tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace]
+      TraceQueries.getTraceMany(store,
+          (1 to 8).flatMap(u => Seq(s"$u:1", s"$u:2")))
+        .toDF()
+        .select(col("trace_id"), explode(col("spans")).as("sp"))
+        .select(col("trace_id"), col("sp.id").as("span_id"),
+          col("sp.name").as("name"), expr("sp.timestamp DIV 1000").as("ts_ms"))
+    }),
+
+    // ——— W4: span names for one service (KafkaStorageHttpService.java:125-133) ———
+    "q_w4_span_names" -> ((s, dir) =>
+      TraceQueries.spanNames(
+        SpanPipeline.spanNamesRelational(EventSpans.spanFields(events(s, dir))),
+        "purchase")),
+
+    // ——— A8/W4: autocomplete keys present in the store
+    //     (KafkaStorageHttpService.java:292-309) ———
+    "q_a8_autocomplete_keys" -> ((s, dir) =>
+      TraceQueries.autocompleteKeys(
+        SpanPipeline.autocompleteTagsRelational(
+          EventSpans.spanFields(events(s, dir)), Seq("error", "k")))),
+
     // ——— J-class joins (SURVEY §2.5; broadcast dims, semi/anti) ———
     "q_join_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -464,6 +494,25 @@ object SparkEntry {
     "q_a8_autocomplete" ->
       """SELECT DISTINCT json_extract_string(props, '$.k') AS value
         |FROM events WHERE props IS NOT NULL ORDER BY value LIMIT 1000""".stripMargin,
+
+    "q_j4_trace_many" -> (SessionCtes +
+      """
+        |SELECT lpad(concat(user_id, ':', session_id), 16, '0') AS trace_id,
+        |       CAST(event_id AS VARCHAR) AS span_id, event_type AS name,
+        |       ts_us//1000 AS ts_ms
+        |FROM s WHERE user_id BETWEEN 1 AND 8 AND session_id IN (1, 2)""".stripMargin),
+
+    "q_w4_span_names" ->
+      """SELECT DISTINCT event_type AS span_name FROM events
+        |WHERE event_type = 'purchase' ORDER BY span_name LIMIT 1000""".stripMargin,
+
+    "q_a8_autocomplete_keys" ->
+      """SELECT tag_key FROM (
+        |  SELECT DISTINCT 'error' AS tag_key FROM events WHERE event_type = 'error'
+        |  UNION
+        |  SELECT DISTINCT 'k' AS tag_key FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+        |ORDER BY tag_key LIMIT 1000""".stripMargin,
 
     "q_join_revenue" ->
       """SELECT r_name, n_name,
