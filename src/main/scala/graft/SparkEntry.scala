@@ -361,6 +361,25 @@ object SparkEntry {
           col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // ——— similarity: IVF quality gate — recall@5 vs the exact baseline,
+    //     computed in-engine; the oracle pins the ≥0.9 floor as a constant,
+    //     so the driver goes red iff recall drops below target ———
+    "q_ann_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id")
+      // these embeddings are weakly clustered (near-random directions), so
+      // hitting recall 0.9 takes probing half the cells — measured 0.96 at
+      // sf0.01 and 1.0 at sf0.1; tighter corpora get away with fewer probes
+      val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 8)
+        .select("query_id", "corpus_id")
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .agg((count(lit(1)) / lit(50.0)).as("recall"))
+        .select(lit("recall_at_5").as("metric"), (col("recall") >= 0.9).as("meets_target"))
+    }),
+
     // ——— similarity: embedding cosine near-dup pairs ———
     "q_emb_neardup" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
@@ -682,6 +701,11 @@ object SparkEntry {
         |       round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6) AS cosine
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    // constant oracle: the recall itself is computed in-engine against the
+    // exact baseline; hash-match == "recall@5 >= 0.9 held on this corpus"
+    "q_ann_ivf_recall" ->
+      "SELECT 'recall_at_5' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
 
     "q_mm_features" ->
       """SELECT doc_id AS media_id,

