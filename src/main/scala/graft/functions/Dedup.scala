@@ -160,35 +160,55 @@ object Dedup {
     *
     * The pair set is by construction the near-duplicate FRACTION of the
     * corpus — even at 100 TB it is typically small enough for a driver-side
-    * union-find (an edge is 16 bytes; the default cap admits ~160 MB).
-    * Below the cap: collect + union-find (milliseconds, no iterative jobs).
-    * Above it: distributed min-label propagation
+    * union-find. Edges stream into primitive long arrays via
+    * `toLocalIterator` (one partition buffered at a time — never a boxed
+    * all-edges array), and the union-find itself is index-based over
+    * primitive arrays, so driver heap is ~40 B per edge at the cap
+    * (2 × 8 B edge ends + sorted node table + int parents) ≈ 80 MB at the
+    * default 2 M-edge cap. Above the cap: distributed min-label propagation
     * ([[connectedComponentsDistributed]]).
     */
   def connectedComponents(pairs: DataFrame,
-      driverSideEdgeLimit: Int = 10_000_000): DataFrame = {
+      driverSideEdgeLimit: Int = 2_000_000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .as[(Long, Long)].take(driverSideEdgeLimit + 1)
-    if (edges.length > driverSideEdgeLimit)
-      return connectedComponentsDistributed(pairs)
-    // union-find with path compression; canonical = component minimum
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+    val it = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].toLocalIterator()
+    val aB = new scala.collection.mutable.ArrayBuilder.ofLong
+    val bB = new scala.collection.mutable.ArrayBuilder.ofLong
+    var n = 0
+    while (it.hasNext && n <= driverSideEdgeLimit) {
+      val (a, b) = it.next()
+      aB += a; bB += b; n += 1
+    }
+    if (n > driverSideEdgeLimit) return connectedComponentsDistributed(pairs)
+    val ea = aB.result(); val eb = bB.result()
+    // sorted distinct node table; union-find runs over int indices into it
+    val nodes = {
+      val all = new Array[Long](2 * n)
+      System.arraycopy(ea, 0, all, 0, n); System.arraycopy(eb, 0, all, n, n)
+      java.util.Arrays.sort(all)
+      var w = 0
+      for (i <- all.indices)
+        if (i == 0 || all(i) != all(i - 1)) { all(w) = all(i); w += 1 }
+      java.util.Arrays.copyOf(all, w)
+    }
+    def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val parent = Array.tabulate(nodes.length)(identity)
+    def find(x: Int): Int = {
       var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      while (parent(r) != r) r = parent(r)
       var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    for ((a, b) <- edges) {
-      parent.getOrElseUpdate(a, a)
-      parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
+    for (i <- 0 until n) {
+      val (ra, rb) = (find(idx(ea(i))), find(idx(eb(i))))
+      // nodes is id-sorted, so the smaller index IS the smaller doc id:
+      // rooting at min(ra, rb) makes every root the component's minimum
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val labels = parent.keysIterator.map(d => (d, find(d))).toSeq
+    val labels = nodes.indices.map(i => (nodes(i), nodes(find(i))))
     spark.createDataset(labels).toDF("doc_id", "canonical_id")
   }
 
@@ -203,6 +223,12 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("canonical_id", col("doc_id")).cache()
+    // convergence via a label-set checksum: labels only ever decrease, so
+    // the xor-of-hashes fingerprint is stable iff no label moved — one agg
+    // job over the (cached) next round, no extra join+count per round
+    def checksum(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(doc_id, canonical_id))")).first().getLong(0)
+    var chk = checksum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -213,11 +239,11 @@ object Dedup {
       val next = labels.union(viaNeighbors)
         .groupBy("doc_id").agg(min("canonical_id").as("canonical_id"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
-        .where(col("canonical_id") =!= col("old")).limit(1).count()
+      val nextChk = checksum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextChk == chk
+      chk = nextChk
       i += 1
     }
     labels
