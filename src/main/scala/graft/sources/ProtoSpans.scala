@@ -1,0 +1,282 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import graft.model.{Annotation, Endpoint, Span}
+import graft.streaming.SpanEnvelope
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Zipkin proto3 wire codec for span lists — the reference's actual Kafka
+  * value format (storage/.../streams/serdes/SpansSerde.java:28-35 decodes
+  * `SpanBytesDecoder.PROTO3`). Field numbers and types follow the PUBLIC
+  * zipkin-api schema (zipkin.proto3: `ListOfSpans { repeated Span spans=1 }`;
+  * `Span { trace_id=1 parent_id=2 id=3 kind=4 name=5 timestamp=6(fixed64)
+  * duration=7 local_endpoint=8 remote_endpoint=9 annotations=10 tags=11(map)
+  * debug=12 shared=13 }`; `Endpoint { service_name=1 ipv4=2 ipv6=3 port=4 }`;
+  * `Annotation { timestamp=1(fixed64) value=2 }`).
+  *
+  * Hand-rolled varint/fixed64/len-delimited framing — no protobuf runtime
+  * dependency. Unknown fields are skipped by wire type, so spans produced by
+  * newer writers still decode. proto3 cannot represent an explicit `false`
+  * (absent == default), so `Some(false)` flags round-trip to `None` — the
+  * same collapse every proto3 zipkin consumer applies.
+  */
+object ProtoSpans {
+
+  // ——— decoding ———
+
+  /** Decode a `ListOfSpans` payload (one Kafka record value). Ids arrive as
+    * big-endian bytes and surface as canonical lowercase hex — already in
+    * [[graft.model.Spans.normalizeTraceId]] form for 8/16-byte ids.
+    */
+  def decodeList(bytes: Array[Byte]): Seq[Span] = {
+    val in = new Reader(bytes, 0, bytes.length)
+    val spans = Seq.newBuilder[Span]
+    while (in.hasRemaining) {
+      val (field, wire) = in.readTag()
+      if (field == 1 && wire == 2) spans += decodeSpan(in.readSlice())
+      else in.skip(wire)
+    }
+    spans.result()
+  }
+
+  private def decodeSpan(in: Reader): Span = {
+    var span = Span(trace_id = "")
+    val anns = Seq.newBuilder[Annotation]
+    val tags = Map.newBuilder[String, String]
+    while (in.hasRemaining) {
+      val (field, wire) = in.readTag()
+      (field, wire) match {
+        case (1, 2) => span = span.copy(trace_id = hex(in.readBytes()))
+        case (2, 2) => span = span.copy(parent_id = Some(hex(in.readBytes())))
+        case (3, 2) => span = span.copy(id = hex(in.readBytes()))
+        case (4, 0) => span = span.copy(kind = kindName(in.readVarint()))
+        case (5, 2) => span = span.copy(name = Some(in.readString()))
+        case (6, 1) => span = span.copy(timestamp = Some(in.readFixed64()))
+        case (7, 0) => span = span.copy(duration = Some(in.readVarint()))
+        case (8, 2) => span = span.copy(local_endpoint = Some(decodeEndpoint(in.readSlice())))
+        case (9, 2) => span = span.copy(remote_endpoint = Some(decodeEndpoint(in.readSlice())))
+        case (10, 2) => anns += decodeAnnotation(in.readSlice())
+        case (11, 2) => tags += decodeMapEntry(in.readSlice())
+        case (12, 0) => span = span.copy(debug = boolOpt(in.readVarint()))
+        case (13, 0) => span = span.copy(shared = boolOpt(in.readVarint()))
+        case (_, w) => in.skip(w)
+      }
+    }
+    span.copy(annotations = anns.result(), tags = tags.result())
+  }
+
+  private def decodeEndpoint(in: Reader): Endpoint = {
+    var ep = Endpoint()
+    while (in.hasRemaining) {
+      val (field, wire) = in.readTag()
+      (field, wire) match {
+        case (1, 2) => ep = ep.copy(service_name = Some(in.readString()))
+        case (2, 2) => ep = ep.copy(ipv4 = Some(ipString(in.readBytes())))
+        case (3, 2) => ep = ep.copy(ipv6 = Some(ipString(in.readBytes())))
+        case (4, 0) => ep = ep.copy(port = Some(in.readVarint().toInt))
+        case (_, w) => in.skip(w)
+      }
+    }
+    ep
+  }
+
+  private def decodeAnnotation(in: Reader): Annotation = {
+    var (ts, value) = (0L, "")
+    while (in.hasRemaining) {
+      val (field, wire) = in.readTag()
+      (field, wire) match {
+        case (1, 1) => ts = in.readFixed64()
+        case (2, 2) => value = in.readString()
+        case (_, w) => in.skip(w)
+      }
+    }
+    Annotation(ts, value)
+  }
+
+  private def decodeMapEntry(in: Reader): (String, String) = {
+    var (k, v) = ("", "")
+    while (in.hasRemaining) {
+      val (field, wire) = in.readTag()
+      (field, wire) match {
+        case (1, 2) => k = in.readString()
+        case (2, 2) => v = in.readString()
+        case (_, w) => in.skip(w)
+      }
+    }
+    k -> v
+  }
+
+  private def kindName(v: Long): Option[String] = v match {
+    case 1 => Some("CLIENT")
+    case 2 => Some("SERVER")
+    case 3 => Some("PRODUCER")
+    case 4 => Some("CONSUMER")
+    case _ => None // 0 = SPAN_KIND_UNSPECIFIED; forward-compat for unknowns
+  }
+
+  private def boolOpt(v: Long): Option[Boolean] = if (v != 0) Some(true) else None
+
+  private def hex(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length * 2)
+    for (x <- b) sb.append(f"${x & 0xff}%02x")
+    sb.toString
+  }
+
+  private def ipString(b: Array[Byte]): String =
+    java.net.InetAddress.getByAddress(b).getHostAddress
+
+  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasRemaining: Boolean = pos < end
+    def readTag(): (Int, Int) = { val t = readVarint(); ((t >>> 3).toInt, (t & 7).toInt) }
+    def readVarint(): Long = {
+      var (shift, v) = (0, 0L)
+      var b = 0
+      do {
+        b = buf(pos) & 0xff; pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+    def readFixed64(): Long = {
+      var v = 0L
+      for (i <- 0 until 8) v |= (buf(pos + i) & 0xffL) << (8 * i)
+      pos += 8
+      v
+    }
+    def readBytes(): Array[Byte] = {
+      val len = readVarint().toInt
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+      pos += len
+      out
+    }
+    def readString(): String = new String(readBytes(), "UTF-8")
+    def readSlice(): Reader = {
+      val len = readVarint().toInt
+      val r = new Reader(buf, pos, pos + len)
+      pos += len
+      r
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => readVarint()
+      case 1 => pos += 8
+      case 2 => pos += readVarint().toInt
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+  }
+
+  // ——— encoding (fixtures, sinks, round-trip tests) ———
+
+  def encodeList(spans: Seq[Span]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    for (s <- spans) writeLenDelimited(out, 1, encodeSpan(s))
+    out.toByteArray
+  }
+
+  private def encodeSpan(s: Span): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeLenDelimited(out, 1, hexBytes(s.trace_id))
+    s.parent_id.foreach(p => writeLenDelimited(out, 2, hexBytes(p)))
+    if (s.id.nonEmpty) writeLenDelimited(out, 3, hexBytes(s.id))
+    s.kind.flatMap(kindNum).foreach(k => writeVarintField(out, 4, k))
+    s.name.foreach(n => writeLenDelimited(out, 5, n.getBytes("UTF-8")))
+    s.timestamp.foreach(t => writeFixed64Field(out, 6, t))
+    s.duration.foreach(d => writeVarintField(out, 7, d))
+    s.local_endpoint.foreach(e => writeLenDelimited(out, 8, encodeEndpoint(e)))
+    s.remote_endpoint.foreach(e => writeLenDelimited(out, 9, encodeEndpoint(e)))
+    for (a <- s.annotations) {
+      val ab = new ByteArrayOutputStream()
+      writeFixed64Field(ab, 1, a.timestamp)
+      writeLenDelimited(ab, 2, a.value.getBytes("UTF-8"))
+      writeLenDelimited(out, 10, ab.toByteArray)
+    }
+    for ((k, v) <- s.tags) {
+      val kb = new ByteArrayOutputStream()
+      writeLenDelimited(kb, 1, k.getBytes("UTF-8"))
+      writeLenDelimited(kb, 2, v.getBytes("UTF-8"))
+      writeLenDelimited(out, 11, kb.toByteArray)
+    }
+    if (s.debug.contains(true)) writeVarintField(out, 12, 1L)
+    if (s.isShared) writeVarintField(out, 13, 1L)
+    out.toByteArray
+  }
+
+  private def encodeEndpoint(e: Endpoint): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    e.service_name.foreach(n => writeLenDelimited(out, 1, n.getBytes("UTF-8")))
+    e.ipv4.foreach(ip => writeLenDelimited(out, 2, ipBytes(ip)))
+    e.ipv6.foreach(ip => writeLenDelimited(out, 3, ipBytes(ip)))
+    e.port.foreach(p => writeVarintField(out, 4, p.toLong))
+    out.toByteArray
+  }
+
+  private def kindNum(k: String): Option[Long] = k match {
+    case "CLIENT" => Some(1L)
+    case "SERVER" => Some(2L)
+    case "PRODUCER" => Some(3L)
+    case "CONSUMER" => Some(4L)
+    case _ => None
+  }
+
+  private def hexBytes(hex: String): Array[Byte] = {
+    val padded = if (hex.length % 2 == 0) hex else "0" + hex
+    val out = new Array[Byte](padded.length / 2)
+    for (i <- out.indices)
+      out(i) = Integer.parseInt(padded.substring(2 * i, 2 * i + 2), 16).toByte
+    out
+  }
+
+  private def ipBytes(ip: String): Array[Byte] =
+    java.net.InetAddress.getByName(ip).getAddress
+
+  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def writeVarintField(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
+    writeVarint(out, (field.toLong << 3) | 0)
+    writeVarint(out, v)
+  }
+
+  private def writeFixed64Field(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
+    writeVarint(out, (field.toLong << 3) | 1)
+    for (i <- 0 until 8) out.write(((v >>> (8 * i)) & 0xff).toInt)
+  }
+
+  private def writeLenDelimited(out: ByteArrayOutputStream, field: Int,
+      body: Array[Byte]): Unit = {
+    writeVarint(out, (field.toLong << 3) | 2)
+    writeVarint(out, body.length.toLong)
+    out.write(body)
+  }
+
+  // ——— Spark plumbing ———
+
+  /** (timestamp, value BINARY) rows → span envelopes, works on any batch or
+    * streaming DataFrame with those columns (Kafka's exact shape). The
+    * row-at-a-time flatMap is fine here: decode is the ingest boundary and
+    * the payload is opaque bytes — there is no columnar shortcut to skip.
+    */
+  def envelopes(df: DataFrame): Dataset[SpanEnvelope] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("timestamp"), col("value"))
+      .as[(java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (ts, bytes) => decodeList(bytes).map(SpanEnvelope(ts, _)) }
+  }
+
+  /** S2 variant: Kafka spans topic carrying proto3 `ListOfSpans` values —
+    * the reference's native wire format (SpansSerde.java:28-35).
+    */
+  def fromKafkaProto(spark: SparkSession, bootstrapServers: String,
+      topic: String = "zipkin-spans"): Dataset[SpanEnvelope] =
+    envelopes(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load())
+}

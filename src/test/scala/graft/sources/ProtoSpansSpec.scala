@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.model.{Annotation, Endpoint, Span, Spans}
+
+class ProtoSpansSpec extends SparkSpec {
+
+  private val fixture = Seq(
+    Span(
+      trace_id = "000000000000004d00000000000001bc",
+      parent_id = Some("00000000000001bc"),
+      id = "00000000000001bd",
+      kind = Some("SERVER"),
+      name = Some("get /api"),
+      timestamp = Some(1472470996199000L),
+      duration = Some(207000L),
+      local_endpoint = Some(Endpoint(Some("backend"), Some("192.168.99.101"), None, Some(9000))),
+      remote_endpoint = Some(Endpoint(None, Some("172.19.0.2"), None, Some(58648))),
+      annotations = Seq(Annotation(1472470996238000L, "foo"), Annotation(1472470996403000L, "bar")),
+      tags = Map("http.path" -> "/api", "clnt/finagle.version" -> "6.45.0"),
+      shared = Some(true)),
+    Span(
+      trace_id = "00000000000004d2",
+      id = "00000000000004d3",
+      kind = Some("CLIENT"),
+      name = Some("query"),
+      timestamp = Some(1472470996100000L),
+      duration = Some(9000L),
+      local_endpoint = Some(Endpoint(Some("frontend"), None, None, None)),
+      debug = Some(true)),
+    // minimal span: ids only
+    Span(trace_id = "00000000000004d2", id = "00000000000004d4"))
+
+  test("proto3 round-trip: encode → decode is the identity on canonical spans") {
+    val bytes = ProtoSpans.encodeList(fixture)
+    assert(ProtoSpans.decodeList(bytes) == fixture)
+  }
+
+  test("proto3 decode matches the JSON_V2 decode path on the same spans") {
+    val json = Seq(
+      """{"trace_id":"000000000000004d00000000000001bc","parent_id":"00000000000001bc","id":"00000000000001bd","kind":"SERVER","name":"get /api","timestamp":1472470996199000,"duration":207000,"local_endpoint":{"service_name":"backend","ipv4":"192.168.99.101","port":9000},"remote_endpoint":{"ipv4":"172.19.0.2","port":58648},"annotations":[{"timestamp":1472470996238000,"value":"foo"},{"timestamp":1472470996403000,"value":"bar"}],"tags":{"http.path":"/api","clnt/finagle.version":"6.45.0"},"shared":true}""",
+      """{"trace_id":"00000000000004d2","id":"00000000000004d3","kind":"CLIENT","name":"query","timestamp":1472470996100000,"duration":9000,"local_endpoint":{"service_name":"frontend"},"debug":true}""",
+      """{"trace_id":"00000000000004d2","id":"00000000000004d4"}""")
+    val dir = Files.createTempDirectory("proto-json").toFile
+    Files.write(new java.io.File(dir, "spans.json").toPath,
+      json.mkString("\n").getBytes("UTF-8"))
+    val viaJson = Spans.readJson(spark, dir.getAbsolutePath).collect().toSet
+    val viaProto = ProtoSpans.decodeList(ProtoSpans.encodeList(fixture)).toSet
+    assert(viaProto == viaJson)
+  }
+
+  test("unknown fields are skipped by wire type") {
+    // span body: trace_id=0x01, then unknown fields a newer writer might add
+    val span = Array[Byte](
+      0x0a, 8, 0, 0, 0, 0, 0, 0, 0, 1,    // field 1, wire 2, len 8
+      0x98.toByte, 0x06, 0x07,             // field 99, wire 0 (tag 792 = [0x98 0x06]), value 7
+      0x72, 3, 'x', 'y', 'z',              // field 14, wire 2, len 3
+      0x79, 1, 2, 3, 4, 5, 6, 7, 8)       // field 15, wire 1 (fixed64)
+    val list = Array[Byte](0x0a, span.length.toByte) ++ span
+    assert(ProtoSpans.decodeList(list) == Seq(Span(trace_id = "0000000000000001")))
+  }
+
+  test("envelopes: (timestamp, value) rows decode to one envelope per span") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val df = Seq((ts, ProtoSpans.encodeList(fixture))).toDF("timestamp", "value")
+    val got = ProtoSpans.envelopes(df).collect()
+    assert(got.length == fixture.length)
+    assert(got.map(_.span).toSet == fixture.toSet)
+    assert(got.forall(_.ingest_ts == ts))
+  }
+}
