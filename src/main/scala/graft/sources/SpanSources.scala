@@ -1,11 +1,11 @@
 package graft.sources
 
 import graft.model.{Span, Spans}
-import graft.streaming.SpanEnvelope
+import graft.streaming.{LinkEvent, SpanEnvelope}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.types.ArrayType
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** Span sources/sinks (SURVEY §2.1 S1-S5).
   *
@@ -81,4 +81,65 @@ object SpanSources {
   /** Batch JSON_V2 span lines (fixtures, backfills). */
   def fromJson(spark: SparkSession, path: String): Dataset[Span] =
     Spans.readJson(spark, path)
+
+  // ——— S3/S4: the dependency-link topic between the two topologies ———
+  // The reference hands links from SpanAggregationTopology (producer,
+  // SpanAggregationTopology.java:94-96) to DependencyStorageTopology
+  // (consumer, DependencyStorageTopology.java:68) over `zipkin-dependency`,
+  // values as zipkin DependencyLink JSON (DependencyLinkSerde). Same record
+  // shape here: {"parent","child","callCount","errorCount"} + the record's
+  // event time.
+
+  private val linkHandoffSchema = StructType(Seq(
+    StructField("event_ts", TimestampType, nullable = false),
+    StructField("parent", StringType, nullable = false),
+    StructField("child", StringType, nullable = false),
+    StructField("callCount", LongType, nullable = false),
+    StructField("errorCount", LongType, nullable = false)))
+
+  /** S4 analog of the link producer: stream link events to a JSON handoff
+    * directory (the file-backed stand-in for the `zipkin-dependency` topic).
+    */
+  def linksToJsonFiles(links: Dataset[LinkEvent], path: String,
+      checkpoint: String): StreamingQuery =
+    links.toDF()
+      .select(col("event_ts"), col("parent"), col("child"),
+        col("call_count").as("callCount"), col("error_count").as("errorCount"))
+      .writeStream.format("json")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** S3: dependency-link source over the file-backed handoff — the second
+    * stage's input, decoupled from the aggregation stage exactly like the
+    * reference's topology boundary.
+    */
+  def linksFromJsonFiles(spark: SparkSession, path: String): Dataset[LinkEvent] = {
+    import spark.implicits._
+    spark.readStream.schema(linkHandoffSchema).json(path)
+      .select(col("event_ts"), col("parent"), col("child"),
+        col("callCount").as("call_count"), col("errorCount").as("error_count"))
+      .as[LinkEvent]
+  }
+
+  /** S3 Kafka variant: `zipkin-dependency` topic, value = DependencyLink
+    * JSON, record timestamp = event time (same classpath caveat as
+    * [[fromKafka]]).
+    */
+  def linksFromKafka(spark: SparkSession, bootstrapServers: String,
+      topic: String = "zipkin-dependency"): Dataset[LinkEvent] = {
+    import spark.implicits._
+    val valueSchema = StructType(linkHandoffSchema.filterNot(_.name == "event_ts"))
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load()
+      .select(col("timestamp").as("event_ts"),
+        from_json(col("value").cast("string"), valueSchema).as("l"))
+      .select(col("event_ts"), col("l.parent").as("parent"), col("l.child").as("child"),
+        col("l.callCount").as("call_count"), col("l.errorCount").as("error_count"))
+      .as[LinkEvent]
+  }
 }

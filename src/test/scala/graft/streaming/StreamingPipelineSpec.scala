@@ -160,6 +160,61 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two-stage e2e: sessions → link handoff files → windowed counts (S3/S4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-two-stage")
+    val linkDir = s"$tmp/links"
+
+    def linked(tid: String, at: Long): Seq[SpanEnvelope] = Seq(
+      SpanEnvelope(new Timestamp(at), spanA.copy(trace_id = tid, id = tid)),
+      SpanEnvelope(new Timestamp(at),
+        spanB.copy(trace_id = tid, parent_id = Some(tid), id = tid.reverse)))
+
+    // ——— stage 1: spans → sessions → links → the handoff directory ———
+    val input = MemoryStream[SpanEnvelope]
+    val stage1 = graft.sources.SpanSources.linksToJsonFiles(
+      StreamingPipeline.dependencyLinkEvents(
+        StreamingPipeline.sessionTraces(input.toDS(), "1 minute")),
+      linkDir, s"$tmp/chk1")
+    try {
+      input.addData(linked("00000000000000a1", 1000L): _*)           // closes at 61 s
+      input.addData(linked("00000000000000b1", 5 * gapMs): _*)       // closes at 360 s
+      // flusher edge far ahead: closes stage-1 sessions a1/b1 AND, once its
+      // own session closes, becomes stage 2's watermark pusher
+      input.addData(SpanEnvelope(new Timestamp(20 * gapMs),
+        spanA.copy(trace_id = "00000000000000f1", id = "00000000000000f1",
+          local_endpoint = Some(Endpoint(service_name = Some("svc_x"))),
+          remote_endpoint = Some(Endpoint(service_name = Some("svc_y"))))))
+      input.addData(SpanEnvelope(new Timestamp(30 * gapMs), spanC))  // closes f1
+      stage1.processAllAvailable()
+    } finally stage1.stop()
+
+    // ——— stage 2: link files → windowed counts (separate query, exactly
+    // the reference's topology handoff at the zipkin-dependency topic) ———
+    val stage2In = graft.sources.SpanSources.linksFromJsonFiles(spark, linkDir)
+    val stage2 = StreamingPipeline.dependencyWindowCounts(stage2In)
+      .writeStream.format("memory").queryName("two_stage_out")
+      .outputMode(OutputMode.Append).start()
+    try stage2.processAllAvailable() finally stage2.stop()
+
+    val streamed = spark.table("two_stage_out").collect()
+      .filter(r => r.getAs[String]("parent") == "svc_a")
+    assert(streamed.length == 2, s"expected one window per session: ${streamed.toSeq}")
+    assert(streamed.forall(_.getAs[Long]("window_start_ms") % 60000 == 0))
+
+    // batch path over the same spans must agree on the per-edge totals
+    val batchSpans = (linked("00000000000000a1", 1000L) ++
+      linked("00000000000000b1", 5 * gapMs)).map(_.span)
+    val batchTotal = graft.operators.SpanPipeline.dependencyLinks(
+        graft.operators.SpanPipeline.aggregateTraces(
+          spark.createDataset(batchSpans)))
+      .toDF().select($"link.*")
+      .groupBy("parent", "child").sum("call_count")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamedTotal = streamed.map(_.getAs[Long]("call_count")).sum
+    assert(batchTotal(("svc_a", "svc_b")) == streamedTotal)
+  }
+
   test("streaming name store accumulates sets in Update mode (A7)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SpanEnvelope]
