@@ -296,19 +296,23 @@ object SparkEntry {
         .select(lower(lpad(hex(col("user_id")), 16, "0")).as("norm_id"))
         .distinct()),
 
-    // ——— text analysis: token/subword counts, quality scoring ———
+    // ——— text analysis: token/subword counts, quality scoring — all from
+    //     ONE tokenization pass (TextProfile; the per-statistic HOF chain
+    //     re-split the text five times, interpreted) ———
     "q_text_stats" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
-        TextAnalysis.stopwordCount(col("text")).cast("long").as("n_stopwords"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.profile(col("text")).as("p"))
+        .select(col("doc_id"),
+          col("p.n_tokens").as("n_tokens"),
+          col("p.n_subwords").as("n_subwords"),
+          col("p.n_stopwords").as("n_stopwords"),
+          TextAnalysis.qualityFromProfile(col("p")).as("quality"))),
 
     // ——— text analysis: n-gram-heuristic language ID ———
     "q_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"), TextAnalysis.languageId(col("text")).as("lang"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.profile(col("text")).as("p"))
+        .select(col("doc_id"), TextAnalysis.languageIdFromProfile(col("p")).as("lang"))),
 
     // ——— text analysis: rolling-hash fingerprint (custom codegen Expression) ———
     "q_fingerprint" -> ((s, dir) =>

@@ -75,4 +75,35 @@ object TextAnalysis {
 
   /** Rolling-hash fingerprint via the codegen'd [[PolyHash]] expression. */
   def fingerprint(text: Column): Column = PolyHash(text)
+
+  // ——— single-pass profile path (the hot-loop variant of the above) ———
+
+  /** All token statistics in one tokenization pass ([[TextProfile]]): the
+    * HOF functions above re-split the text per statistic and run
+    * interpreted; batch scoring queries should select `profile` once and
+    * derive from its fields.
+    */
+  def profile(text: Column): Column = TextProfile(text)
+
+  /** [[qualityScore]] over a profile struct — identical arithmetic, shared
+    * tokenization.
+    */
+  def qualityFromProfile(p: Column): Column = {
+    val nTok = p.getField("n_tokens").cast("double")
+    val meanLen = (p.getField("n_chars") - (nTok - 1)) / nTok
+    val stopRatio = p.getField("n_stopwords").cast("double") / nTok
+    val lengthBand = when(nTok.between(8, 512), 1.0).otherwise(0.0)
+    val tokenBand = when(meanLen.between(2.0, 12.0), 1.0).otherwise(0.0)
+    val stopBand = when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.0)
+    round((lengthBand + tokenBand + stopBand) / 3.0, 4)
+  }
+
+  /** [[languageId]] over a profile struct — identical decision chain. */
+  def languageIdFromProfile(p: Column): Column = {
+    val (se, ss, sd) = (p.getField("en_hits"), p.getField("es_hits"), p.getField("de_hits"))
+    when(se === 0 && ss === 0 && sd === 0, "und")
+      .when(se >= ss && se >= sd, "en")
+      .when(ss >= sd, "es")
+      .otherwise("de")
+  }
 }

@@ -55,6 +55,29 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](0).isEmpty)
   }
 
+  test("TextProfile ≡ the HOF statistics on tricky fixtures and real docs") {
+    val tricky = Seq((0L, ""), (1L, "   "), (2L, "\tfoo  bar\nbaz "), (3L, "one"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "el la de que y los en un"), (6L, "Der große Überblick"))
+      .toDF("doc_id", "text")
+    val docsets = Seq(tricky, spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    for (d <- docsets) {
+      val viaProfile = d.select($"doc_id", TextAnalysis.profile($"text").as("p"))
+        .select($"doc_id", $"p.n_tokens", $"p.n_subwords", $"p.n_stopwords",
+          TextAnalysis.qualityFromProfile($"p").as("q"),
+          TextAnalysis.languageIdFromProfile($"p").as("lang"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val viaHof = d.select($"doc_id",
+          TextAnalysis.tokenCount($"text").cast("long"),
+          TextAnalysis.subwordCount($"text"),
+          TextAnalysis.stopwordCount($"text").cast("long"),
+          TextAnalysis.qualityScore($"text").as("q"),
+          TextAnalysis.languageId($"text").as("lang"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(viaProfile == viaHof)
+    }
+  }
+
   test("languageId picks the max-scoring stopword set") {
     val got = docs.select($"doc_id", TextAnalysis.languageId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
