@@ -86,4 +86,47 @@ object QueryRequest {
         case Array(k, v) => k.trim -> v.trim
       }
     }.toMap
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Relational twin of [[QueryRequest.testWithTimestamp]]: the same truth
+    * table as a Column predicate over the store's (root_ts, spans) columns.
+    * Evaluates on the serialized span structs directly — no per-row Trace
+    * deserialization like a typed `filter`, so the scan stays columnar and
+    * the time-range conjunct can push into partition pruning. Spec-pinned
+    * equivalent to the typed predicate.
+    */
+  def toPredicate(request: QueryRequest, rootTs: Column, spans: Column): Column = {
+    val startUs = (request.endTs - request.lookback) * 1000
+    val endUs = request.endTs * 1000
+    def localSvc(s: Column) = s.getField("local_endpoint").getField("service_name")
+
+    val conjuncts = Seq(
+      Some(size(spans) > 0 && rootTs.between(startUs, endUs)),
+      request.serviceName.map(sn => exists(spans, s => localSvc(s) === sn)),
+      request.remoteServiceName.map(rn => exists(spans,
+        s => s.getField("remote_endpoint").getField("service_name") === rn)),
+      request.spanName.map(n => exists(spans, s => s.getField("name") === n))) ++
+      request.annotationQuery.map { case (k, v) =>
+        val candidates = request.serviceName match {
+          case Some(sn) => filter(spans, s => localSvc(s) === sn)
+          case None => spans
+        }
+        Some(
+          if (v.isEmpty)
+            exists(candidates, s =>
+              exists(s.getField("annotations"), a => a.getField("value") === k) ||
+                map_contains_key(s.getField("tags"), k))
+          else exists(candidates, s => element_at(s.getField("tags"), k) === v))
+      } ++ Seq(
+      request.minDuration.map { min =>
+        exists(spans, s => {
+          val d = s.getField("duration")
+          request.maxDuration.foldLeft(d >= min)((acc, max) => acc && d <= max)
+        })
+      })
+
+    conjuncts.flatten.reduce(_ && _)
+  }
 }

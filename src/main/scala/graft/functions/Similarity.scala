@@ -123,15 +123,20 @@ object Similarity {
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("sim"), asc("centroid_id"))
+    // argmax as a hash-aggregation (max of a (sim, -centroid_id, payload)
+    // struct — field-order comparison gives best-sim with the smaller
+    // centroid id as tiebreak), NOT a row_number window: no sort of the
+    // (vectors × centroids) join output, map-side partial max instead.
     vectors.select(col(idCol), col(vecCol), norm(col(vecCol)).as("vec_nrm"))
       .join(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"),
         norm(col("centroid_vec")).as("__cn"))))
       .withColumn("sim",
         VectorDot(col(vecCol), col("centroid_vec")) / (col("vec_nrm") * col("__cn")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("vec_nrm"), col("centroid_id"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), (-col("centroid_id")).as("neg_cid"),
+        col(vecCol).as("v"), col("vec_nrm").as("n"))).as("best"))
+      .select(col(idCol), col("best.v").as(vecCol), col("best.n").as("vec_nrm"),
+        (-col("best.neg_cid")).cast("long").as("centroid_id"))
   }
 
   /** Deterministic k-means init: the first nCentroids vectors by id. */

@@ -20,14 +20,15 @@ object TraceQueries {
     * the reference's scan-order-dependent limit-before-sort.
     */
   def getTraces(traces: Dataset[Trace], request: QueryRequest): Dataset[Trace] = {
-    val startUs = (request.endTs - request.lookback) * 1000
-    val endUs = request.endTs * 1000
+    // F1+F2: the full truth table as ONE relational predicate (the typed
+    // twin `request.testWithTimestamp` is spec-pinned equivalent): the range
+    // conjunct reaches the scan as a prunable filter, and no Trace object is
+    // deserialized for rows the predicate rejects. Ranged against the
+    // STORE's trace timestamp so timestamp-less traces (stored under their
+    // session close time) stay findable instead of failing a recomputed
+    // ts=0 range check.
     traces
-      .where(col("root_ts").between(startUs, endUs)) // F2: prunable range scan
-      // F1: full truth table, ranged against the STORE's trace timestamp so
-      // timestamp-less traces (stored under their session close time) stay
-      // findable instead of failing a recomputed ts=0 range check
-      .filter((t: Trace) => request.testWithTimestamp(t.root_ts, t.spans))
+      .where(QueryRequest.toPredicate(request, col("root_ts"), col("spans")))
       .orderBy(desc("root_ts"), asc("trace_id"))     // W1/W3 + deterministic tiebreak
       .limit(request.limit)
   }
