@@ -31,7 +31,7 @@ object Dedup {
     */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
       maxDocFreq: Option[Long]): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
+    val sh = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       explode(TextAnalysis.distinctShingles(col(textCol), n)).as("shingle"))
     maxDocFreq match {
       case None => sh
@@ -92,7 +92,7 @@ object Dedup {
     // Shingle-less docs (shorter than n words) produce zero band keys inside
     // MinHashBandKeys, so posexplode drops them — no extra filter pass over
     // the shingle expression.
-    val bandKeys = docs.select(col(idCol).as("doc_id"),
+    val bandKeys = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
         posexplode(MinHashBandKeys(
           TextAnalysis.distinctShingles(col(textCol), n), numHashes, bands)))
       .toDF("doc_id", "band", "band_key")
@@ -113,7 +113,7 @@ object Dedup {
       textCol: String, n: Int, threshold: Double): DataFrame = {
     // cached: joined once per pair side — without it the shingle expression
     // (regex tokenization) re-evaluates over the full corpus twice
-    val sets = docs.select(col(idCol).as("doc_id"),
+    val sets = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       TextAnalysis.distinctShingles(col(textCol), n).as("sh")).cache()
     candidates
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -130,7 +130,7 @@ object Dedup {
     * can mirror the exact signatures.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    Partitioning.spread(docs).select(col(idCol).as("doc_id"),
         SimHashSig(TextAnalysis.tokens(col(textCol))).as("simhash"))
       .where(col("simhash").isNotNull)
 
@@ -172,17 +172,26 @@ object Dedup {
       driverSideEdgeLimit: Int = 2_000_000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val it = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .as[(Long, Long)].toLocalIterator()
-    val aB = new scala.collection.mutable.ArrayBuilder.ofLong
-    val bB = new scala.collection.mutable.ArrayBuilder.ofLong
-    var n = 0
-    while (it.hasNext && n <= driverSideEdgeLimit) {
-      val (a, b) = it.next()
-      aB += a; bB += b; n += 1
-    }
+    // one parallel job collecting PRIMITIVE long arrays (one per partition,
+    // each capped — a runaway pair explosion ships at most cap+1 edges per
+    // partition, never an unbounded boxed row array to the driver)
+    val packed = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        var m = 0
+        while (it.hasNext && m <= driverSideEdgeLimit) {
+          val (x, y) = it.next(); b += x; b += y; m += 1
+        }
+        Iterator.single(b.result())
+      }.collect()
+    val n = packed.iterator.map(_.length / 2).sum
     if (n > driverSideEdgeLimit) return connectedComponentsDistributed(pairs)
-    val ea = aB.result(); val eb = bB.result()
+    val ea = new Array[Long](n); val eb = new Array[Long](n)
+    var w = 0
+    for (part <- packed; i <- 0 until part.length / 2) {
+      ea(w) = part(2 * i); eb(w) = part(2 * i + 1); w += 1
+    }
     // sorted distinct node table; union-find runs over int indices into it
     val nodes = {
       val all = new Array[Long](2 * n)

@@ -35,7 +35,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
-    val c = withNorm(corpus, idCol, vecCol, "corpus_id", "cv")
+    val c = withNorm(Partitioning.spread(corpus), idCol, vecCol, "corpus_id", "cv")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
     val joinCond = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
     c.join(broadcast(q), joinCond)
@@ -63,7 +63,7 @@ object Similarity {
     */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numBlocks: Int = 32): DataFrame = {
-    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base = Partitioning.spread(vectors).select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"),
       pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("grp"))
     val left = base
@@ -127,7 +127,8 @@ object Similarity {
     // struct — field-order comparison gives best-sim with the smaller
     // centroid id as tiebreak), NOT a row_number window: no sort of the
     // (vectors × centroids) join output, map-side partial max instead.
-    vectors.select(col(idCol), col(vecCol), norm(col(vecCol)).as("vec_nrm"))
+    Partitioning.spread(vectors)
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("vec_nrm"))
       .join(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"),
         norm(col("centroid_vec")).as("__cn"))))
       .withColumn("sim",
