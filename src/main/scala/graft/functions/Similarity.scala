@@ -122,13 +122,23 @@ object Similarity {
     * scoring never recomputes it.
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assignNormed(normedBase(vectors, idCol, vecCol), idCol, vecCol, centroids)
+
+  /** id, vec, vec_nrm — spread + normed once; callers that assign repeatedly
+    * (k-means rounds, train-then-assign) cache this instead of re-scanning.
+    */
+  private def normedBase(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Partitioning.spread(vectors)
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("vec_nrm"))
+
+  private def assignNormed(base: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     // argmax as a hash-aggregation (max of a (sim, -centroid_id, payload)
     // struct — field-order comparison gives best-sim with the smaller
     // centroid id as tiebreak), NOT a row_number window: no sort of the
     // (vectors × centroids) join output, map-side partial max instead.
-    Partitioning.spread(vectors)
-      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("vec_nrm"))
+    base
       .join(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"),
         norm(col("centroid_vec")).as("__cn"))))
       .withColumn("sim",
@@ -156,9 +166,10 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 3): DataFrame = {
+    val base = normedBase(corpus, idCol, vecCol).cache() // scanned once, assigned per round
     var centroids = seedCentroids(corpus, idCol, vecCol, nCentroids)
     for (_ <- 0 until iters) {
-      centroids = ivfAssign(corpus, idCol, vecCol, centroids)
+      centroids = assignNormed(base, idCol, vecCol, centroids)
         .select(col("centroid_id"), posexplode(col(vecCol)))
         .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
         .groupBy("centroid_id")
@@ -176,8 +187,11 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
+    // one normed scan of the corpus serves training rounds AND the final
+    // assignment (kmeansCentroids caches the same base lineage)
+    val base = normedBase(corpus, idCol, vecCol).cache()
     val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters).cache()
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val assigned = assignNormed(base, idCol, vecCol, centroids)
       .withColumnRenamed(idCol, "corpus_id").withColumnRenamed(vecCol, "cv")
       .withColumnRenamed("vec_nrm", "cv_nrm")
     val probes = {
