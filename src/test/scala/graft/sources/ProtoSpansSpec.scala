@@ -7,6 +7,8 @@ import graft.model.{Annotation, Endpoint, Span, Spans}
 
 class ProtoSpansSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private val fixture = Seq(
     Span(
       trace_id = "000000000000004d00000000000001bc",
@@ -60,6 +62,31 @@ class ProtoSpansSpec extends SparkSpec {
       0x79, 1, 2, 3, 4, 5, 6, 7, 8)       // field 15, wire 1 (fixed64)
     val list = Array[Byte](0x0a, span.length.toByte) ++ span
     assert(ProtoSpans.decodeList(list) == Seq(Span(trace_id = "0000000000000001")))
+  }
+
+  test("streaming: proto envelopes drive the session pipeline end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Array[Byte])]
+    val envelopes = ProtoSpans.envelopes(
+      input.toDF().toDF("timestamp", "value"))
+    val q = graft.streaming.StreamingPipeline.sessionTraces(envelopes, "1 minute")
+      .writeStream.format("memory").queryName("proto_traces_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val two = fixture.filter(_.trace_id == "00000000000004d2")
+      input.addData((new java.sql.Timestamp(1000L), ProtoSpans.encodeList(two)))
+      // a later record on another trace closes the session
+      input.addData((new java.sql.Timestamp(61001L),
+        ProtoSpans.encodeList(Seq(Span(trace_id = "00000000000000ff", id = "ff")))))
+      q.processAllAvailable()
+      val got = spark.table("proto_traces_out")
+        .as[graft.streaming.ClosedTrace].collect()
+      assert(got.length == 1 && got.head.trace_id == "00000000000004d2")
+      assert(got.head.spans.map(_.id).sorted ==
+        Seq("00000000000004d3", "00000000000004d4"))
+    } finally q.stop()
   }
 
   test("envelopes: (timestamp, value) rows decode to one envelope per span") {
