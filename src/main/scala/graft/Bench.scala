@@ -22,6 +22,8 @@ object Bench {
         try fn(spark, warmDir.getAbsolutePath).queryExecution.toRdd.foreach(_ => ())
         catch { case _: Throwable => () }
       }
+    else System.err.println(
+      s"[bench] WARM-UP SKIPPED (no $warmDir): first queries will absorb JIT/codegen cost")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // full materialization of every output column on the executors —

@@ -36,9 +36,14 @@ object Dedup {
     maxDocFreq match {
       case None => sh
       case Some(cap) =>
-        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        // cached: the hot-set aggregate and the anti-join probe side are two
+        // materializations of the same explode — without the cache the
+        // WordShingles pass over every document runs twice (Dataset.cache is
+        // MEMORY_AND_DISK, so this spills rather than OOMs at scale)
+        val cached = sh.cache()
+        val hot = cached.groupBy("shingle").agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select("shingle")
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        cached.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
   }
 
@@ -172,26 +177,17 @@ object Dedup {
       driverSideEdgeLimit: Int = 2_000_000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // one parallel job collecting PRIMITIVE long arrays (one per partition,
-    // each capped — a runaway pair explosion ships at most cap+1 edges per
-    // partition, never an unbounded boxed row array to the driver)
-    val packed = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val b = new scala.collection.mutable.ArrayBuilder.ofLong
-        var m = 0
-        while (it.hasNext && m <= driverSideEdgeLimit) {
-          val (x, y) = it.next(); b += x; b += y; m += 1
-        }
-        Iterator.single(b.result())
-      }.collect()
-    val n = packed.iterator.map(_.length / 2).sum
-    if (n > driverSideEdgeLimit) return connectedComponentsDistributed(pairs)
+    // limit(cap+1) bounds the driver transfer GLOBALLY (CollectLimit fetches
+    // partitions incrementally), so a runaway pair explosion falls back to
+    // the distributed path instead of shipping partitions × cap edges; the
+    // boxed rows are transient, the retained state is two primitive arrays.
+    val rows = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .limit(driverSideEdgeLimit + 1)
+      .as[(Long, Long)].collect()
+    if (rows.length > driverSideEdgeLimit) return connectedComponentsDistributed(pairs)
+    val n = rows.length
     val ea = new Array[Long](n); val eb = new Array[Long](n)
-    var w = 0
-    for (part <- packed; i <- 0 until part.length / 2) {
-      ea(w) = part(2 * i); eb(w) = part(2 * i + 1); w += 1
-    }
+    for (i <- 0 until n) { ea(i) = rows(i)._1; eb(i) = rows(i)._2 }
     // sorted distinct node table; union-find runs over int indices into it
     val nodes = {
       val all = new Array[Long](2 * n)
@@ -236,7 +232,8 @@ object Dedup {
     // the xor-of-hashes fingerprint is stable iff no label moved — one agg
     // job over the (cached) next round, no extra join+count per round
     def checksum(df: DataFrame): Long =
-      df.agg(expr("bit_xor(xxhash64(doc_id, canonical_id))")).first().getLong(0)
+      df.agg(coalesce(expr("bit_xor(xxhash64(doc_id, canonical_id))"), lit(0L)))
+        .first().getLong(0) // coalesce: bit_xor over zero rows is NULL
     var chk = checksum(labels)
     var converged = false
     var i = 0

@@ -12,6 +12,7 @@ private[functions] object Partitioning {
     * passes through untouched, so no shuffle is added at real scale.
     */
   def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // partition probing needs an executed plan
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

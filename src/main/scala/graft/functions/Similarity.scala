@@ -160,21 +160,27 @@ object Similarity {
     * `iters` rounds of assign → per-cell mean. The mean is computed
     * relationally (posexplode → groupBy (cell, dim) avg → rebuild array), so
     * each round is one broadcast-assign plus one keyed aggregation — no
-    * driver-side vectors beyond the k centroids themselves. At corpus scale,
-    * train on a deterministic hash-sample of the vectors (`trainOn`) — the
-    * quality of k ≪ n centroids does not need every row.
+    * driver-side vectors beyond the k centroids themselves. A cell that goes
+    * empty keeps its previous centroid (k never silently shrinks — the
+    * nProbe/nCentroids cost model depends on all k cells existing). To train
+    * on a corpus sample at scale, pre-filter `corpus` with a deterministic
+    * hash predicate before calling — centroid quality needs k ≪ n rows, not
+    * all of them.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 3): DataFrame = {
     val base = normedBase(corpus, idCol, vecCol).cache() // scanned once, assigned per round
     var centroids = seedCentroids(corpus, idCol, vecCol, nCentroids)
     for (_ <- 0 until iters) {
-      centroids = assignNormed(base, idCol, vecCol, centroids)
+      val means = assignNormed(base, idCol, vecCol, centroids)
         .select(col("centroid_id"), posexplode(col(vecCol)))
         .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("centroid_vec"))
+          e => e.getField("m")).as("mean_vec"))
+      centroids = centroids.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("mean_vec"), col("centroid_vec")).as("centroid_vec"))
     }
     centroids
   }

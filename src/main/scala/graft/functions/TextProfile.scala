@@ -48,7 +48,9 @@ case class TextProfile(child: Expression)
       if (TextProfile.Stopwords.contains(t)) nStop += 1
       val cp = t.codePointCount(0, t.length)
       nSub += math.max(1L, (cp + 3L) / 4L)
-      val lower = t.toLowerCase
+      // Locale.ROOT: parity with Spark's locale-independent lower() — the
+      // default-locale overload would fold "IN" to dotless-ı under tr_TR
+      val lower = t.toLowerCase(java.util.Locale.ROOT)
       if (TextProfile.En.contains(lower)) en += 1
       if (TextProfile.Es.contains(lower)) es += 1
       if (TextProfile.De.contains(lower)) de += 1

@@ -92,7 +92,7 @@ object Spans {
     * pads left and truncates over-long input to the target length).
     */
   def normalizeTraceId(id: String): String = {
-    val lowered = id.toLowerCase
+    val lowered = id.toLowerCase(java.util.Locale.ROOT) // parity with Column lower()
     val target = if (lowered.length > 16) 32 else 16
     if (lowered.length >= target) lowered.take(target)
     else ("0" * (target - lowered.length)) + lowered

@@ -126,7 +126,11 @@ object EventSpans {
     * sessionization windows either (Catalyst prunes the unreferenced window
     * expressions out of the plan).
     */
-  def spanFields(events: DataFrame): DataFrame =
+  def spanFields(events: DataFrame): DataFrame = {
+    // the SAME regex as toSpan's PropsK — not get_json_object — so the
+    // relational and typed paths agree on every input, not just well-formed
+    // flat props (a quoted or nested "k" would otherwise diverge)
+    val kTag = regexp_extract(col("props"), """"k"\s*:\s*(\d+)""", 1)
     sessionized(events).select(
       col("event_type").as("service"),
       col("event_type").as("name"),
@@ -134,9 +138,9 @@ object EventSpans {
       map_concat(
         when(col("event_type") === "error", map(lit("error"), lit("")))
           .otherwise(map()),
-        when(get_json_object(col("props"), "$.k").isNotNull,
-          map(lit("k"), get_json_object(col("props"), "$.k")))
+        when(col("props").isNotNull && kTag =!= "", map(lit("k"), kTag))
           .otherwise(map())).as("tags"))
+  }
 
   /** events → Dataset[Span] chains per (user, session). */
   def spans(spark: SparkSession, events: DataFrame): Dataset[Span] = {

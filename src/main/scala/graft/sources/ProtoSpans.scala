@@ -127,19 +127,29 @@ object ProtoSpans {
   private def ipString(b: Array[Byte]): String =
     java.net.InetAddress.getByAddress(b).getHostAddress
 
+  /** Cursor over one (possibly nested) message. Every read is bounded by
+    * `end` — a truncated or corrupt payload throws instead of zero-padding
+    * or reading into sibling fields' bytes, so malformed records are
+    * rejected, never ingested as fabricated span data.
+    */
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasRemaining: Boolean = pos < end
+    private def need(n: Int): Unit =
+      if (pos + n > end) throw new IllegalArgumentException(
+        s"truncated protobuf: need $n bytes at $pos, message ends at $end")
     def readTag(): (Int, Int) = { val t = readVarint(); ((t >>> 3).toInt, (t & 7).toInt) }
     def readVarint(): Long = {
       var (shift, v) = (0, 0L)
       var b = 0
       do {
+        need(1)
         b = buf(pos) & 0xff; pos += 1
         v |= (b & 0x7fL) << shift; shift += 7
       } while ((b & 0x80) != 0)
       v
     }
     def readFixed64(): Long = {
+      need(8)
       var v = 0L
       for (i <- 0 until 8) v |= (buf(pos + i) & 0xffL) << (8 * i)
       pos += 8
@@ -147,6 +157,7 @@ object ProtoSpans {
     }
     def readBytes(): Array[Byte] = {
       val len = readVarint().toInt
+      need(len)
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       out
@@ -154,15 +165,16 @@ object ProtoSpans {
     def readString(): String = new String(readBytes(), "UTF-8")
     def readSlice(): Reader = {
       val len = readVarint().toInt
+      need(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
-      case 5 => pos += 4
+      case 1 => need(8); pos += 8
+      case 2 => val len = readVarint().toInt; need(len); pos += len
+      case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }

@@ -64,6 +64,14 @@ class ProtoSpansSpec extends SparkSpec {
     assert(ProtoSpans.decodeList(list) == Seq(Span(trace_id = "0000000000000001")))
   }
 
+  test("truncated payloads are rejected, not zero-padded into fake spans") {
+    val good = ProtoSpans.encodeList(fixture)
+    for (cut <- Seq(good.length / 3, good.length / 2, good.length - 1)) {
+      val truncated = java.util.Arrays.copyOf(good, cut)
+      intercept[Exception](ProtoSpans.decodeList(truncated))
+    }
+  }
+
   test("streaming: proto envelopes drive the session pipeline end-to-end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
