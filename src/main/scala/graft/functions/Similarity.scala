@@ -181,6 +181,9 @@ object Similarity {
       centroids = centroids.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("mean_vec"), col("centroid_vec")).as("centroid_vec"))
+        // materialize each round (k tiny rows): without this, round i's plan
+        // re-executes rounds 1..i-1 — quadratic work in `iters`
+        .localCheckpoint(true)
     }
     centroids
   }
