@@ -19,5 +19,18 @@ object GraftFunctions {
       case es => throw new IllegalArgumentException(
         s"minhash_sig(array<string>, <int literal>), got ${es.size} args")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_sig", es => SimHashSig(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("text_profile", es => TextProfile(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles", {
+      case Seq(child, Literal(n: Int, IntegerType)) => WordShingles(child, n)
+      case es => throw new IllegalArgumentException(
+        s"word_shingles(<string>, <int literal>), got ${es.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("sign_band_keys", {
+      case Seq(child, Literal(bits: Int, IntegerType), Literal(bands: Int, IntegerType)) =>
+        SignBandKeys(child, bits, bands)
+      case es => throw new IllegalArgumentException(
+        s"sign_band_keys(array<float|double>, <int literal>, <int literal>), got ${es.size} args")
+    }, "scala_udf")
   }
 }
