@@ -22,7 +22,9 @@ object Bench {
         try fn(spark, warmDir.getAbsolutePath).queryExecution.toRdd.foreach(_ => ())
         catch { case _: Throwable => () }
       }
-    else System.err.println(
+    else System.err.println(if (warmDir.isDirectory)
+      s"[bench] warm-up skipped: $warmDir IS the timed dir (won't pre-touch timed data)"
+    else
       s"[bench] WARM-UP SKIPPED (no $warmDir): first queries will absorb JIT/codegen cost")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -22,28 +22,28 @@ object Dedup {
     df.groupBy(keyCols: _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** doc → exploded distinct word n-gram shingles. With a document-frequency
-    * cap, the ultra-common shingles (stopword runs — the keys whose df² terms
-    * make the inverted-index self-join quadratic at scale) are removed via a
-    * broadcast anti-join against the hot-shingle list: the hot set is tiny by
-    * construction (df > cap), so the filter is a map-side hash probe — no
-    * global sort/window over the full index.
+  /** doc → exploded distinct word n-gram shingles, CACHED (every caller
+    * reads it at least twice — self-join sides, size table, hot-shingle
+    * aggregate; Dataset.cache is MEMORY_AND_DISK, so it spills rather than
+    * OOMs at scale). With a document-frequency cap, the ultra-common
+    * shingles (stopword runs — the keys whose df² terms make the
+    * inverted-index self-join quadratic at scale) are removed via a
+    * broadcast anti-join against the hot-shingle list: the hot set is tiny
+    * by construction (df > cap), so the filter is a map-side hash probe over
+    * the one cached index — no global sort, no second tokenization pass, no
+    * second persisted copy.
     */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
       maxDocFreq: Option[Long]): DataFrame = {
     val sh = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       explode(TextAnalysis.distinctShingles(col(textCol), n)).as("shingle"))
+      .cache()
     maxDocFreq match {
       case None => sh
       case Some(cap) =>
-        // cached: the hot-set aggregate and the anti-join probe side are two
-        // materializations of the same explode — without the cache the
-        // WordShingles pass over every document runs twice (Dataset.cache is
-        // MEMORY_AND_DISK, so this spills rather than OOMs at scale)
-        val cached = sh.cache()
-        val hot = cached.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select("shingle")
-        cached.join(broadcast(hot), Seq("shingle"), "left_anti")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
   }
 
@@ -59,8 +59,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Option[Long] = None): DataFrame = {
-    // cached: both sides of the inverted-index self-join + the size table
-    val sh = shingleIndex(docs, idCol, textCol, n, maxDocFreq).cache()
+    // shingleIndex caches the raw exploded index once; the capped view is a
+    // cheap broadcast-anti probe over it per use (join sides + size table)
+    val sh = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -165,12 +166,12 @@ object Dedup {
     *
     * The pair set is by construction the near-duplicate FRACTION of the
     * corpus — even at 100 TB it is typically small enough for a driver-side
-    * union-find. Edges stream into primitive long arrays via
-    * `toLocalIterator` (one partition buffered at a time — never a boxed
-    * all-edges array), and the union-find itself is index-based over
-    * primitive arrays, so driver heap is ~40 B per edge at the cap
-    * (2 × 8 B edge ends + sorted node table + int parents) ≈ 80 MB at the
-    * default 2 M-edge cap. Above the cap: distributed min-label propagation
+    * union-find. Edges arrive via `limit(cap+1).collect()` — the limit
+    * bounds the driver transfer globally (incremental partition fetch), at
+    * the price of transiently boxed rows (~100 MB at the default 2 M-edge
+    * cap); the retained state is primitive arrays only (~40 B per edge:
+    * 2 × 8 B edge ends + sorted node table + int parents). Above the cap:
+    * distributed min-label propagation
     * ([[connectedComponentsDistributed]]).
     */
   def connectedComponents(pairs: DataFrame,

@@ -19,8 +19,16 @@ object GraftFunctions {
       case es => throw new IllegalArgumentException(
         s"minhash_sig(array<string>, <int literal>), got ${es.size} args")
     }, "scala_udf")
-    reg.createOrReplaceTempFunction("simhash_sig", es => SimHashSig(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("text_profile", es => TextProfile(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_sig", {
+      case Seq(child) => SimHashSig(child)
+      case es => throw new IllegalArgumentException(
+        s"simhash_sig(array<string>), got ${es.size} args")
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("text_profile", {
+      case Seq(child) => TextProfile(child)
+      case es => throw new IllegalArgumentException(
+        s"text_profile(<string>), got ${es.size} args")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles", {
       case Seq(child, Literal(n: Int, IntegerType)) => WordShingles(child, n)
       case es => throw new IllegalArgumentException(

@@ -134,14 +134,18 @@ object ProtoSpans {
     */
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasRemaining: Boolean = pos < end
+    // n < 0 guards a negative length from a malicious varint (rewinding pos
+    // loops the decoder forever); `end - pos` comparison can't overflow int
     private def need(n: Int): Unit =
-      if (pos + n > end) throw new IllegalArgumentException(
-        s"truncated protobuf: need $n bytes at $pos, message ends at $end")
+      if (n < 0 || n > end - pos) throw new IllegalArgumentException(
+        s"malformed protobuf: need $n bytes at $pos, message ends at $end")
     def readTag(): (Int, Int) = { val t = readVarint(); ((t >>> 3).toInt, (t & 7).toInt) }
     def readVarint(): Long = {
       var (shift, v) = (0, 0L)
       var b = 0
       do {
+        if (shift >= 64) throw new IllegalArgumentException(
+          s"malformed protobuf: varint longer than 10 bytes at $pos")
         need(1)
         b = buf(pos) & 0xff; pos += 1
         v |= (b & 0x7fL) << shift; shift += 7

@@ -72,6 +72,16 @@ class ProtoSpansSpec extends SparkSpec {
     }
   }
 
+  test("malicious lengths and over-long varints are rejected, never looped on") {
+    // negative length from varint 0xFFFFFFFA (.toInt == -6): would rewind
+    // pos and loop forever fabricating empty spans
+    val negativeLen = Array(0x0a, 0xfa, 0xff, 0xff, 0xff, 0x0f).map(_.toByte)
+    intercept[IllegalArgumentException](ProtoSpans.decodeList(negativeLen))
+    // varint longer than 10 bytes: must throw, not wrap shift mod 64
+    val longVarint = Array(0x08) ++ Array.fill(11)(0x80) :+ 0x01
+    intercept[IllegalArgumentException](ProtoSpans.decodeList(longVarint.map(_.toByte)))
+  }
+
   test("streaming: proto envelopes drive the session pipeline end-to-end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
