@@ -27,6 +27,10 @@ object Bench {
     else
       s"[bench] WARM-UP SKIPPED (no $warmDir): first queries will absorb JIT/codegen cost")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drop caches built by the warmup/previous queries: several queries
+      // share cached lineages (e.g. the shingle index), and timing one
+      // against another's warm cache would flatter it
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // full materialization of every output column on the executors —
       // a bare count() lets Catalyst prune unevaluated projections, which
