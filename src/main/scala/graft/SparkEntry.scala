@@ -174,6 +174,20 @@ object SparkEntry {
           col("sp.name").as("name"), expr("sp.timestamp DIV 1000").as("ts_ms"))
     }),
 
+    // ——— SC6: JSON_V2 response encode — the oracle can't pin zipkin's exact
+    //     byte layout, so the check is a round-trip: the produced JSON must
+    //     re-parse under the span schema to exactly the trace's span ids ———
+    "q_sc6_json" -> ((s, dir) => {
+      val json = TraceQueries.toJsonV2(eventTraces(s, dir))
+      json.select(col("trace_id"),
+        size(from_json(col("json"),
+          org.apache.spark.sql.types.ArrayType(graft.model.Spans.schema)))
+          .cast("long").as("n_spans"),
+        md5(concat_ws(",",
+          sort_array(expr("transform(from_json(json, 'array<struct<id:string>>'), x -> x.id)"))))
+          .as("span_ids_md5"))
+    }),
+
     // ——— W4: span names for one service (KafkaStorageHttpService.java:125-133) ———
     "q_w4_span_names" -> ((s, dir) =>
       TraceQueries.spanNames(
@@ -517,6 +531,13 @@ object SparkEntry {
     "q_a8_autocomplete" ->
       """SELECT DISTINCT json_extract_string(props, '$.k') AS value
         |FROM events WHERE props IS NOT NULL ORDER BY value LIMIT 1000""".stripMargin,
+
+    "q_sc6_json" -> (SessionCtes +
+      """
+        |SELECT concat(user_id, ':', session_id) AS trace_id,
+        |       count(*) AS n_spans,
+        |       md5(array_to_string(list_sort(list(CAST(event_id AS VARCHAR))), ',')) AS span_ids_md5
+        |FROM s GROUP BY user_id, session_id""".stripMargin),
 
     "q_j4_trace_many" -> (SessionCtes +
       """
