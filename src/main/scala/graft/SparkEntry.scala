@@ -287,6 +287,15 @@ object SparkEntry {
           n = 3, threshold = 0.8, maxDocFreq = Some(Dedup.docFreqCap(docs.count()))))
     }),
 
+    // ——— dedup applied end-to-end: corpus minus non-canonical near-dups ———
+    "q_dedup_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.8, maxDocFreq = Some(Dedup.docFreqCap(docs.count()))))
+      Dedup.dropNearDuplicates(docs, "doc_id", clusters).select("doc_id")
+    }),
+
     // ——— sampling: deterministic content-hash train/val/test split ———
     "q_sample_split" -> ((s, dir) =>
       graft.functions.Sampling.split(t(s, dir, "documents"), "doc_id")
@@ -612,27 +621,15 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY 1""".stripMargin,
 
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE sh0 AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
-        |  WHERE len(w) >= 3),
-        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
-        |  SELECT shingle FROM sh0 GROUP BY shingle
-        |  HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 200))),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |p AS (SELECT doc_a, doc_b FROM inter
-        |      JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-        |      WHERE i * 1.0 / (x.n + y.n - i) >= 0.8),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-        |          UNION SELECT doc_b AS a, doc_a AS b FROM p),
-        |reach AS (SELECT a, b FROM edges
-        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT a AS doc_id, least(min(b), a) AS canonical_id FROM reach GROUP BY a""".stripMargin,
+    "q_dedup_clusters" -> (ClustersCtes +
+      "\nSELECT a AS doc_id, least(min(b), a) AS canonical_id FROM reach GROUP BY a"),
+
+    "q_dedup_apply" -> (ClustersCtes +
+      """,
+        |labels AS (SELECT a AS doc_id, least(min(b), a) AS canonical_id
+        |           FROM reach GROUP BY a)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE canonical_id <> doc_id)""".stripMargin),
 
     "q_sample_split" ->
       """SELECT lang,
@@ -746,6 +743,30 @@ object SparkEntry {
         |  least(4, CAST(ceil(n * 1.0 / greatest(1, n // 4)) AS BIGINT)) AS n_frames_out
         |FROM (SELECT doc_id, n_chars % 16 + 1 AS n FROM documents)""".stripMargin
   )
+
+  /** Shared CTE chain for the clusters/apply oracles: capped shingle index →
+    * exact 0.8-Jaccard pairs → symmetric edges → transitive closure.
+    */
+  private val ClustersCtes =
+    """WITH RECURSIVE sh0 AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
+      |  SELECT shingle FROM sh0 GROUP BY shingle
+      |  HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 200))),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |p AS (SELECT doc_a, doc_b FROM inter
+      |      JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |      WHERE i * 1.0 / (x.n + y.n - i) >= 0.8),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+      |          UNION SELECT doc_b AS a, doc_a AS b FROM p),
+      |reach AS (SELECT a, b FROM edges
+      |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
 
   /** Shared oracle for q_dedup_ngram (≥0.5, df-capped) / q_dedup_minhash
     * (≥0.8, uncapped): both compute an exact Jaccard pair set (minhash+LSH

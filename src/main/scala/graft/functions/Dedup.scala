@@ -256,6 +256,17 @@ object Dedup {
     labels
   }
 
+  /** Apply near-dup clusters to the corpus: keep every canonical survivor
+    * and every unclustered doc, drop the rest — the end-to-end "dedup the
+    * training set" operator. The drop list (non-canonical cluster members)
+    * is the duplicate fraction, so the anti-join broadcasts it.
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    docs.join(
+      broadcast(clusters.where(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id").as(idCol))),
+      Seq(idCol), "left_anti")
+
   /** Embedding near-dup pairs: cosine ≥ threshold, exact via the
     * grid-partitioned equi-join ([[Similarity.cosinePairs]] — evenly
     * shuffled Θ(n²) compute, no broadcast nested loop). For high thresholds

@@ -120,6 +120,13 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("dropNearDuplicates keeps canonicals and unclustered docs only") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "canonical_id")
+    val surviving = Dedup.dropNearDuplicates(docs, "doc_id", clusters)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(surviving == Set(0L, 1L, 4L)) // 2,3 dropped; 1 canonical; 0,4 unclustered
+  }
+
   test("connectedComponents labels chains with the component minimum (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
       .toDF("doc_a", "doc_b") // {1,2,3,8,9} and {5,6}
