@@ -40,6 +40,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_dedup_ngram: df cap runs as a broadcast anti-join, never a cartesian") {
+    val plan = SparkEntry.queries("q_dedup_ngram")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "expected the hot-shingle anti-join")
+    assert(plan.contains("BroadcastExchange"), "hot-shingle list must broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("q_a8_autocomplete: relational store path never pays a window") {
+    val plan = SparkEntry.queries("q_a8_autocomplete")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"sessionization window survived pruning:\n$plan")
+  }
+
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
