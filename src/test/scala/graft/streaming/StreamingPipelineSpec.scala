@@ -230,4 +230,28 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(got("svc_a") == Set("op_a") && got("svc_b") == Set("op_b"))
     } finally q.stop()
   }
+
+  test("streaming remote-name and autocomplete stores accumulate in Update mode (A8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SpanEnvelope]
+    val q1 = StreamingPipeline.remoteServiceNameSets(input.toDS())
+      .writeStream.format("memory").queryName("remote_out")
+      .outputMode(OutputMode.Update).start()
+    val q2 = StreamingPipeline.autocompleteTagSets(input.toDS(), Seq("env"))
+      .writeStream.format("memory").queryName("tags_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(SpanEnvelope(new Timestamp(1000L),
+        spanA.copy(tags = Map("env" -> "prod", "ignored" -> "x"))))
+      input.addData(SpanEnvelope(new Timestamp(1001L),
+        spanA.copy(id = "000000000000000e", tags = Map("env" -> "dev"))))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val remotes = spark.table("remote_out")
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+      assert(remotes("svc_a") == Set("svc_b"))
+      val tags = spark.table("tags_out")
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+      assert(tags == Map("env" -> Set("prod", "dev"))) // allowlist filters "ignored"
+    } finally { q1.stop(); q2.stop() }
+  }
 }
