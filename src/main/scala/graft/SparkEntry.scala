@@ -163,8 +163,11 @@ object SparkEntry {
     //     Store ids are ingest-normalized, request ids query-normalized. ———
     "q_j4_trace_many" -> ((s, dir) => {
       import s.implicits._
+      // cached: the redelivery union reads the store twice — without it the
+      // whole sessionization pipeline runs once per union side
       val tr = eventTraces(s, dir).toDF()
         .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
+        .cache()
       val store = tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace]
       TraceQueries.getTraceMany(store,
           (1 to 8).flatMap(u => Seq(s"$u:1", s"$u:2")))
