@@ -51,6 +51,17 @@ object SparkEntry {
   private def eventTraces(s: SparkSession, dir: String) =
     EventSpans.sessionTraces(s, events(s, dir)) // fused single-shuffle path
 
+  /** Shared cluster construction for q_dedup_clusters / q_dedup_apply —
+    * ONE definition so the two surfaces (and their shared ClustersCtes
+    * oracle) can never drift on threshold/n/cap.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = Some(Dedup.docFreqCap(docs.count()))))
+  }
+
   // Fixed query window for deterministic oracles: endTs 2024-01-20T00:00Z,
   // lookback 10 d — a proper subset of the events range (2024-01-01..01-30),
   // so the range predicate filters non-trivially at every scale factor.
@@ -163,11 +174,11 @@ object SparkEntry {
     //     Store ids are ingest-normalized, request ids query-normalized. ———
     "q_j4_trace_many" -> ((s, dir) => {
       import s.implicits._
-      // cached: the redelivery union reads the store twice — without it the
-      // whole sessionization pipeline runs once per union side
+      // the redelivery union's two legs share one lineage — ReuseExchange
+      // dedups the sessionization shuffle, no cache (which Verify would
+      // retain for the rest of the run) needed
       val tr = eventTraces(s, dir).toDF()
         .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
-        .cache()
       val store = tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace]
       TraceQueries.getTraceMany(store,
           (1 to 8).flatMap(u => Seq(s"$u:1", s"$u:2")))
@@ -182,13 +193,12 @@ object SparkEntry {
     //     re-parse under the span schema to exactly the trace's span ids ———
     "q_sc6_json" -> ((s, dir) => {
       val json = TraceQueries.toJsonV2(eventTraces(s, dir))
-      json.select(col("trace_id"),
-        size(from_json(col("json"),
-          org.apache.spark.sql.types.ArrayType(graft.model.Spans.schema)))
-          .cast("long").as("n_spans"),
-        md5(concat_ws(",",
-          sort_array(expr("transform(from_json(json, 'array<struct<id:string>>'), x -> x.id)"))))
-          .as("span_ids_md5"))
+      json
+        .select(col("trace_id"),
+          expr("transform(from_json(json, 'array<struct<id:string>>'), x -> x.id)").as("ids"))
+        .select(col("trace_id"),
+          size(col("ids")).cast("long").as("n_spans"),
+          md5(concat_ws(",", sort_array(col("ids")))).as("span_ids_md5"))
     }),
 
     // ——— W4: span names for one service (KafkaStorageHttpService.java:125-133) ———
@@ -283,21 +293,12 @@ object SparkEntry {
 
     // ——— dedup: near-dup clusters (connected components → canonical doc);
     //     df-capped shingle index (the skew guard the 100 TB join needs) ———
-    "q_dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.8, maxDocFreq = Some(Dedup.docFreqCap(docs.count()))))
-    }),
+    "q_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
     // ——— dedup applied end-to-end: corpus minus non-canonical near-dups ———
-    "q_dedup_apply" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val clusters = Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.8, maxDocFreq = Some(Dedup.docFreqCap(docs.count()))))
-      Dedup.dropNearDuplicates(docs, "doc_id", clusters).select("doc_id")
-    }),
+    "q_dedup_apply" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", dedupClusters(s, dir))
+        .select("doc_id")),
 
     // ——— sampling: deterministic content-hash train/val/test split ———
     "q_sample_split" -> ((s, dir) =>

@@ -168,33 +168,33 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Envelope stream → the span-projection schema the name-store builders
+    * aggregate over, so the streaming stores are the SAME expressions as the
+    * batch ones (content parity by construction, sort order included).
+    */
+  private def envelopeSpanFields(envelopes: Dataset[SpanEnvelope]): DataFrame =
+    envelopes.toDF().select(
+      col("span.local_endpoint.service_name").as("service"),
+      col("span.name").as("name"),
+      col("span.remote_endpoint.service_name").as("remote_service"),
+      col("span.tags").as("tags"))
+
   /** A7/A8 streaming name stores (Update mode: sets grow monotonically,
-    * mirroring the reference's upsert processors).
+    * mirroring the reference's upsert processors; the aggregation itself is
+    * the shared relational builder from [[graft.operators.SpanPipeline]]).
     */
   def spanNameSets(envelopes: Dataset[SpanEnvelope]): DataFrame =
-    envelopes.toDF()
-      .select(col("span.local_endpoint.service_name").as("service"),
-        col("span.name").as("name"))
-      .where(col("service").isNotNull && col("name").isNotNull)
-      .groupBy("service").agg(collect_set("name").as("span_names"))
+    graft.operators.SpanPipeline.spanNamesRelational(envelopeSpanFields(envelopes))
 
   /** A8 streaming remote-service-name store (Update mode;
     * TraceStorageTopology.java:187-205 upsert analog).
     */
   def remoteServiceNameSets(envelopes: Dataset[SpanEnvelope]): DataFrame =
-    envelopes.toDF()
-      .select(col("span.local_endpoint.service_name").as("service"),
-        col("span.remote_endpoint.service_name").as("remote_service"))
-      .where(col("service").isNotNull && col("remote_service").isNotNull)
-      .groupBy("service").agg(collect_set("remote_service").as("remote_service_names"))
+    graft.operators.SpanPipeline.remoteServiceNamesRelational(envelopeSpanFields(envelopes))
 
   /** A8 streaming autocomplete store for the configured keys (Update mode;
     * TraceStorageTopology.java:207-228 upsert analog).
     */
   def autocompleteTagSets(envelopes: Dataset[SpanEnvelope], keys: Seq[String]): DataFrame =
-    envelopes.toDF()
-      .select(explode(map_entries(col("span.tags"))).as("kv"))
-      .select(col("kv.key").as("tag_key"), col("kv.value").as("tag_value"))
-      .where(col("tag_key").isin(keys: _*) && col("tag_value").isNotNull)
-      .groupBy("tag_key").agg(collect_set("tag_value").as("values"))
+    graft.operators.SpanPipeline.autocompleteTagsRelational(envelopeSpanFields(envelopes), keys)
 }
