@@ -120,6 +120,23 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("saltedJoin ≡ plain equi-join on a skewed key") {
+    // 90% of probe rows share one hot key
+    val probe = (0 until 200).map(i => (if (i % 10 == 0) s"k$i" else "hot", i.toLong))
+      .toDF("k", "v")
+    val build = Seq(("hot", 1L), ("k0", 2L), ("k10", 3L), ("miss", 4L)).toDF("k", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").collect().map(_.toSeq).toSet
+    val plain = rows(probe.join(build, Seq("k")))
+    val salted = rows(Salting.saltedJoin(probe, build, Seq("k"), $"v", saltFactor = 8))
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+    // the hot key's probe rows really do spread across salt values
+    val salts = Salting.saltedProbe(probe.where($"k" === "hot"), $"v", 8)
+      .select("__salt").distinct().count()
+    assert(salts > 4)
+  }
+
   test("dropNearDuplicates keeps canonicals and unclustered docs only") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "canonical_id")
     val surviving = Dedup.dropNearDuplicates(docs, "doc_id", clusters)
