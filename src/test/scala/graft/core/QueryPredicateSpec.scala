@@ -73,6 +73,54 @@ class QueryPredicateSpec extends SparkSpec {
     }
   }
 
+  test("property: toPredicate ≡ testWithTimestamp on generated traces × requests") {
+    import org.scalacheck.Gen
+    val genSvc = Gen.option(Gen.oneOf("front", "back", "edge"))
+    val genSpanG = for {
+      svc <- genSvc
+      remote <- genSvc
+      name <- Gen.option(Gen.oneOf("get", "put", "query"))
+      ts <- Gen.option(Gen.choose(baseTs - 50, baseTs + 50))
+      dur <- Gen.option(Gen.choose(0L, 300L))
+      tags <- Gen.mapOfN(2, Gen.zip(Gen.oneOf("env", "sql", "k"), Gen.oneOf("", "prod", "x")))
+      ann <- Gen.option(Gen.oneOf("wr", "ws"))
+    } yield Span(trace_id = "g", id = "s", name = name, timestamp = ts, duration = dur,
+      local_endpoint = svc.map(s => Endpoint(service_name = Some(s))),
+      remote_endpoint = remote.map(s => Endpoint(service_name = Some(s))),
+      tags = tags, annotations = ann.map(Annotation(baseTs, _)).toSeq)
+    val genTrace = for {
+      n <- Gen.choose(1, 3)
+      spans <- Gen.listOfN(n, genSpanG)
+      i <- Gen.choose(0, 1 << 20)
+    } yield trace(s"t$i", spans.zipWithIndex.map { case (s, j) =>
+      s.copy(trace_id = s"t$i", id = s"s$j")
+    })
+    val genReq = for {
+      svc <- genSvc
+      remote <- genSvc
+      name <- Gen.option(Gen.oneOf("get", "missing"))
+      aq <- Gen.mapOfN(2, Gen.zip(Gen.oneOf("env", "sql", "wr", "absent"),
+        Gen.oneOf("", "prod")))
+      minD <- Gen.option(Gen.choose(0L, 250L))
+      maxD <- Gen.option(Gen.choose(100L, 400L))
+    } yield req.copy(serviceName = svc, remoteServiceName = remote, spanName = name,
+      annotationQuery = aq, minDuration = minD,
+      maxDuration = if (minD.isDefined) maxD else None)
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+    val genTraces = (1 to 60).map(i => sample(genTrace, i.toLong))
+      .groupBy(_.trace_id).values.map(_.head).toSeq // unique ids
+    val ds = spark.createDataset(genTraces).cache()
+    for (seed <- 1 to 40) {
+      val r = sample(genReq, 1000L + seed)
+      val typed = genTraces.filter(t => r.testWithTimestamp(t.root_ts, t.spans))
+        .map(_.trace_id).toSet
+      val relational = ds.where(QueryRequest.toPredicate(r, col("root_ts"), col("spans")))
+        .collect().map(_.trace_id).toSet
+      assert(relational == typed, s"mismatch for seed=$seed request=$r")
+    }
+  }
+
   test("getTraces returns the same traces through the relational path") {
     val ds = spark.createDataset(traces)
     val got = graft.operators.TraceQueries.getTraces(ds, req.copy(serviceName = Some("front")))
