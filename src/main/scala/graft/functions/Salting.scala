@@ -17,15 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  private def checkArgs(df: DataFrame, saltFactor: Int): Unit = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column (nested salting would silently drop it)")
+  }
+
   /** Probe-side salt: deterministic per row (content hash, never rand() —
     * retries and speculative tasks must salt identically).
     */
-  def saltedProbe(df: DataFrame, saltBy: Column, saltFactor: Int): DataFrame =
+  def saltedProbe(df: DataFrame, saltBy: Column, saltFactor: Int): DataFrame = {
+    checkArgs(df, saltFactor)
     df.withColumn("__salt", pmod(xxhash64(saltBy), lit(saltFactor)).cast("int"))
+  }
 
   /** Build-side replication: every row carried once per salt value. */
-  def saltedBuild(df: DataFrame, saltFactor: Int): DataFrame =
+  def saltedBuild(df: DataFrame, saltFactor: Int): DataFrame = {
+    checkArgs(df, saltFactor)
     df.withColumn("__salt", explode(lit((0 until saltFactor).toArray)))
+  }
 
   /** Inner equi-join on `keys` with the hot-key shuffle spread over
     * `saltFactor` partitions per key.

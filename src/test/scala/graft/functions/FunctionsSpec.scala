@@ -125,12 +125,15 @@ class FunctionsSpec extends SparkSpec {
     val probe = (0 until 200).map(i => (if (i % 10 == 0) s"k$i" else "hot", i.toLong))
       .toDF("k", "v")
     val build = Seq(("hot", 1L), ("k0", 2L), ("k10", 3L), ("miss", 4L)).toDF("k", "w")
+    // MULTISET compare: a regression joining without the salt produces
+    // saltFactor× duplicate rows, which a Set comparison would hide
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select("k", "v", "w").collect().map(_.toSeq).toSet
+      df.select("k", "v", "w").collect().map(_.toSeq).sortBy(_.toString).toSeq
     val plain = rows(probe.join(build, Seq("k")))
     val salted = rows(Salting.saltedJoin(probe, build, Seq("k"), $"v", saltFactor = 8))
     assert(salted == plain)
     assert(plain.nonEmpty)
+    intercept[IllegalArgumentException](Salting.saltedBuild(build, 0))
     // the hot key's probe rows really do spread across salt values
     val salts = Salting.saltedProbe(probe.where($"k" === "hot"), $"v", 8)
       .select("__salt").distinct().count()
