@@ -82,6 +82,14 @@ object SpanSources {
   def fromJson(spark: SparkSession, path: String): Dataset[Span] =
     Spans.readJson(spark, path)
 
+  /** Batch parquet span source (backfills, store re-reads) — same
+    * normalization contract as the JSON path.
+    */
+  def fromParquet(spark: SparkSession, path: String): Dataset[Span] = {
+    import spark.implicits._
+    Spans.normalize(spark.read.parquet(path)).as[Span]
+  }
+
   // ——— S3/S4: the dependency-link topic between the two topologies ———
   // The reference hands links from SpanAggregationTopology (producer,
   // SpanAggregationTopology.java:94-96) to DependencyStorageTopology

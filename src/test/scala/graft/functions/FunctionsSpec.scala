@@ -228,6 +228,14 @@ class FunctionsSpec extends SparkSpec {
     assert(got.nonEmpty && got.head.getAs[Long]("corpus_id") == 1L)
   }
 
+  test("kmeansCentroids never loses cells — empty cells keep their previous centroid") {
+    // degenerate corpus: every vector identical → all rows assign to ONE
+    // cell each round; the other cells must survive via the reseed join
+    val same = (0L until 10L).map(i => (i, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.kmeansCentroids(same, "vec_id", "embedding", nCentroids = 4, iters = 2)
+    assert(c.count() == 4)
+  }
+
   test("IVF recall against brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where($"vec_id" < 20)

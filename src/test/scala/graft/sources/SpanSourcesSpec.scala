@@ -34,6 +34,15 @@ class SpanSourcesSpec extends SparkSpec {
     assert(byId("000000000000000b").annotations == Nil)
   }
 
+  test("parquet span source round-trips the JSON-decoded spans") {
+    val fromJson = SpanSources.fromJson(spark, writeFixture())
+    val dir = Files.createTempDirectory("graft-spans-pq").toString
+    fromJson.write.mode("overwrite").parquet(dir)
+    val fromPq = SpanSources.fromParquet(spark, dir).collect().toSet
+    assert(fromPq == fromJson.collect().toSet)
+    assert(fromPq.size == 3)
+  }
+
   test("file-based streaming ingest drives the session pipeline end-to-end") {
     val traces = StreamingPipeline.sessionTraces(
       SpanSources.fromJsonFiles(spark, writeFixture()), "1 minute")
