@@ -168,6 +168,22 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Wire the windowed dependency counts into the date-partitioned serving
+    * store (S6, dependency side — the analog of [[tracesToStore]]). Append
+    * rows are final per (window, edge) under the watermark; at-least-once
+    * re-appends collapse at read time because the query surface re-sums
+    * per edge ([[graft.operators.TraceQueries.dependencies]]).
+    */
+  def dependencyWindowsToStore(windowCounts: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowCounts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.store.StoreLayout.writeDependencyWindows(batch, path)
+      }
+      .start()
+
   /** Envelope stream → the span-projection schema the name-store builders
     * aggregate over, so the streaming stores are the SAME expressions as the
     * batch ones (content parity by construction, sort order included).

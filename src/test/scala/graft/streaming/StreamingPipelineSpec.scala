@@ -213,6 +213,21 @@ class StreamingPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val streamedTotal = streamed.map(_.getAs[Long]("call_count")).sum
     assert(batchTotal(("svc_a", "svc_b")) == streamedTotal)
+
+    // ——— stage 2b: same link stream → windowed counts → partitioned store
+    // → query surface (the full S3→S6→S7 loop on the dependency side) ———
+    val store = s"$tmp/depwin"
+    val q3 = StreamingPipeline.dependencyWindowsToStore(
+      StreamingPipeline.dependencyWindowCounts(
+        graft.sources.SpanSources.linksFromJsonFiles(spark, linkDir)),
+      store, s"$tmp/chk3")
+    try q3.processAllAvailable() finally q3.stop()
+    val deps = graft.operators.TraceQueries.dependencies(
+        graft.store.StoreLayout.readDependencyWindows(spark, store, 30 * gapMs, 30 * gapMs),
+        endTs = 30 * gapMs, lookback = 30 * gapMs)
+      .collect().map(r => (r.getAs[String]("parent"), r.getAs[String]("child")) ->
+        r.getAs[Long]("call_count")).toMap
+    assert(deps(("svc_a", "svc_b")) == streamedTotal)
   }
 
   test("streaming name store accumulates sets in Update mode (A7)") {
