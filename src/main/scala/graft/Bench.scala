@@ -38,14 +38,26 @@ object Bench {
       // full materialization of every output column on the executors —
       // a bare count() lets Catalyst prune unevaluated projections, which
       // would time a row count instead of the query
-      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
+      catch { case e: Throwable =>
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // a failed query's elapsed time is ~planning cost, not a result — the
+    // errors map (and nonzero exit) is what distinguishes fast from broken
+    val errs = results.map { case (k, _, e) =>
+      s"\"" + k + "\":" + e.map(jstr).getOrElse("null")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

@@ -53,14 +53,14 @@ object SparkEntry {
 
   /** Shared cluster construction for q_dedup_clusters / q_dedup_apply —
     * ONE definition so the two surfaces (and their shared ClustersCtes
-    * oracle) can never drift on threshold/n/cap.
+    * oracle) can never drift on threshold/n/banding. Pairs come from the
+    * sub-quadratic MinHash+LSH path with exact verification (the 100 TB
+    * default); the oracle is the exact uncapped 0.8-Jaccard closure, which
+    * the verified LSH pairs match up to an all-band miss ≈ 5e-8 per pair.
     */
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.8, maxDocFreq = Some(Dedup.docFreqCap(docs.count()))))
-  }
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clustersFromMinhash(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.8)
 
   // Fixed query window for deterministic oracles: endTs 2024-01-20T00:00Z,
   // lookback 10 d — a proper subset of the events range (2024-01-01..01-30),
@@ -214,6 +214,36 @@ object SparkEntry {
         SpanPipeline.autocompleteTagsRelational(
           EventSpans.spanFields(events(s, dir)), Seq("error", "k")))),
 
+    // ——— J4 single-id getTrace through the at-least-once store — the
+    //     one-trace variant of q_j4_trace_many; redelivered duplicate rows
+    //     MUST collapse via TraceMerge at read
+    //     (KafkaStorageHttpService.java:243-266) ———
+    "q_j4_get_trace" -> ((s, dir) => {
+      import s.implicits._
+      val tr = eventTraces(s, dir).toDF()
+        .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
+      val store = tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace]
+      TraceQueries.getTrace(store, "3:2")
+        .toDF()
+        .select(col("trace_id"), explode(col("spans")).as("sp"))
+        .select(col("trace_id"), col("sp.id").as("span_id"),
+          col("sp.name").as("name"), expr("sp.timestamp DIV 1000").as("ts_ms"))
+    }),
+
+    // ——— skew: salted equi-join, oracle-pinned result-identical to the
+    //     unsalted join. l_returnflag has 3 distinct values — the genuinely
+    //     skewed key shape; the tiny dim side is replicated saltFactor×, the
+    //     probe side's hot key spreads over 8 reducers ———
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // quantities are integral, so avg is order-independent bit-exact
+      val flagStats = li.groupBy("l_returnflag").agg(avg("l_quantity").as("flag_avg_qty"))
+      graft.functions.Salting
+        .saltedJoin(li, flagStats, Seq("l_returnflag"), col("l_orderkey"), saltFactor = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_quantity") - col("flag_avg_qty"), 4).as("qty_dev"))
+    }),
+
     // ——— J-class joins (SURVEY §2.5; broadcast dims, semi/anti) ———
     "q_join_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -291,8 +321,9 @@ object SparkEntry {
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.95)"), 4).as("p95"))),
 
-    // ——— dedup: near-dup clusters (connected components → canonical doc);
-    //     df-capped shingle index (the skew guard the 100 TB join needs) ———
+    // ——— dedup: near-dup clusters (connected components → canonical doc),
+    //     fed by MinHash+LSH candidates with exact verification — the
+    //     sub-quadratic pair source a 100 TB corpus needs ———
     "q_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
     // ——— dedup applied end-to-end: corpus minus non-canonical near-dups ———
@@ -563,6 +594,20 @@ object SparkEntry {
       """SELECT DISTINCT event_type AS span_name FROM events
         |WHERE event_type = 'purchase' ORDER BY span_name LIMIT 1000""".stripMargin,
 
+    "q_j4_get_trace" -> (SessionCtes +
+      """
+        |SELECT lpad(concat(user_id, ':', session_id), 16, '0') AS trace_id,
+        |       CAST(event_id AS VARCHAR) AS span_id, event_type AS name,
+        |       ts_us//1000 AS ts_ms
+        |FROM s WHERE user_id = 3 AND session_id = 2""".stripMargin),
+
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       round(l_quantity - flag_avg_qty, 4) AS qty_dev
+        |FROM lineitem
+        |JOIN (SELECT l_returnflag AS rf, avg(l_quantity) AS flag_avg_qty
+        |      FROM lineitem GROUP BY 1) d ON l_returnflag = rf""".stripMargin,
+
     "q_a8_autocomplete_keys" ->
       """SELECT tag_key FROM (
         |  SELECT DISTINCT 'error' AS tag_key FROM events WHERE event_type = 'error'
@@ -748,18 +793,17 @@ object SparkEntry {
         |FROM (SELECT doc_id, n_chars % 16 + 1 AS n FROM documents)""".stripMargin
   )
 
-  /** Shared CTE chain for the clusters/apply oracles: capped shingle index →
-    * exact 0.8-Jaccard pairs → symmetric edges → transitive closure.
+  /** Shared CTE chain for the clusters/apply oracles: UNCAPPED shingle
+    * index → exact 0.8-Jaccard pairs → symmetric edges → transitive closure.
+    * Mirrors the minhash+LSH path, whose exact verification runs over full
+    * shingle sets (q_dedup_minhash pins pair-set equality with this index).
     */
   private val ClustersCtes =
-    """WITH RECURSIVE sh0 AS (
+    """WITH RECURSIVE sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
       |  WHERE len(w) >= 3),
-      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (
-      |  SELECT shingle FROM sh0 GROUP BY shingle
-      |  HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 200))),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

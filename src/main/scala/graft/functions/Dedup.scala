@@ -159,6 +159,21 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Near-dup clusters from the sub-quadratic pair source: MinHash band
+    * join → exact-Jaccard verify → [[connectedComponents]]. Candidate
+    * generation is O(n·bands) index rows instead of the exact inverted-index
+    * self-join's Σdf² worst case (≈ n·cap even with the df cap), so this is
+    * the 100 TB default; the exact [[ngramJaccardPairs]]-fed composition
+    * remains the small-corpus/oracle mode. Verification is exact, so at the
+    * 0.8 design threshold the result equals the exact uncapped closure up to
+    * an all-band miss probability ≈ 5e-8 per qualifying pair.
+    */
+  def clustersFromMinhash(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame =
+    connectedComponents(
+      minhashPairs(docs, idCol, textCol, n, numHashes, bands, threshold))
+
   /** Near-dup pairs → clusters: connected components over the pair graph,
     * labeling every member with the minimum doc id of its component (the
     * canonical survivor; everything else is droppable).

@@ -147,6 +147,17 @@ class FunctionsSpec extends SparkSpec {
     assert(surviving == Set(0L, 1L, 4L)) // 2,3 dropped; 1 canonical; 0,4 unclustered
   }
 
+  test("clustersFromMinhash ≡ connected components over exact uncapped pairs") {
+    def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    val viaLsh = labels(Dedup.clustersFromMinhash(docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.5))
+    val viaExact = labels(Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)))
+    assert(viaLsh == viaExact)
+    assert(viaLsh.nonEmpty)
+  }
+
   test("connectedComponents labels chains with the component minimum (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
       .toDF("doc_a", "doc_b") // {1,2,3,8,9} and {5,6}
