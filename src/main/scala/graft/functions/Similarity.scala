@@ -150,42 +150,68 @@ object Similarity {
         (-col("best.neg_cid")).cast("long").as("centroid_id"))
   }
 
-  /** Deterministic k-means init: the first nCentroids vectors by id. */
-  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int): DataFrame =
-    corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid_vec"))
-
-  /** Lloyd-refined IVF centroids: seed with [[seedCentroids]], then
-    * `iters` rounds of assign → per-cell mean. The mean is computed
-    * relationally (posexplode → groupBy (cell, dim) avg → rebuild array), so
-    * each round is one broadcast-assign plus one keyed aggregation — no
-    * driver-side vectors beyond the k centroids themselves. A cell that goes
-    * empty keeps its previous centroid (k never silently shrinks — the
-    * nProbe/nCentroids cost model depends on all k cells existing). To train
-    * on a corpus sample at scale, pre-filter `corpus` with a deterministic
-    * hash predicate before calling — centroid quality needs k ≪ n rows, not
-    * all of them.
+  /** Lloyd-refined IVF centroids, trained on a bounded deterministic
+    * hash-sample of the corpus: `pmod(xxhash64(id), m) = 0` with m sized so
+    * the sample is ≈ samplePerCentroid·k rows — centroid quality needs
+    * k ≪ sample, not all n rows. The sample is collected and refined
+    * driver-side: at the default 256·k rows the training set is a few MB,
+    * and running the k·|sample|·iters flops locally replaces 3-4 Spark jobs
+    * PER Lloyd round (broadcast-assign, re-mean aggregation, reseed join,
+    * lineage checkpoint) with zero — the full corpus is touched exactly
+    * twice, one column-pruned count to size m and the caller's single
+    * distributed assignment. Deterministic across partition layouts: the
+    * sample is a content-hash filter, seeded with its first k vectors by id,
+    * and the fold runs in id order with double accumulation. A cell that
+    * goes empty keeps its previous centroid (k never silently shrinks — the
+    * nProbe/nCentroids cost model depends on all k cells existing).
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int = 3): DataFrame = {
-    val base = normedBase(corpus, idCol, vecCol).cache() // scanned once, assigned per round
-    var centroids = seedCentroids(corpus, idCol, vecCol, nCentroids)
-    for (_ <- 0 until iters) {
-      val means = assignNormed(base, idCol, vecCol, centroids)
-        .select(col("centroid_id"), posexplode(col(vecCol)))
-        .groupBy("centroid_id", "pos").agg(avg("col").as("m"))
-        .groupBy("centroid_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("mean_vec"))
-      centroids = centroids.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-          coalesce(col("mean_vec"), col("centroid_vec")).as("centroid_vec"))
-        // materialize each round (k tiny rows): without this, round i's plan
-        // re-executes rounds 1..i-1 — quadratic work in `iters`
-        .localCheckpoint(true)
+      nCentroids: Int, iters: Int = 3, samplePerCentroid: Int = 256): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(nCentroids.toLong * samplePerCentroid <= (1L << 22),
+      "training sample must stay driver-collectable; lower samplePerCentroid")
+    val target = nCentroids.toLong * samplePerCentroid
+    val m = math.max(1L, corpus.count() / target)
+    val sample = corpus
+      .where(pmod(xxhash64(col(idCol)), lit(m)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val k = math.min(nCentroids, sample.length)
+    val dim = if (sample.isEmpty) 0 else sample(0)._2.length
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
     }
-    centroids
+    val centroids = Array.tabulate(k)(i => sample(i)._2.clone())
+    val vecNorms = sample.map(r => norm(r._2))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      val cNorms = centroids.map(norm)
+      for (si <- sample.indices) {
+        val v = sample(si)._2
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * centroids(c)(i); i += 1 }
+          // strict > keeps the smaller centroid id on ties, matching
+          // assignNormed's (sim, -centroid_id) argmax tiebreak
+          val sim = dot / (vecNorms(si) * cNorms(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until dim)
+        centroids(c)(i) = sums(c)(i) / counts(c)
+    }
+    centroids.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("centroid_id", "centroid_vec")
   }
 
   /** IVF top-k: probe the nProbe nearest cells per query, exact cosine within
@@ -196,10 +222,11 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
-    // one normed scan of the corpus serves training rounds AND the final
-    // assignment (kmeansCentroids caches the same base lineage)
-    val base = normedBase(corpus, idCol, vecCol).cache()
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters).cache()
+    // no caches: training reads only its driver-collected hash-sample, the
+    // corpus is scanned once for the single assignment pass, and the
+    // centroids are a driver-local k-row relation (broadcasts are free)
+    val base = normedBase(corpus, idCol, vecCol)
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
     val assigned = assignNormed(base, idCol, vecCol, centroids)
       .withColumnRenamed(idCol, "corpus_id").withColumnRenamed(vecCol, "cv")
       .withColumnRenamed("vec_nrm", "cv_nrm")
