@@ -5,7 +5,7 @@ import graft.functions.{Dedup, Similarity, TextAnalysis}
 import graft.model.Span
 import graft.operators.{Multimodal, SpanPipeline, TraceQueries}
 import graft.sources.EventSpans
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,39 @@ object SparkEntry {
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.clustersFromMinhash(t(s, dir, "documents"), "doc_id", "text",
       n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+
+  /** Order-independent fingerprint of a span array covering EVERY field of
+    * the span schema (nested endpoints, annotations, sorted tag entries,
+    * flags) — the SC6 gate compares it across the JSON round-trip, so it must
+    * not skip a field (a skipped field is a field the gate can't protect).
+    * The \\u0003 sentinel marks SQL NULL so a nulled field never collides with an empty string.
+    */
+  private[graft] def spanSetFingerprint(spans: Column): Column = {
+    val NULL = "\u0003"
+    def ep(e: Column): Column = concat_ws("\u0002",
+      coalesce(e.getField("service_name"), lit(NULL)),
+      coalesce(e.getField("ipv4"), lit(NULL)),
+      coalesce(e.getField("ipv6"), lit(NULL)),
+      coalesce(e.getField("port").cast("string"), lit(NULL)))
+    md5(concat_ws("|", sort_array(transform(spans, sp => concat_ws("\u0001",
+      coalesce(sp.getField("trace_id"), lit(NULL)),
+      coalesce(sp.getField("parent_id"), lit(NULL)),
+      coalesce(sp.getField("id"), lit(NULL)),
+      coalesce(sp.getField("kind"), lit(NULL)),
+      coalesce(sp.getField("name"), lit(NULL)),
+      coalesce(sp.getField("timestamp").cast("string"), lit(NULL)),
+      coalesce(sp.getField("duration").cast("string"), lit(NULL)),
+      when(sp.getField("local_endpoint").isNotNull, ep(sp.getField("local_endpoint")))
+        .otherwise(lit(NULL)),
+      when(sp.getField("remote_endpoint").isNotNull, ep(sp.getField("remote_endpoint")))
+        .otherwise(lit(NULL)),
+      concat_ws(",", sort_array(transform(sp.getField("annotations"),
+        a => concat_ws(":", a.getField("timestamp").cast("string"), a.getField("value"))))),
+      concat_ws(",", array_sort(transform(map_entries(sp.getField("tags")),
+        e => concat_ws("=", e.getField("key"), e.getField("value"))))),
+      coalesce(sp.getField("shared").cast("string"), lit(NULL)),
+      coalesce(sp.getField("debug").cast("string"), lit(NULL)))))))
+  }
 
   // Fixed query window for deterministic oracles: endTs 2024-01-20T00:00Z,
   // lookback 10 d — a proper subset of the events range (2024-01-01..01-30),
@@ -190,15 +223,22 @@ object SparkEntry {
 
     // ——— SC6: JSON_V2 response encode — the oracle can't pin zipkin's exact
     //     byte layout, so the check is a round-trip: the produced JSON must
-    //     re-parse under the span schema to exactly the trace's span ids ———
+    //     re-parse under the COMPLETE span schema (SURVEY §1.2) to spans
+    //     fingerprint-identical to the originals across every field, so a
+    //     field silently dropped by the encoder's null-omission goes red
+    //     (reference writer: KafkaStorageHttpService.java:329-353). The ids
+    //     md5 stays oracle-computable; roundtrip_ok is pinned constant ———
     "q_sc6_json" -> ((s, dir) => {
-      val json = TraceQueries.toJsonV2(eventTraces(s, dir))
-      json
-        .select(col("trace_id"),
-          expr("transform(from_json(json, 'array<struct<id:string>>'), x -> x.id)").as("ids"))
-        .select(col("trace_id"),
-          size(col("ids")).cast("long").as("n_spans"),
-          md5(concat_ws(",", sort_array(col("ids")))).as("span_ids_md5"))
+      val enc = eventTraces(s, dir).toDF().select(col("trace_id"), col("spans"),
+        TraceQueries.jsonV2(col("spans")).as("json"))
+      val parsed = from_json(col("json"),
+        org.apache.spark.sql.types.ArrayType(graft.model.Spans.schema))
+      enc.select(col("trace_id"),
+        size(parsed).cast("long").as("n_spans"),
+        md5(concat_ws(",", sort_array(transform(parsed, sp => sp.getField("id")))))
+          .as("span_ids_md5"),
+        (spanSetFingerprint(parsed) === spanSetFingerprint(col("spans")))
+          .as("roundtrip_ok"))
     }),
 
     // ——— W4: span names for one service (KafkaStorageHttpService.java:125-133) ———
@@ -442,6 +482,33 @@ object SparkEntry {
         .select(lit("recall_at_5").as("metric"), (col("recall") >= 0.9).as("meets_target"))
     }),
 
+    // ——— similarity: sign-LSH quality gate for the high-threshold regime —
+    //     the sub-quadratic path a 100 TB corpus runs instead of the Θ(n²)
+    //     grid join. The raw embeddings are near-random (no pairs above
+    //     cosine ~0.4), so the gate plants one near-neighbor per vector —
+    //     a content-chosen coordinate bumped by 30% of the norm puts the
+    //     pair at cosine ≈ 0.95 — and pins in-engine recall vs the exact
+    //     grid join at threshold 0.9; the oracle pins the floor constant ———
+    "q_emb_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.select(
+        (col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("vec_id"), size(col("embedding"))),
+            (x + lit(0.3) * Similarity.norm(col("embedding"))).cast("float"))
+            .otherwise(x)).as("embedding"))
+      val all = emb.unionByName(planted)
+      val exact = Similarity.cosinePairs(all, "vec_id", "embedding", 0.9, numBlocks = 16)
+        .select("id_a", "id_b")
+      val approx = Similarity.cosinePairsLSH(all, "vec_id", "embedding", 0.9)
+        .select("id_a", "id_b")
+      exact.join(approx, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("tot")))
+        .select(lit("lsh_recall_at_0.9").as("metric"),
+          (col("tot") > 0 && col("hit") >= col("tot") * 0.95).as("meets_target"))
+    }),
+
     // ——— similarity: embedding cosine near-dup pairs ———
     "q_emb_neardup" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
@@ -576,11 +643,15 @@ object SparkEntry {
       """SELECT DISTINCT json_extract_string(props, '$.k') AS value
         |FROM events WHERE props IS NOT NULL ORDER BY value LIMIT 1000""".stripMargin,
 
+    // roundtrip_ok is the in-engine full-schema comparison (original spans
+    // vs the re-parsed JSON, fingerprinted over every field); the oracle
+    // pins it constant-true like the recall gates
     "q_sc6_json" -> (SessionCtes +
       """
         |SELECT concat(user_id, ':', session_id) AS trace_id,
         |       count(*) AS n_spans,
-        |       md5(array_to_string(list_sort(list(CAST(event_id AS VARCHAR))), ',')) AS span_ids_md5
+        |       md5(array_to_string(list_sort(list(CAST(event_id AS VARCHAR))), ',')) AS span_ids_md5,
+        |       CAST(1 AS BOOLEAN) AS roundtrip_ok
         |FROM s GROUP BY user_id, session_id""".stripMargin),
 
     "q_j4_trace_many" -> (SessionCtes +
@@ -777,6 +848,11 @@ object SparkEntry {
     // exact baseline; hash-match == "recall@5 >= 0.9 held on this corpus"
     "q_ann_ivf_recall" ->
       "SELECT 'recall_at_5' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
+
+    // constant oracle, same pattern: hash-match == "sign-LSH recovered ≥95%
+    // of the exact grid join's ≥0.9-cosine pairs on the planted fixture"
+    "q_emb_lsh_recall" ->
+      "SELECT 'lsh_recall_at_0.9' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
 
     "q_mm_features" ->
       """SELECT doc_id AS media_id,

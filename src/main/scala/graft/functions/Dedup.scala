@@ -90,14 +90,28 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join, then verify
     * candidates with exact Jaccard (so false positives never escape; false
     * negatives require every one of `bands` band-collisions to miss).
+    *
+    * Cache contract (shared by [[ngramJaccardPairs]] / [[cosinePairsLSH]]):
+    * heavy intermediates read twice within one execution (band keys, shingle
+    * sets) are persisted and stay so until the caller clears them — a
+    * long-lived session should `spark.catalog.clearCache()` after
+    * materializing the pairs, or compose through [[clustersFromMinhash]],
+    * which releases them as soon as the components are built.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
-    // cached: the bucket self-join reads it twice, verify reads candidates
-    // again (at cluster scale this is the persisted signature table).
-    // Shingle-less docs (shorter than n words) produce zero band keys inside
-    // MinHashBandKeys, so posexplode drops them — no extra filter pass over
-    // the shingle expression.
+      numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame =
+    minhashPairsScoped(docs, idCol, textCol, n, numHashes, bands, threshold)._1
+
+  /** [[minhashPairs]] plus handles to its persisted intermediates, so eager
+    * consumers can unpersist them the moment the pair set is materialized.
+    */
+  private[functions] def minhashPairsScoped(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, bands: Int,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    // cached: the bucket self-join reads it twice (at cluster scale this is
+    // the persisted signature table). Shingle-less docs (shorter than n
+    // words) produce zero band keys inside MinHashBandKeys, so posexplode
+    // drops them — no extra filter pass over the shingle expression.
     val bandKeys = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
         posexplode(MinHashBandKeys(
           TextAnalysis.distinctShingles(col(textCol), n), numHashes, bands)))
@@ -108,26 +122,32 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .cache()
-    verifyJaccard(candidates, docs, idCol, textCol, n, threshold)
+    val (pairs, sets) = verifyJaccardScoped(candidates, docs, idCol, textCol, n, threshold)
+    (pairs, Seq(bandKeys, sets))
   }
 
   /** Exact-Jaccard verification of candidate pairs (array intersect over the
     * two docs' shingle sets — joins keyed by doc id, cost ∝ candidates).
+    * Same cache contract as [[minhashPairs]].
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double): DataFrame = {
+      textCol: String, n: Int, threshold: Double): DataFrame =
+    verifyJaccardScoped(candidates, docs, idCol, textCol, n, threshold)._1
+
+  private def verifyJaccardScoped(candidates: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): (DataFrame, DataFrame) = {
     // cached: joined once per pair side — without it the shingle expression
     // (regex tokenization) re-evaluates over the full corpus twice
     val sets = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       TextAnalysis.distinctShingles(col(textCol), n).as("sh")).cache()
-    candidates
+    val pairs = candidates
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa.sh"), col("sb.sh"))) /
           size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (pairs, sets)
   }
 
   /** 32-bit SimHash signature per doc, via the single-pass [[SimHashSig]]
@@ -170,9 +190,16 @@ object Dedup {
     */
   def clustersFromMinhash(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame =
-    connectedComponents(
-      minhashPairs(docs, idCol, textCol, n, numHashes, bands, threshold))
+      threshold: Double = 0.8): DataFrame = {
+    val (pairs, caches) = minhashPairsScoped(docs, idCol, textCol, n, numHashes,
+      bands, threshold)
+    // connectedComponents materializes the pair set (driver collect or
+    // label-propagation fixpoint) before returning, so the pair-stage caches
+    // can be released here instead of pinning executor storage for the
+    // session lifetime
+    try connectedComponents(pairs)
+    finally caches.foreach(_.unpersist(false))
+  }
 
   /** Near-dup pairs → clusters: connected components over the pair graph,
     * labeling every member with the minimum doc id of its component (the
@@ -268,6 +295,11 @@ object Dedup {
       chk = nextChk
       i += 1
     }
+    // labels is fully materialized by its convergence checksum; the edge
+    // cache only serves the (already finished) propagation rounds. The
+    // returned labels stay cached — they are the component labels the caller
+    // is about to consume — and recompute from lineage if ever evicted.
+    edges.unpersist(false)
     labels
   }
 

@@ -94,6 +94,9 @@ object Similarity {
     * miss rate at cosine 0.95 with 128×16 banding is ~1e-4 and falls
     * super-exponentially toward cosine 1; below ~0.7 recall degrades — use
     * the exact [[cosinePairs]] grid join there.
+    *
+    * Cache contract as [[Dedup.minhashPairs]]: the band-key table persists
+    * for the self-join; long-lived callers clear it after materializing.
     */
   def cosinePairsLSH(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numBits: Int = 128, bands: Int = 16): DataFrame = {

@@ -90,8 +90,13 @@ object TraceQueries {
     * spans per trace row. Null fields are omitted like zipkin's writer.
     */
   def toJsonV2(traces: Dataset[Trace]): DataFrame =
-    traces.toDF().select(col("trace_id"),
-      to_json(col("spans"), java.util.Map.of("ignoreNullFields", "true")).as("json"))
+    traces.toDF().select(col("trace_id"), jsonV2(col("spans")).as("json"))
+
+  /** The SC6 encode as a reusable column, so gates that need the original
+    * spans next to their encoding share the exact production expression.
+    */
+  def jsonV2(spans: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_json(spans, java.util.Map.of("ignoreNullFields", "true"))
 
   /** Adapt a store-layout DataFrame (possibly carrying partition columns)
     * back to the typed trace Dataset the query functions take, re-merging

@@ -158,6 +158,15 @@ class FunctionsSpec extends SparkSpec {
     assert(viaLsh.nonEmpty)
   }
 
+  test("clustersFromMinhash releases its pair-stage caches once components are built") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val clusters = Dedup.clustersFromMinhash(docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+    assert(clusters.count() > 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pair-stage caches still persisted: $leaked")
+  }
+
   test("connectedComponents labels chains with the component minimum (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
       .toDF("doc_a", "doc_b") // {1,2,3,8,9} and {5,6}

@@ -126,6 +126,25 @@ class SpanPipelineSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("SC6 full-schema fingerprint survives the JSON round-trip and sees dropped fields") {
+    import org.apache.spark.sql.functions._
+    val df = traces.toDF().select(col("spans"),
+      from_json(TraceQueries.jsonV2(col("spans")),
+        org.apache.spark.sql.types.ArrayType(graft.model.Spans.schema)).as("back"))
+    val checked = df.select(
+      (graft.SparkEntry.spanSetFingerprint(col("spans")) ===
+        graft.SparkEntry.spanSetFingerprint(col("back"))).as("ok"),
+      // a lossy encoder (here: simulated by nulling one nested field before
+      // fingerprinting) must flip the comparison — this is what makes the
+      // q_sc6_json gate sensitive to silent field drops
+      (graft.SparkEntry.spanSetFingerprint(col("spans")) ===
+        graft.SparkEntry.spanSetFingerprint(transform(col("back"),
+          sp => sp.withField("kind", lit(null: String))))).as("lossy_ok"))
+      .collect()
+    assert(checked.forall(_.getBoolean(0)), "round-trip must be lossless")
+    assert(checked.forall(!_.getBoolean(1)), "nulled field must change the fingerprint")
+  }
+
   test("autocomplete keys and values") {
     val table = SpanPipeline.autocompleteTags(spans, Seq("environment"))
     assert(TraceQueries.autocompleteKeys(table).as[String].collect().toSeq == Seq("environment"))
