@@ -1,6 +1,67 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Streaming micro-bench: the reference's three-topology chain (envelopes →
+    * session-window traces → dependency links → 1-minute windows) driven
+    * through MemoryStream at sf0.01, so streaming-path regressions show up
+    * round-over-round. The two stages are separate streaming queries — the
+    * stage boundary mirrors the reference's `zipkin-dependency` topic (and
+    * Spark drops event-time lineage across the typed flatMap anyway).
+    * Returns a JSON object fragment.
+    */
+  private def streamingBench(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // envelope event time = the span's own timestamp (the transport record
+    // time in the reference); fed in event-time order so the watermark
+    // advances and sessions close incrementally across micro-batches
+    val envs = sources.EventSpans.spans(spark, SparkEntry.events(spark, sfDir))
+      .collect()
+      .map(sp => SpanEnvelope(new java.sql.Timestamp(sp.timestampAsLong / 1000), sp))
+      .sortBy(_.ingest_ts.getTime)
+    // stateful micro-batches pay a per-(partition × batch) state-store commit;
+    // 32 shuffle partitions for a 10k-row leg would measure commit overhead,
+    // not pipeline throughput
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+    val t0 = System.nanoTime()
+    val in1 = MemoryStream[SpanEnvelope]
+    val q1 = StreamingPipeline.sessionTraces(in1.toDS())
+      .writeStream.format("memory").queryName("bench_stream_traces")
+      .outputMode("append").start()
+    envs.grouped(math.max(1, envs.length / 4)).foreach { chunk =>
+      in1.addData(chunk.toIndexedSeq); q1.processAllAvailable()
+    }
+    // one far-future envelope pushes the watermark past every open session
+    in1.addData(SpanEnvelope(
+      new java.sql.Timestamp(envs.last.ingest_ts.getTime + 3600000L),
+      envs.last.span))
+    q1.processAllAvailable()
+    val closed = spark.table("bench_stream_traces").as[ClosedTrace].collect()
+      .sortBy(_.close_ts.getTime)
+    val batches1 = q1.recentProgress.count(_.numInputRows > 0)
+    q1.stop()
+    val in2 = MemoryStream[ClosedTrace]
+    val q2 = StreamingPipeline.dependencyWindowCounts(
+        StreamingPipeline.dependencyLinkEvents(in2.toDS()))
+      .writeStream.format("memory").queryName("bench_stream_windows")
+      .outputMode("append").start()
+    closed.grouped(math.max(1, closed.length / 4)).foreach { chunk =>
+      in2.addData(chunk.toIndexedSeq); q2.processAllAvailable()
+    }
+    val windowsOut = spark.table("bench_stream_windows").count()
+    q2.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rps = if (sec > 0) envs.length / sec else 0.0
+    s"""{"rows_in":${envs.length},"traces_out":${closed.length},""" +
+      s""""windows_out":$windowsOut,"batches":$batches1,""" +
+      s""""sec":$sec,"rows_per_sec":$rps}"""
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's cores (the target env is local[32]) — a low
@@ -56,8 +117,18 @@ object Bench {
       s"\"" + k + "\":" + e.map(jstr).getOrElse("null")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // streaming leg runs at sf0.01 regardless of the timed dir (it measures
+    // the pipeline, not the scale factor) and reports rows/s + batch count
+    val streamDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+    val (streamJson, streamErr) =
+      if (!streamDir.isDirectory) ("null", None)
+      else try { spark.catalog.clearCache(); (streamingBench(spark, streamDir.getAbsolutePath), None) }
+      catch { case e: Throwable =>
+        ("null", Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+      }
+    val streamErrJson = streamErr.map(jstr).getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streamJson,"streaming_error":$streamErrJson,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (results.exists(_._3.isDefined) || streamErr.isDefined) sys.exit(1)
   }
 }

@@ -30,7 +30,7 @@ object SparkEntry {
     * refuses by default; read nanos as long and surface a µs-truncated
     * TimestampType `ts` (the same truncation DuckDB's epoch_us applies).
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     // schema resolution happens eagerly inside read.parquet(), so the legacy
     // conf can be restored right after — no session-wide side effect on
     // unrelated reads
@@ -153,6 +153,29 @@ object SparkEntry {
       val req = QueryRequest(serviceName = Some("purchase"),
         endTs = EndTsMs, lookback = LookbackMs, limit = 10)
       TraceQueries.getTraces(eventTraces(s, dir), req)
+        .select(col("trace_id"),
+          expr("root_ts DIV 1000").as("root_ts_ms"),
+          size(col("spans")).cast("long").as("n_spans"))
+    }),
+
+    // ——— S6 store round-trip: the SAME find-traces answer served through
+    //     the date-partitioned parquet trace store (the reference's
+    //     time-segmented trace segments, streams/TraceStorageTopology
+    //     .java:87-91): write, range-read with partition pruning at file
+    //     listing, at-least-once merge at read, then the F1 query. The
+    //     oracle is identical to q_f1_find_traces — the store round-trip
+    //     must not change the answer ———
+    "q_store_find_traces" -> ((s, dir) => {
+      val path = s"target/graft-stores/traces_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      // fresh store per run: writeTraces appends by design (at-least-once)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.store.StoreLayout.writeTraces(eventTraces(s, dir).toDF(), path)
+      val req = QueryRequest(serviceName = Some("purchase"),
+        endTs = EndTsMs, lookback = LookbackMs, limit = 10)
+      TraceQueries.getTraces(
+        TraceQueries.fromStore(
+          graft.store.StoreLayout.readTraces(s, path, EndTsMs, LookbackMs)), req)
         .select(col("trace_id"),
           expr("root_ts DIV 1000").as("root_ts_ms"),
           size(col("spans")).cast("long").as("n_spans"))
@@ -592,6 +615,19 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000""".stripMargin),
 
     "q_f1_find_traces" -> (SessionCtes +
+      s"""
+         |, agg AS (
+         |  SELECT concat(user_id, ':', session_id) AS trace_id, min(ts_us) AS root_us,
+         |         count(*) AS n_spans, bool_or(event_type = 'purchase') AS has_purchase
+         |  FROM s GROUP BY user_id, session_id)
+         |SELECT trace_id, root_us//1000 AS root_ts_ms, n_spans FROM agg
+         |WHERE has_purchase
+         |  AND root_us BETWEEN ${(EndTsMs - LookbackMs) * 1000} AND ${EndTsMs * 1000}
+         |ORDER BY root_us DESC, trace_id LIMIT 10""".stripMargin),
+
+    // identical to q_f1_find_traces: the partitioned-store round-trip must
+    // not change the find-traces answer
+    "q_store_find_traces" -> (SessionCtes +
       s"""
          |, agg AS (
          |  SELECT concat(user_id, ':', session_id) AS trace_id, min(ts_us) AS root_us,

@@ -54,6 +54,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"sessionization window survived pruning:\n$plan")
   }
 
+  test("q_store_find_traces: store read prunes trace_date partitions at file listing") {
+    val df = SparkEntry.queries("q_store_find_traces")(spark, dir) // writes the store
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("trace_date"),
+      s"expected trace_date partition filters on the store scan:\n$plan")
+    // behavioral proof on the store's range scan itself (AQE never wraps the
+    // exchange-free scan, so its FileSourceScanExec metrics are reachable):
+    // only the partitions inside the 10-day query window are listed, not the
+    // full month of trace dates just written
+    val storeDir = s"target/graft-stores/traces_${Integer.toHexString(dir.hashCode)}"
+    val read = graft.store.StoreLayout.readTraces(spark, storeDir,
+      1705708800000L, 864000000L) // q_store_find_traces's endTs/lookback
+    read.collect()
+    val scan = read.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val written = new java.io.File(storeDir).listFiles()
+      .count(_.getName.startsWith("trace_date="))
+    assert(written > 11, s"fixture should span more dates than the query range ($written)")
+    assert(scan.metrics("numPartitions").value <= 11,
+      s"scan read ${scan.metrics("numPartitions").value} of $written partitions")
+  }
+
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
