@@ -22,6 +22,8 @@ object Bench {
       .collect()
       .map(sp => SpanEnvelope(new java.sql.Timestamp(sp.timestampAsLong / 1000), sp))
       .sortBy(_.ingest_ts.getTime)
+    if (envs.isEmpty) // empty fixture is a reportable zero, not a bench crash
+      return """{"rows_in":0,"traces_out":0,"windows_out":0,"batches":0,"sec":0,"rows_per_sec":0}"""
     // stateful micro-batches pay a per-(partition × batch) state-store commit;
     // 32 shuffle partitions for a 10k-row leg would measure commit overhead,
     // not pipeline throughput
@@ -53,6 +55,20 @@ object Bench {
     closed.grouped(math.max(1, closed.length / 4)).foreach { chunk =>
       in2.addData(chunk.toIndexedSeq); q2.processAllAvailable()
     }
+    // close the trailing 1-minute windows too: the closer trace must emit at
+    // least one LINK (the stage-2 watermark rides on link event time, and a
+    // linkless trace emits no rows to advance it)
+    val lastClose = closed.map(_.close_ts.getTime).max
+    def closerEp(s: String) = Some(graft.model.Endpoint(service_name = Some(s)))
+    in2.addData(ClosedTrace("wm_close",
+      new java.sql.Timestamp(lastClose + 3600000L),
+      Seq(
+        graft.model.Span(trace_id = "wm_close", id = "1", kind = Some("SERVER"),
+          name = Some("a"), local_endpoint = closerEp("wm_a")),
+        graft.model.Span(trace_id = "wm_close", id = "2", parent_id = Some("1"),
+          kind = Some("SERVER"), name = Some("b"), local_endpoint = closerEp("wm_b"))),
+      0L))
+    q2.processAllAvailable()
     val windowsOut = spark.table("bench_stream_windows").count()
     q2.stop()
     val sec = (System.nanoTime() - t0) / 1e9

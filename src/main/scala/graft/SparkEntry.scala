@@ -87,10 +87,18 @@ object SparkEntry {
         .otherwise(lit(NULL)),
       when(sp.getField("remote_endpoint").isNotNull, ep(sp.getField("remote_endpoint")))
         .otherwise(lit(NULL)),
-      concat_ws(",", sort_array(transform(sp.getField("annotations"),
-        a => concat_ws(":", a.getField("timestamp").cast("string"), a.getField("value"))))),
-      concat_ws(",", array_sort(transform(map_entries(sp.getField("tags")),
-        e => concat_ws("=", e.getField("key"), e.getField("value"))))),
+      // control-char separators (not ","/":"/"="): tag/annotation VALUES may
+      // contain those, and "a"->"1,b=2" must not collide with "a"->"1",
+      // "b"->"2". A dropped-to-null container gets the NULL sentinel so it
+      // can't alias an empty one.
+      when(sp.getField("annotations").isNotNull,
+        concat_ws("\u0004", sort_array(transform(sp.getField("annotations"),
+          a => concat_ws("\u0005", a.getField("timestamp").cast("string"),
+            a.getField("value")))))).otherwise(lit(NULL)),
+      when(sp.getField("tags").isNotNull,
+        concat_ws("\u0004", array_sort(transform(map_entries(sp.getField("tags")),
+          e => concat_ws("\u0005", e.getField("key"), e.getField("value"))))))
+        .otherwise(lit(NULL)),
       coalesce(sp.getField("shared").cast("string"), lit(NULL)),
       coalesce(sp.getField("debug").cast("string"), lit(NULL)))))))
   }
@@ -514,8 +522,11 @@ object SparkEntry {
     //     grid join at threshold 0.9; the oracle pins the floor constant ———
     "q_emb_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      // planted ids sit just past the real id range at every scale factor
+      // (a fixed offset would collide once the table outgrows it)
+      val plantOffset = emb.agg(max("vec_id")).first().getLong(0) + 1L
       val planted = emb.select(
-        (col("vec_id") + lit(10000000L)).as("vec_id"),
+        (col("vec_id") + lit(plantOffset)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === pmod(col("vec_id"), size(col("embedding"))),
             (x + lit(0.3) * Similarity.norm(col("embedding"))).cast("float"))
@@ -524,10 +535,11 @@ object SparkEntry {
       val exact = Similarity.cosinePairs(all, "vec_id", "embedding", 0.9, numBlocks = 16)
         .select("id_a", "id_b")
       val approx = Similarity.cosinePairsLSH(all, "vec_id", "embedding", 0.9)
-        .select("id_a", "id_b")
-      exact.join(approx, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("hit"))
-        .crossJoin(exact.agg(count(lit(1)).as("tot")))
+        .select("id_a", "id_b").withColumn("found", lit(1))
+      // one pass over the Θ(n²/blocks) exact join: left_outer marks hits and
+      // counts the truth set in the same aggregation
+      exact.join(approx, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("tot"), count(col("found")).as("hit"))
         .select(lit("lsh_recall_at_0.9").as("metric"),
           (col("tot") > 0 && col("hit") >= col("tot") * 0.95).as("meets_target"))
     }),

@@ -15,16 +15,18 @@ private[functions] object Partitioning {
     if (df.isStreaming) return df // logical stats need a batch plan
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    // size the decision from the optimizer's leaf stats instead of
-    // df.rdd.getNumPartitions: the old probe materialized the physical plan
-    // and its RDD DAG on every call, this is one logical-optimization pass.
-    // A source under cores × maxPartitionBytes cannot yield `par` native
-    // splits, and repartitioning it is cheap by the same bound; anything
-    // bigger splits natively and passes through untouched.
+    // decide from the optimizer's leaf stats first: a source under
+    // cores × maxPartitionBytes cannot yield `par` native splits, and
+    // repartitioning it is cheap by the same bound — no physical plan or RDD
+    // DAG materialized (the old probe paid that on every call). Only a
+    // big-or-unknown-size source (stats ≥ threshold, incl. RDD-backed frames
+    // reporting defaultSizeInBytes = Long.Max) falls back to the partition
+    // probe, which protects unsplittable big single-split inputs (one gzip
+    // file) from running the downstream projection on one task.
     val maxSplitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(par) * maxSplitBytes)
-      df.repartition(par)
-    else df
+    val smallByStats =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(par) * maxSplitBytes
+    if (smallByStats || df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 }

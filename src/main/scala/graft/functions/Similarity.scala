@@ -144,8 +144,12 @@ object Similarity {
     base
       .join(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"),
         norm(col("centroid_vec")).as("__cn"))))
-      .withColumn("sim",
-        VectorDot(col(vecCol), col("centroid_vec")) / (col("vec_nrm") * col("__cn")))
+      // nanvl: Spark's max-struct ranks NaN above every double, so a
+      // zero-norm vector's NaN sims would hijack the argmax; -2 ranks below
+      // every real cosine and keeps the smaller-id tiebreak deterministic
+      .withColumn("sim", nanvl(
+        VectorDot(col(vecCol), col("centroid_vec")) / (col("vec_nrm") * col("__cn")),
+        lit(-2.0)))
       .groupBy(col(idCol))
       .agg(max(struct(col("sim"), (-col("centroid_id")).as("neg_cid"),
         col(vecCol).as("v"), col("vec_nrm").as("n"))).as("best"))
@@ -176,10 +180,21 @@ object Similarity {
       "training sample must stay driver-collectable; lower samplePerCentroid")
     val target = nCentroids.toLong * samplePerCentroid
     val m = math.max(1L, corpus.count() / target)
+    // id goes through string (not long): ids are only needed for a
+    // DETERMINISTIC driver-side order, and string-keyed corpora (UUIDs) are
+    // as valid here as numeric ones. Zero vectors are excluded — they have
+    // no direction, and a zero-norm seed's NaN similarities would diverge
+    // between this loop (never chosen) and assignNormed's max-struct (always
+    // chosen).
     val sample = corpus
       .where(pmod(xxhash64(col(idCol)), lit(m)) === 0)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
+      .as[(String, Array[Double])].collect()
+      .filter(_._2.exists(_ != 0.0))
+      // (length, value) sorts non-negative numeric ids NUMERICALLY (the
+      // seed order the recall gates are tuned against) and is still a total
+      // deterministic order for UUID-style ids
+      .sortBy(r => (r._1.length, r._1))
     val k = math.min(nCentroids, sample.length)
     val dim = if (sample.isEmpty) 0 else sample(0)._2.length
     def norm(v: Array[Double]): Double = {
@@ -187,8 +202,8 @@ object Similarity {
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       math.sqrt(s)
     }
-    val centroids = Array.tabulate(k)(i => sample(i)._2.clone())
     val vecNorms = sample.map(r => norm(r._2))
+    val centroids = Array.tabulate(k)(i => sample(i)._2.clone())
     for (_ <- 0 until iters) {
       val sums = Array.fill(k, dim)(0.0)
       val counts = new Array[Long](k)
@@ -238,8 +253,9 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           norm(col(vecCol)).as("qv_nrm"))
         .join(broadcast(centroids.withColumn("__cn", norm(col("centroid_vec")))))
-        .withColumn("sim",
-          VectorDot(col("qv"), col("centroid_vec")) / (col("qv_nrm") * col("__cn")))
+        .withColumn("sim", nanvl( // NaN would sort above all sims in desc
+          VectorDot(col("qv"), col("centroid_vec")) / (col("qv_nrm") * col("__cn")),
+          lit(-2.0)))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= nProbe)
         .select(col("query_id"), col("qv"), col("qv_nrm"), col("centroid_id"))
