@@ -19,14 +19,22 @@ object StoreLayout {
     * root-span date. Expects columns (trace_id, spans, root_ts µs). Appends
     * are at-least-once under streaming retries; duplicates and multi-session
     * partials collapse at read time via `TraceQueries.fromStore`'s merge.
+    *
+    * `filesPerDate` bounds the small-files blowup of partitionBy (every
+    * writing task otherwise opens one file per date it touches — tasks ×
+    * dates files per append): rows are pre-shuffled onto (date, id-bucket)
+    * keys so each date lands in ≈ filesPerDate files. The default 1 suits
+    * micro-batch appends; a bulk backfill of ~1 TB/day raises it so a day is
+    * written (and later scanned) by many tasks.
     */
-  def writeTraces(traces: DataFrame, path: String): Unit =
+  def writeTraces(traces: DataFrame, path: String, filesPerDate: Int = 1): Unit =
     traces.select(col("trace_id"), col("spans"), col("root_ts"))
       // UTC epoch-day arithmetic, NOT to_date(): partition assignment must
       // not depend on the writer session's timezone or readers in another
       // zone silently prune the wrong partitions
       .withColumn("trace_date",
         expr("date_add(DATE'1970-01-01', CAST(root_ts DIV 86400000000 AS INT))"))
+      .repartition(col("trace_date"), pmod(xxhash64(col("trace_id")), lit(filesPerDate)))
       .write.partitionBy("trace_date").mode(SaveMode.Append).parquet(path)
 
   /** Range read with partition pruning: only `trace_date` partitions
