@@ -49,11 +49,14 @@ object StoreLayout {
   private def utcDate(epochMs: Long) =
     lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(epochMs, 86400000L)).toString).cast("date")
 
-  /** Dependency-window store partitioned by window date. */
+  /** Dependency-window store partitioned by window date; same files-per-date
+    * bound as [[writeTraces]] (windows are tiny rows — one file per date).
+    */
   def writeDependencyWindows(windows: DataFrame, path: String): Unit =
     windows
       .withColumn("window_date",
         expr("date_add(DATE'1970-01-01', CAST(window_start_ms DIV 86400000 AS INT))"))
+      .repartition(col("window_date"))
       .write.partitionBy("window_date").mode(SaveMode.Append).parquet(path)
 
   def readDependencyWindows(spark: SparkSession, path: String, endTs: Long,
