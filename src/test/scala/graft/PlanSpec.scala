@@ -48,6 +48,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("q_emb_lsh_recall: both pair paths stay equi-joins, never cartesian") {
+    val plan = SparkEntry.queries("q_emb_lsh_recall")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "grid + LSH pair generation must plan as equi-joins")
+  }
+
   test("q_a8_autocomplete: relational store path never pays a window") {
     val plan = SparkEntry.queries("q_a8_autocomplete")(spark, dir)
       .queryExecution.optimizedPlan.toString
