@@ -91,13 +91,18 @@ object SparkEntry {
       // contain those, and "a"->"1,b=2" must not collide with "a"->"1",
       // "b"->"2". A dropped-to-null container gets the NULL sentinel so it
       // can't alias an empty one.
+      // inner fields coalesce too: concat_ws skips nulls, so (ts, null) and
+      // (null, "ts") would otherwise render — and fingerprint — identically
       when(sp.getField("annotations").isNotNull,
         concat_ws("\u0004", sort_array(transform(sp.getField("annotations"),
-          a => concat_ws("\u0005", a.getField("timestamp").cast("string"),
-            a.getField("value")))))).otherwise(lit(NULL)),
+          a => concat_ws("\u0005",
+            coalesce(a.getField("timestamp").cast("string"), lit(NULL)),
+            coalesce(a.getField("value"), lit(NULL))))))).otherwise(lit(NULL)),
       when(sp.getField("tags").isNotNull,
         concat_ws("\u0004", array_sort(transform(map_entries(sp.getField("tags")),
-          e => concat_ws("\u0005", e.getField("key"), e.getField("value"))))))
+          e => concat_ws("\u0005",
+            coalesce(e.getField("key"), lit(NULL)),
+            coalesce(e.getField("value"), lit(NULL)))))))
         .otherwise(lit(NULL)),
       coalesce(sp.getField("shared").cast("string"), lit(NULL)),
       coalesce(sp.getField("debug").cast("string"), lit(NULL)))))))
@@ -524,7 +529,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       // planted ids sit just past the real id range at every scale factor
       // (a fixed offset would collide once the table outgrows it)
-      val plantOffset = emb.agg(max("vec_id")).first().getLong(0) + 1L
+      val maxId = emb.agg(max("vec_id")).first()
+      val plantOffset = (if (maxId.isNullAt(0)) 0L else maxId.getLong(0)) + 1L
       val planted = emb.select(
         (col("vec_id") + lit(plantOffset)).as("vec_id"),
         transform(col("embedding"), (x, i) =>

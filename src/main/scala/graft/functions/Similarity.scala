@@ -40,7 +40,10 @@ object Similarity {
     val joinCond = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
     c.join(broadcast(q), joinCond)
       .select(col("query_id"), col("corpus_id"),
-        (VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm"))).as("cosine"))
+        // nanvl: a zero-norm vector's NaN would sort above every real
+        // cosine and claim rank 1; -2 ranks it below all true neighbors
+        nanvl(VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm")),
+          lit(-2.0)).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -186,15 +189,18 @@ object Similarity {
     // no direction, and a zero-norm seed's NaN similarities would diverge
     // between this loop (never chosen) and assignNormed's max-struct (always
     // chosen).
-    val sample = corpus
+    val raw = corpus
       .where(pmod(xxhash64(col(idCol)), lit(m)) === 0)
       .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
       .as[(String, Array[Double])].collect()
-      .filter(_._2.exists(_ != 0.0))
+    val sample = raw.filter(_._2.exists(_ != 0.0))
       // (length, value) sorts non-negative numeric ids NUMERICALLY (the
       // seed order the recall gates are tuned against) and is still a total
       // deterministic order for UUID-style ids
       .sortBy(r => (r._1.length, r._1))
+    // loud failure beats k = 0 centroids silently emptying every IVF result
+    require(sample.nonEmpty || raw.isEmpty,
+      "k-means training sample contains only zero vectors — IVF needs directional data")
     val k = math.min(nCentroids, sample.length)
     val dim = if (sample.isEmpty) 0 else sample(0)._2.length
     def norm(v: Array[Double]): Double = {
@@ -264,7 +270,8 @@ object Similarity {
     probes.join(assigned, "centroid_id")
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        (VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm"))).as("cosine"))
+        nanvl(VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm")),
+          lit(-2.0)).as("cosine")) // NaN would outrank every real neighbor
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
