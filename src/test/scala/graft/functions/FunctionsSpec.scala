@@ -158,6 +158,19 @@ class FunctionsSpec extends SparkSpec {
     assert(viaLsh.nonEmpty)
   }
 
+  test("spread: stats-small frames repartition; unknown-size single-split frames spread via the probe") {
+    val par = spark.sparkContext.defaultParallelism
+    // small by optimizer stats → repartitioned without touching the RDD path
+    assert(Partitioning.spread(spark.range(100).toDF("id")).rdd.getNumPartitions == par)
+    // RDD-backed frame reports defaultSizeInBytes (huge) → falls back to the
+    // partition probe, which still catches the single-split input
+    val rddBacked = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L)), numSlices = 1),
+      new org.apache.spark.sql.types.StructType().add("v", "long"))
+    assert(rddBacked.rdd.getNumPartitions == 1)
+    assert(Partitioning.spread(rddBacked).rdd.getNumPartitions == par)
+  }
+
   test("clustersFromMinhash releases its pair-stage caches once components are built") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val clusters = Dedup.clustersFromMinhash(docs, "doc_id", "text",
