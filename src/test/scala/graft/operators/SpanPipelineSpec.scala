@@ -145,6 +145,23 @@ class SpanPipelineSpec extends SparkSpec {
     assert(checked.forall(!_.getBoolean(1)), "nulled field must change the fingerprint")
   }
 
+  test("property: SC6 fingerprint survives the JSON round-trip on generated spans") {
+    import org.apache.spark.sql.functions._
+    // 200 generated traces exercise every span field — including the ones
+    // the driver's event fixture never populates (annotations, ipv6, port,
+    // shared/debug) — in ONE Spark job
+    val gen = (1 to 200).map(seed =>
+      graft.model.Trace(seed.toString, graft.SpanGen.spanList(seed), 0L))
+    val bad = spark.createDataset(gen).toDF()
+      .select(col("trace_id"), col("spans"),
+        from_json(TraceQueries.jsonV2(col("spans")),
+          org.apache.spark.sql.types.ArrayType(graft.model.Spans.schema)).as("back"))
+      .where(graft.SparkEntry.spanSetFingerprint(col("spans")) =!=
+        graft.SparkEntry.spanSetFingerprint(col("back")))
+      .select("trace_id").collect().map(_.getString(0))
+    assert(bad.isEmpty, s"lossy JSON round-trip for seeds: ${bad.mkString(",")}")
+  }
+
   test("autocomplete keys and values") {
     val table = SpanPipeline.autocompleteTags(spans, Seq("environment"))
     assert(TraceQueries.autocompleteKeys(table).as[String].collect().toSeq == Seq("environment"))

@@ -65,43 +65,8 @@ class ProtoSpansSpec extends SparkSpec {
   }
 
   test("property: encode → decode is the identity on generated canonical spans") {
-    import org.scalacheck.Gen
-    val genHex16 = Gen.listOfN(16, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
-    val genHex32 = Gen.listOfN(32, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
-    val genStr = Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
-      Gen.const("héllo wörld"), Gen.const("日本語"), Gen.const(""))
-    val genIp4 = Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString("."))
-    val genIp6 = Gen.listOfN(16, Gen.choose(0, 255)).map { bytes =>
-      // generator emits the JVM's canonical text form so decode == input
-      java.net.InetAddress.getByAddress(bytes.map(_.toByte).toArray).getHostAddress
-    }
-    val genEndpoint = for {
-      svc <- Gen.option(genStr)
-      ip4 <- Gen.option(genIp4)
-      ip6 <- Gen.option(genIp6)
-      port <- Gen.option(Gen.choose(0, 65535))
-    } yield Endpoint(svc, ip4, ip6, port)
-    val genSpan = for {
-      tid <- Gen.oneOf(genHex16, genHex32)
-      pid <- Gen.option(genHex16)
-      id <- genHex16
-      kind <- Gen.option(Gen.oneOf("CLIENT", "SERVER", "PRODUCER", "CONSUMER"))
-      name <- Gen.option(genStr)
-      ts <- Gen.option(Gen.choose(0L, Long.MaxValue))
-      dur <- Gen.option(Gen.choose(0L, Long.MaxValue))
-      lep <- Gen.option(genEndpoint)
-      rep <- Gen.option(genEndpoint)
-      anns <- Gen.listOfN(2, Gen.zip(Gen.choose(0L, 1L << 60), genStr))
-        .map(_.map { case (t, v) => Annotation(t, v) })
-      tags <- Gen.mapOfN(3, Gen.zip(genStr.suchThat(_.nonEmpty), genStr))
-      // proto3 can't carry an explicit false — only true/absent round-trips
-      shared <- Gen.option(Gen.const(true))
-      debug <- Gen.option(Gen.const(true))
-    } yield Span(tid, pid, id, kind, name, ts, dur, lep, rep, anns, tags, shared, debug)
-    val listGen = Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, genSpan))
     (1 to 300).foreach { seed =>
-      val spans = listGen.apply(Gen.Parameters.default,
-        org.scalacheck.rng.Seed(seed.toLong)).get
+      val spans = graft.SpanGen.spanList(seed)
       val decoded = ProtoSpans.decodeList(ProtoSpans.encodeList(spans))
       assert(decoded == spans, s"round-trip mismatch for seed=$seed")
     }
