@@ -121,10 +121,7 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    def jstr(s: String): String = Verify.jstr(s) // shared driver-JSON escaper
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a failed query's elapsed time is ~planning cost, not a result — the

@@ -512,10 +512,13 @@ object SparkEntry {
       // sf0.01 and 1.0 at sf0.1; tighter corpora get away with fewer probes
       val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
           k = 5, nCentroids = 16, nProbe = 8)
-        .select("query_id", "corpus_id")
-      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
-        .agg((count(lit(1)) / lit(50.0)).as("recall"))
-        .select(lit("recall_at_5").as("metric"), (col("recall") >= 0.9).as("meets_target"))
+        .select("query_id", "corpus_id").withColumn("found", lit(1))
+      // count the truth set from the same join instead of assuming 50 rows,
+      // so a smaller fixture or changed k can't skew the denominator
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_outer")
+        .agg(count(lit(1)).as("tot"), count(col("found")).as("hit"))
+        .select(lit("recall_at_5").as("metric"),
+          (col("tot") > 0 && col("hit") >= col("tot") * 0.9).as("meets_target"))
     }),
 
     // ——— similarity: sign-LSH quality gate for the high-threshold regime —
@@ -574,18 +577,23 @@ object SparkEntry {
     })
   )
 
-  /** Shared DuckDB CTEs replicating the sessionization/chaining semantics. */
+  /** Shared DuckDB CTEs replicating the sessionization/chaining semantics.
+    * Window ORDER BY uses epoch_us(ts), NOT raw ts: the parquet carries
+    * nanosecond timestamps but the engine truncates to µs at read, so a
+    * sub-µs tie must fall to the event_id tiebreak on BOTH sides or lag()
+    * parents and latest-per-key picks diverge.
+    */
   private val SessionCtes =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, ts, value, epoch_us(ts) AS ts_us,
-      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
       |  FROM events
       |), s AS (
       |  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
-      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM e
       |), tr AS (
-      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS parent
+      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_us, event_id) AS parent
       |  FROM s
       |), sess AS (
       |  SELECT user_id, session_id, min(ts_us) AS root_us, min(ts_us)//1000 AS root_ms
@@ -682,7 +690,7 @@ object SparkEntry {
     "q_f3_latest_event" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
 
     "q_w4_service_names" ->

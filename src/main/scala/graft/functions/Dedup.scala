@@ -220,6 +220,13 @@ object Dedup {
       driverSideEdgeLimit: Int = 2_000_000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // the primitive union-find below is a numeric-id fast path (sorted long
+    // arrays, binary-search indices); string-keyed corpora (UUID doc ids)
+    // route to the type-agnostic distributed propagation, where min() picks
+    // the lexicographic canonical instead
+    if (!pairs.schema("doc_a").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      return connectedComponentsDistributed(pairs)
     // limit(cap+1) bounds the driver transfer GLOBALLY (CollectLimit fetches
     // partitions incrementally), so a runaway pair explosion falls back to
     // the distributed path instead of shipping partitions × cap edges; the

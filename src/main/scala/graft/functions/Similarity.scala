@@ -103,7 +103,9 @@ object Similarity {
     */
   def cosinePairsLSH(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numBits: Int = 128, bands: Int = 16): DataFrame = {
-    val bandKeys = vectors.select(col(idCol).as("doc_id"),
+    // spread like every sibling pair generator: the numBits-projection
+    // sketch is the arithmetic-heavy stage and must not run on one split
+    val bandKeys = Partitioning.spread(vectors).select(col(idCol).as("doc_id"),
         posexplode(SignBandKeys(col(vecCol), numBits, bands)))
       .toDF("doc_id", "band", "band_key")
       .cache()
@@ -245,7 +247,8 @@ object Similarity {
     * (`kmeansIters` Lloyd rounds; 0 = raw seed centroids).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3,
+      excludeSelf: Boolean = true): DataFrame = {
     // no caches: training reads only its driver-collected hash-sample, the
     // corpus is scanned once for the single assignment pass, and the
     // centroids are a driver-local k-row relation (broadcasts are free)
@@ -267,8 +270,11 @@ object Similarity {
         .select(col("query_id"), col("qv"), col("qv_nrm"), col("centroid_id"))
     }
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+    // same excludeSelf contract as bruteForceTopK: set false when query and
+    // corpus tables are unrelated, or a coincidental id match drops a
+    // true neighbor
     probes.join(assigned, "centroid_id")
-      .where(col("query_id") =!= col("corpus_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true))
       .select(col("query_id"), col("corpus_id"),
         nanvl(VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm")),
           lit(-2.0)).as("cosine")) // NaN would outrank every real neighbor

@@ -3,7 +3,7 @@ package graft.operators
 import graft.core.QueryRequest
 import graft.model.{Span, Trace}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** F4: enable-flag gating for pipeline assembly and the query surface.
   * Mirrors the reference's storage toggles (KafkaStorage.java:55-90 —
@@ -94,8 +94,11 @@ final class GraftStorage(val config: StorageConfig) {
       lookback: Long): DataFrame =
     stores.dependencyWindows.filter(_ => config.dependencyQueryEnabled)
       .map(TraceQueries.dependencies(_, endTs, lookback))
+      // full result schema: a disabled surface must stay a benign no-op for
+      // callers that select counts or union with an enabled store's output
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("parent", StringType), StructField("child", StringType)))))
+        StructType(Seq(StructField("parent", StringType), StructField("child", StringType),
+          StructField("call_count", LongType), StructField("error_count", LongType)))))
 
   private def emptyTraces(spark: SparkSession): Dataset[Trace] = {
     import spark.implicits._

@@ -39,7 +39,10 @@ class FunctionsSpec extends SparkSpec {
 
   test("WordShingles expression ≡ the HOF shingle pipeline") {
     val texts = Seq((0L, "a b c d e a b c"), (1L, "  x   y\nz  "), (2L, "one two"),
-      (3L, "the quick brown fox the quick brown fox"))
+      (3L, "the quick brown fox the quick brown fox"),
+      // edge whitespace: space-only trim keeps the trailing \n/\t separator,
+      // so a trailing empty token (and its shingle) must survive both paths
+      (4L, "a b c\n"), (5L, "x y z\t"), (6L, "\np q r"))
       .toDF("doc_id", "text")
     val viaExpr = texts.select($"doc_id", TextAnalysis.distinctShingles($"text", 3))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
