@@ -106,6 +106,19 @@ object Bench {
       s"[bench] warm-up skipped: $warmDir IS the timed dir (won't pre-touch timed data)"
     else
       s"[bench] WARM-UP SKIPPED (no $warmDir): first queries will absorb JIT/codegen cost")
+    // serving stores build OUTSIDE the timed region (reported separately as
+    // store_write_sec): the q_store_* queries then time read+query only, so
+    // a pruning or read-path regression is visible instead of drowned in
+    // write I/O. A failed build leaves the memo unset — the queries retry
+    // it themselves and surface the error in the errors map.
+    val tStores = System.nanoTime()
+    val storeWriteSec = try {
+      SparkEntry.prepareStores(spark, sfDir)
+      (System.nanoTime() - tStores) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] store pre-build failed: ${e.getMessage}")
+      -1.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop caches built by the warmup/previous queries: several queries
       // share cached lineages (e.g. the shingle index), and timing one
@@ -140,7 +153,7 @@ object Bench {
         ("null", Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
       }
     val streamErrJson = streamErr.map(jstr).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streamJson,"streaming_error":$streamErrJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"store_write_sec":$storeWriteSec,"streaming":$streamJson,"streaming_error":$streamErrJson,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined) || streamErr.isDefined) sys.exit(1)
   }

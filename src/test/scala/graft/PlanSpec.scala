@@ -61,27 +61,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"sessionization window survived pruning:\n$plan")
   }
 
-  test("q_store_find_traces: store read prunes trace_date partitions at file listing") {
-    val df = SparkEntry.queries("q_store_find_traces")(spark, dir) // writes the store
-    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
-    assert(plan.contains("PartitionFilters") && plan.contains("trace_date"),
-      s"expected trace_date partition filters on the store scan:\n$plan")
-    // behavioral proof on the store's range scan itself (AQE never wraps the
-    // exchange-free scan, so its FileSourceScanExec metrics are reachable):
-    // only the partitions inside the 10-day query window are listed, not the
-    // full month of trace dates just written
-    val storeDir = s"target/graft-stores/traces_${Integer.toHexString(dir.hashCode)}"
-    val read = graft.store.StoreLayout.readTraces(spark, storeDir,
-      1705708800000L, 864000000L) // q_store_find_traces's endTs/lookback
+  /** Behavioral pruning proof on a store's range scan (AQE never wraps the
+    * exchange-free scan, so its FileSourceScanExec metrics are reachable):
+    * only the ≤11 date partitions inside the 10-day query window are listed,
+    * not the full month of dates the store holds.
+    */
+  private def assertDatePruned(read: org.apache.spark.sql.DataFrame,
+      storeDir: String, dateCol: String): Unit = {
     read.collect()
     val scan = read.queryExecution.executedPlan.collectFirst {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.get
     val written = new java.io.File(storeDir).listFiles()
-      .count(_.getName.startsWith("trace_date="))
+      .count(_.getName.startsWith(s"$dateCol="))
     assert(written > 11, s"fixture should span more dates than the query range ($written)")
     assert(scan.metrics("numPartitions").value <= 11,
       s"scan read ${scan.metrics("numPartitions").value} of $written partitions")
+  }
+
+  test("q_store_find_traces: store read prunes trace_date partitions at file listing") {
+    val df = SparkEntry.queries("q_store_find_traces")(spark, dir) // builds the store
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("trace_date"),
+      s"expected trace_date partition filters on the store scan:\n$plan")
+    val storeDir = s"target/graft-stores/traces_${Integer.toHexString(dir.hashCode)}"
+    assertDatePruned(graft.store.StoreLayout.readTraces(spark, storeDir,
+      1705708800000L, 864000000L), storeDir, "trace_date") // the q_store endTs/lookback
+  }
+
+  test("q_store_dependencies: store read prunes window_date partitions at file listing") {
+    val df = SparkEntry.queries("q_store_dependencies")(spark, dir) // builds the store
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("window_date"),
+      s"expected window_date partition filters on the store scan:\n$plan")
+    val storeDir = s"target/graft-stores/deps_${Integer.toHexString(dir.hashCode)}"
+    assertDatePruned(graft.store.StoreLayout.readDependencyWindows(spark, storeDir,
+      1705708800000L, 864000000L), storeDir, "window_date")
   }
 
   test("driver smoke contract: entry returns rows on sf0.001") {
