@@ -23,7 +23,8 @@ object Bench {
       .map(sp => SpanEnvelope(new java.sql.Timestamp(sp.timestampAsLong / 1000), sp))
       .sortBy(_.ingest_ts.getTime)
     if (envs.isEmpty) // empty fixture is a reportable zero, not a bench crash
-      return """{"rows_in":0,"traces_out":0,"windows_out":0,"batches":0,"sec":0,"rows_per_sec":0}"""
+      return """{"rows_in":0,"traces_out":0,"windows_out":0,"batches":0,""" +
+        """"sec":0,"stage1_sec":0,"stage2_sec":0,"rows_per_sec":0}"""
     // stateful micro-batches pay a per-(partition × batch) state-store commit;
     // 32 shuffle partitions for a 10k-row leg would measure commit overhead,
     // not pipeline throughput
@@ -47,6 +48,9 @@ object Bench {
       .sortBy(_.close_ts.getTime)
     val batches1 = q1.recentProgress.count(_.numInputRows > 0)
     q1.stop()
+    // stage boundary: sessionize (envelopes → closed traces) vs
+    // links → windows — reported separately so a regression localizes
+    val t1 = System.nanoTime()
     val in2 = MemoryStream[ClosedTrace]
     val q2 = StreamingPipeline.dependencyWindowCounts(
         StreamingPipeline.dependencyLinkEvents(in2.toDS()))
@@ -71,11 +75,13 @@ object Bench {
     q2.processAllAvailable()
     val windowsOut = spark.table("bench_stream_windows").count()
     q2.stop()
-    val sec = (System.nanoTime() - t0) / 1e9
+    val tEnd = System.nanoTime()
+    val sec = (tEnd - t0) / 1e9
     val rps = if (sec > 0) envs.length / sec else 0.0
     s"""{"rows_in":${envs.length},"traces_out":${closed.length},""" +
       s""""windows_out":$windowsOut,"batches":$batches1,""" +
-      s""""sec":$sec,"rows_per_sec":$rps}"""
+      s""""sec":$sec,"stage1_sec":${(t1 - t0) / 1e9},""" +
+      s""""stage2_sec":${(tEnd - t1) / 1e9},"rows_per_sec":$rps}"""
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
   def main(args: Array[String]): Unit = {

@@ -88,6 +88,23 @@ object SparkEntry {
     dependencyStore(s, dir)
   }
 
+  /** IVF centroids per sf-dir, trained once per JVM and shared by q_ann_ivf
+    * and q_ann_ivf_recall — an IVF index is train-once/search-many, and the
+    * recall gate must score the SAME cells the search probes. Cached as
+    * driver-local DATA, not a DataFrame: a DataFrame binds to one
+    * SparkSession, and sessions come and go within a JVM (test suites).
+    */
+  private val ivfCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
+    val rows = ivfCentroidCache.computeIfAbsent(dir, _ =>
+      Similarity.kmeansCentroidsLocal(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nCentroids = 16))
+    import s.implicits._
+    rows.toDF("centroid_id", "centroid_vec")
+  }
+
   /** Shared cluster construction for q_dedup_clusters / q_dedup_apply —
     * ONE definition so the two surfaces (and their shared ClustersCtes
     * oracle) can never drift on threshold/n/banding. Pairs come from the
@@ -541,7 +558,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
-        k = 5, nCentroids = 16, nProbe = 4)
+        k = 5, nProbe = 4, centroids = Some(ivfCentroids(s, dir)))
         .select(col("query_id"), col("corpus_id"),
           col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
     }),
@@ -558,7 +575,7 @@ object SparkEntry {
       // hitting recall 0.9 takes probing half the cells — measured 0.96 at
       // sf0.01 and 1.0 at sf0.1; tighter corpora get away with fewer probes
       val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
-          k = 5, nCentroids = 16, nProbe = 8)
+          k = 5, nProbe = 8, centroids = Some(ivfCentroids(s, dir)))
         .select("query_id", "corpus_id").withColumn("found", lit(1))
       // count the truth set from the same join instead of assuming 50 rows,
       // so a smaller fixture or changed k can't skew the denominator

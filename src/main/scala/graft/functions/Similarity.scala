@@ -99,10 +99,21 @@ object Similarity {
     * the exact [[cosinePairs]] grid join there.
     *
     * Cache contract as [[Dedup.minhashPairs]]: the band-key table persists
-    * for the self-join; long-lived callers clear it after materializing.
+    * for the self-join; long-lived callers clear it after materializing, or
+    * use [[cosinePairsLSHScoped]] to release it eagerly by handle.
     */
   def cosinePairsLSH(vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numBits: Int = 128, bands: Int = 16): DataFrame = {
+      threshold: Double, numBits: Int = 128, bands: Int = 16): DataFrame =
+    cosinePairsLSHScoped(vectors, idCol, vecCol, threshold, numBits, bands)._1
+
+  /** [[cosinePairsLSH]] plus handles to its persisted intermediates (same
+    * scoped-release pattern as [[Dedup.minhashPairsScoped]]): eager consumers
+    * unpersist them the moment the pair set is materialized instead of
+    * waiting for a session-wide clearCache.
+    */
+  private[graft] def cosinePairsLSHScoped(vectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, numBits: Int = 128,
+      bands: Int = 16): (DataFrame, Seq[DataFrame]) = {
     // spread like every sibling pair generator: the numBits-projection
     // sketch is the arithmetic-heavy stage and must not run on one split
     val bandKeys = Partitioning.spread(vectors).select(col(idCol).as("doc_id"),
@@ -115,12 +126,13 @@ object Similarity {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     val v = withNorm(vectors, idCol, vecCol, "vid", "vv")
-    candidates
+    val pairs = candidates
       .join(v.as("pa"), col("id_a") === col("pa.vid"))
       .join(v.as("pb"), col("id_b") === col("pb.vid"))
       .select(col("id_a"), col("id_b"),
         (VectorDot(col("pa.vv"), col("pb.vv")) / (col("pa.vv_nrm") * col("pb.vv_nrm"))).as("cosine"))
       .where(col("cosine") >= threshold)
+    (pairs, Seq(bandKeys))
   }
 
   /** Assign each vector to its nearest centroid (IVF cell). Centroids must be
@@ -181,6 +193,20 @@ object Similarity {
       nCentroids: Int, iters: Int = 3, samplePerCentroid: Int = 256): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    kmeansCentroidsLocal(corpus, idCol, vecCol, nCentroids, iters, samplePerCentroid)
+      .toDF("centroid_id", "centroid_vec")
+  }
+
+  /** [[kmeansCentroids]] as driver-local rows. Callers that reuse one
+    * training across several queries (e.g. an IVF search and its recall
+    * gate) cache THIS — plain data outlives any one SparkSession, and
+    * re-wrapping it in a DataFrame is a free local relation.
+    */
+  def kmeansCentroidsLocal(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 3,
+      samplePerCentroid: Int = 256): Seq[(Long, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     require(nCentroids.toLong * samplePerCentroid <= (1L << 22),
       "training sample must stay driver-collectable; lower samplePerCentroid")
     val target = nCentroids.toLong * samplePerCentroid
@@ -237,31 +263,35 @@ object Similarity {
         centroids(c)(i) = sums(c)(i) / counts(c)
     }
     centroids.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
-      .toDF("centroid_id", "centroid_vec")
   }
 
   /** IVF top-k: probe the nProbe nearest cells per query, exact cosine within
     * probed cells only. Approximate (recall < 1 when the true neighbor lives
     * in an unprobed cell) — the 1000×-scale path where brute force is
     * size-of-corpus per query. Centroids are k-means-trained
-    * (`kmeansIters` Lloyd rounds; 0 = raw seed centroids).
+    * (`kmeansIters` Lloyd rounds; 0 = raw seed centroids) unless the caller
+    * passes a pre-trained `centroids` relation (centroid_id, centroid_vec) —
+    * an IVF index is train-once/search-many, and a search plus its recall
+    * gate must score against the SAME cells (nCentroids/kmeansIters are
+    * ignored then).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, centroids: Option[DataFrame] = None): DataFrame = {
     // no caches: training reads only its driver-collected hash-sample, the
     // corpus is scanned once for the single assignment pass, and the
     // centroids are a driver-local k-row relation (broadcasts are free)
     val base = normedBase(corpus, idCol, vecCol)
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
-    val assigned = assignNormed(base, idCol, vecCol, centroids)
+    val cents = centroids.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters))
+    val assigned = assignNormed(base, idCol, vecCol, cents)
       .withColumnRenamed(idCol, "corpus_id").withColumnRenamed(vecCol, "cv")
       .withColumnRenamed("vec_nrm", "cv_nrm")
     val probes = {
       val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("centroid_id"))
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           norm(col(vecCol)).as("qv_nrm"))
-        .join(broadcast(centroids.withColumn("__cn", norm(col("centroid_vec")))))
+        .join(broadcast(cents.withColumn("__cn", norm(col("centroid_vec")))))
         .withColumn("sim", nanvl( // NaN would sort above all sims in desc
           VectorDot(col("qv"), col("centroid_vec")) / (col("qv_nrm") * col("__cn")),
           lit(-2.0)))

@@ -213,4 +213,46 @@ object StreamingPipeline {
     */
   def autocompleteTagSets(envelopes: Dataset[SpanEnvelope], keys: Seq[String]): DataFrame =
     graft.operators.SpanPipeline.autocompleteTagsRelational(envelopeSpanFields(envelopes), keys)
+
+  /** Persist a name-store aggregation as the parquet serving table the query
+    * surface reads — the name-store leg next to [[tracesToStore]] /
+    * [[dependencyWindowsToStore]], completing the five persisted stores of
+    * the reference (streams/TraceStorageTopology.java:131-149).
+    *
+    * Complete mode, not Update: an Update-mode micro-batch carries only the
+    * keys whose set grew THAT batch, so overwriting the store with it would
+    * drop every service the batch didn't touch; Complete re-emits the full
+    * aggregate, and the whole-store overwrite is then exactly the
+    * reference's upsert-to-latest. The state this holds is the name-store
+    * keyspace itself (services × small sorted sets) — the smallest state in
+    * the pipeline, safe to retain unwatermarked. The parquet swap is not
+    * atomic for a reader listing files mid-rewrite; at cluster scale the
+    * overwrite lands in a versioned directory behind a view flip, while the
+    * write-then-serve round-trip (this engine's store contract) is
+    * unaffected.
+    */
+  private def nameSetsToStore(sets: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    sets.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
+      .start()
+
+  /** A7 span-names store → parquet (TraceStorageTopology.java:131-140). */
+  def spanNamesToStore(envelopes: Dataset[SpanEnvelope], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    nameSetsToStore(spanNameSets(envelopes), path, checkpoint)
+
+  /** A8 remote-service-names store → parquet (TraceStorageTopology.java:187-205). */
+  def remoteServiceNamesToStore(envelopes: Dataset[SpanEnvelope], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    nameSetsToStore(remoteServiceNameSets(envelopes), path, checkpoint)
+
+  /** A8 autocomplete-tags store → parquet (TraceStorageTopology.java:207-228). */
+  def autocompleteTagsToStore(envelopes: Dataset[SpanEnvelope], keys: Seq[String],
+      path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    nameSetsToStore(autocompleteTagSets(envelopes, keys), path, checkpoint)
 }

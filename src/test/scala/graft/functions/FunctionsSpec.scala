@@ -183,6 +183,22 @@ class FunctionsSpec extends SparkSpec {
     assert(leaked.isEmpty, s"pair-stage caches still persisted: $leaked")
   }
 
+  test("cosinePairsLSHScoped hands back its band-key cache for eager release") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.1f, 0.0f)),
+      (1L, Seq(1.0f, 0.01f, 0.1f, 0.0f)), // near-parallel to 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (pairs, caches) = Similarity.cosinePairsLSHScoped(vecs, "vec_id", "embedding", 0.9)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "the band-key table should be persisted for the self-join")
+    caches.foreach(_.unpersist(blocking = true))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"band-key cache still persisted after scoped release: $leaked")
+  }
+
   test("connectedComponents labels chains with the component minimum (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
       .toDF("doc_a", "doc_b") // {1,2,3,8,9} and {5,6}

@@ -230,6 +230,45 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(deps(("svc_a", "svc_b")) == streamedTotal)
   }
 
+  test("name stores persist to parquet and serve the query surface (A7/A8 → S6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-name-store")
+    val input = MemoryStream[SpanEnvelope]
+    val q1 = StreamingPipeline.spanNamesToStore(input.toDS(), s"$tmp/span_names", s"$tmp/chk1")
+    val q2 = StreamingPipeline.remoteServiceNamesToStore(
+      input.toDS(), s"$tmp/remote_names", s"$tmp/chk2")
+    val q3 = StreamingPipeline.autocompleteTagsToStore(
+      input.toDS(), Seq("env"), s"$tmp/tags", s"$tmp/chk3")
+    val withTagA = spanA.copy(tags = Map("env" -> "prod", "ignored" -> "x"))
+    val withTagB = spanB.copy(tags = Map("env" -> "dev"))
+    try {
+      input.addData(SpanEnvelope(new Timestamp(1000L), withTagA))
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      // a second batch GROWS the sets: the store must then serve the full
+      // re-emitted aggregate, not only this batch's changed keys
+      input.addData(SpanEnvelope(new Timestamp(1001L), withTagB))
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+    } finally Seq(q1, q2, q3).foreach(_.stop())
+
+    import graft.operators.{SpanPipeline, TraceQueries}
+    val spanNamesStore = spark.read.parquet(s"$tmp/span_names")
+    assert(TraceQueries.serviceNames(spanNamesStore).collect().map(_.getString(0)).toSeq
+      == Seq("svc_a", "svc_b"))
+    assert(TraceQueries.spanNames(spanNamesStore, "svc_b")
+      .collect().map(_.getString(0)).toSeq == Seq("op_b"))
+    assert(TraceQueries.remoteServiceNames(
+        spark.read.parquet(s"$tmp/remote_names"), "svc_a")
+      .collect().map(_.getString(0)).toSeq == Seq("svc_b"))
+    assert(TraceQueries.autocompleteValues(spark.read.parquet(s"$tmp/tags"), "env")
+      .collect().map(_.getString(0)).toSeq == Seq("dev", "prod"))
+    // the persisted store equals the batch builder over the same spans
+    val batch = SpanPipeline.spanNames(spark.createDataset(Seq(withTagA, withTagB)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val stored = spanNamesStore
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(batch == stored)
+  }
+
   test("streaming name store accumulates sets in Update mode (A7)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SpanEnvelope]
