@@ -62,9 +62,19 @@ object SparkEntry {
     */
   private val builtStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memo key = the sanitized FULL dir path (a hashCode key could collide
+    * across sf-dirs and silently serve the wrong store). Also a valid SQL
+    * identifier fragment, so the bucketed store reuses it as a table name.
+    */
+  private[graft] def storeKey(kind: String, dir: String): String =
+    s"${kind}_" + dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+
+  private[graft] def storePath(kind: String, dir: String): String =
+    s"target/graft-stores/${storeKey(kind, dir)}"
+
   private def ensureStore(s: SparkSession, kind: String, dir: String)
       (build: String => Unit): String =
-    builtStores.computeIfAbsent(s"${kind}_${Integer.toHexString(dir.hashCode)}", key => {
+    builtStores.computeIfAbsent(storeKey(kind, dir), key => {
       val path = s"target/graft-stores/$key"
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -82,11 +92,41 @@ object SparkEntry {
         SpanPipeline.dependencyWindows(SpanPipeline.dependencyLinks(eventTraces(s, dir))),
         path))
 
-  /** Force-build both serving stores for `dir` (idempotent per JVM). */
+  /** Bucketed point-lookup store (S8/S9 routing analog): written once per
+    * JVM with the SAME redelivery-duplicated rows as the q_j4_* in-memory
+    * path, so the bucketed leg must prove the identical merge-on-read
+    * answer. The sanitized store key doubles as the catalog table name.
+    */
+  private def bucketedTraceStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "btraces", dir) { path =>
+      import s.implicits._
+      val tr = eventTraces(s, dir).toDF()
+        .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
+      graft.store.StoreLayout.writeTracesBucketed(
+        tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace],
+        storeKey("btraces", dir), path)
+    }
+
+  private def bucketedTraces(s: SparkSession, dir: String): DataFrame =
+    graft.store.StoreLayout.readTracesBucketed(s, storeKey("btraces", dir),
+      bucketedTraceStore(s, dir))
+
+  /** Force-build the serving stores for `dir` (idempotent per JVM). */
   def prepareStores(s: SparkSession, dir: String): Unit = {
     traceStore(s, dir)
     dependencyStore(s, dir)
+    bucketedTraceStore(s, dir)
   }
+
+  /** Shared exploded-span projection of the getTrace/getTraceMany surfaces —
+    * ONE shape for the in-memory and bucketed-store legs, so their shared
+    * oracles compare like for like.
+    */
+  private def spanRows(traces: Dataset[graft.model.Trace]): DataFrame =
+    traces.toDF()
+      .select(col("trace_id"), explode(col("spans")).as("sp"))
+      .select(col("trace_id"), col("sp.id").as("span_id"),
+        col("sp.name").as("name"), expr("sp.timestamp DIV 1000").as("ts_ms"))
 
   /** IVF centroids per sf-dir, trained once per JVM and shared by q_ann_ivf
     * and q_ann_ivf_recall — an IVF index is train-once/search-many, and the
@@ -313,13 +353,24 @@ object SparkEntry {
       val tr = eventTraces(s, dir).toDF()
         .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
       val store = tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace]
-      TraceQueries.getTraceMany(store,
-          (1 to 8).flatMap(u => Seq(s"$u:1", s"$u:2")))
-        .toDF()
-        .select(col("trace_id"), explode(col("spans")).as("sp"))
-        .select(col("trace_id"), col("sp.id").as("span_id"),
-          col("sp.name").as("name"), expr("sp.timestamp DIV 1000").as("ts_ms"))
+      spanRows(TraceQueries.getTraceMany(store,
+        (1 to 8).flatMap(u => Seq(s"$u:1", s"$u:2"))))
     }),
+
+    // ——— S8/S9 + J4 through the BUCKETED point-lookup store: the layout's
+    //     hash-clustering on trace_id is the reference's key-hash routing
+    //     (internal/KafkaStoreSingleKeyListCall.java:36-45) — the probe
+    //     prunes to the id's bucket and merges without an Exchange (PlanSpec
+    //     pins both). Oracle identical to q_j4_get_trace: the store must not
+    //     change the answer, redelivered rows included ———
+    "q_store_get_trace" -> ((s, dir) =>
+      spanRows(TraceQueries.getTraceBucketed(bucketedTraces(s, dir), "3:2"))),
+
+    // ——— the id-list leg of the same store; oracle identical to
+    //     q_j4_trace_many ———
+    "q_store_trace_many" -> ((s, dir) =>
+      spanRows(TraceQueries.getTraceManyBucketed(bucketedTraces(s, dir),
+        (1 to 8).flatMap(u => Seq(s"$u:1", s"$u:2"))))),
 
     // ——— SC6: JSON_V2 response encode — the oracle can't pin zipkin's exact
     //     byte layout, so the check is a round-trip: the produced JSON must
@@ -363,11 +414,7 @@ object SparkEntry {
       val tr = eventTraces(s, dir).toDF()
         .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
       val store = tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace]
-      TraceQueries.getTrace(store, "3:2")
-        .toDF()
-        .select(col("trace_id"), explode(col("spans")).as("sp"))
-        .select(col("trace_id"), col("sp.id").as("span_id"),
-          col("sp.name").as("name"), expr("sp.timestamp DIV 1000").as("ts_ms"))
+      spanRows(TraceQueries.getTrace(store, "3:2"))
     }),
 
     // ——— skew: salted equi-join, oracle-pinned result-identical to the
@@ -677,6 +724,24 @@ object SparkEntry {
        |  AND root_ms - root_ms % 60000 BETWEEN ${EndTsMs - LookbackMs} AND $EndTsMs
        |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000""".stripMargin
 
+  /** One oracle text for q_j4_get_trace AND q_store_get_trace (and the
+    * _many pair below): a trace fetch is defined by its id, not by which
+    * store serves it — the in-memory and bucketed legs must never drift.
+    */
+  private val GetTraceOracle = SessionCtes +
+    """
+      |SELECT lpad(concat(user_id, ':', session_id), 16, '0') AS trace_id,
+      |       CAST(event_id AS VARCHAR) AS span_id, event_type AS name,
+      |       ts_us//1000 AS ts_ms
+      |FROM s WHERE user_id = 3 AND session_id = 2""".stripMargin
+
+  private val TraceManyOracle = SessionCtes +
+    """
+      |SELECT lpad(concat(user_id, ':', session_id), 16, '0') AS trace_id,
+      |       CAST(event_id AS VARCHAR) AS span_id, event_type AS name,
+      |       ts_us//1000 AS ts_ms
+      |FROM s WHERE user_id BETWEEN 1 AND 8 AND session_id IN (1, 2)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -790,23 +855,18 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS roundtrip_ok
         |FROM s GROUP BY user_id, session_id""".stripMargin),
 
-    "q_j4_trace_many" -> (SessionCtes +
-      """
-        |SELECT lpad(concat(user_id, ':', session_id), 16, '0') AS trace_id,
-        |       CAST(event_id AS VARCHAR) AS span_id, event_type AS name,
-        |       ts_us//1000 AS ts_ms
-        |FROM s WHERE user_id BETWEEN 1 AND 8 AND session_id IN (1, 2)""".stripMargin),
+    "q_j4_trace_many" -> TraceManyOracle,
+
+    // identical to the q_j4_* pair: the bucketed point-lookup round-trip
+    // must not change the getTrace/getTraceMany answers
+    "q_store_get_trace" -> GetTraceOracle,
+    "q_store_trace_many" -> TraceManyOracle,
 
     "q_w4_span_names" ->
       """SELECT DISTINCT event_type AS span_name FROM events
         |WHERE event_type = 'purchase' ORDER BY span_name LIMIT 1000""".stripMargin,
 
-    "q_j4_get_trace" -> (SessionCtes +
-      """
-        |SELECT lpad(concat(user_id, ':', session_id), 16, '0') AS trace_id,
-        |       CAST(event_id AS VARCHAR) AS span_id, event_type AS name,
-        |       ts_us//1000 AS ts_ms
-        |FROM s WHERE user_id = 3 AND session_id = 2""".stripMargin),
+    "q_j4_get_trace" -> GetTraceOracle,
 
     "q_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -113,6 +113,37 @@ object TraceQueries {
       df.select("trace_id", "spans", "root_ts").as[Trace]
     }
 
+  /** getTrace served from the bucketed point-lookup store (S8/S9: the
+    * reference routes a key to the single store instance owning it,
+    * internal/KafkaStoreSingleKeyListCall.java:36-45; here the bucketed
+    * layout's hash-clustering on trace_id IS the routing — the scan prunes
+    * to the one bucket holding the id, and the merge groups without an
+    * Exchange). Same answer as [[getTrace]] by construction.
+    */
+  def getTraceBucketed(store: DataFrame, traceId: String): Dataset[Trace] =
+    mergeBucketed(store.where(col("trace_id") === Spans.normalizeTraceId(traceId)))
+
+  /** getTraceMany from the bucketed store — isin prunes to ≤ |ids| buckets. */
+  def getTraceManyBucketed(store: DataFrame, traceIds: Seq[String]): Dataset[Trace] = {
+    val ids = traceIds.take(1000).map(Spans.normalizeTraceId)
+    mergeBucketed(store.where(col("trace_id").isin(ids: _*)))
+  }
+
+  /** Shuffle-free twin of [[mergeByTraceId]] for inputs already
+    * hash-clustered on trace_id (the bucketed layout): grouping RELATIONALLY
+    * on the physical column lets the bucketed scan's HashPartitioning
+    * satisfy mapGroups' required distribution, so no Exchange is planned —
+    * a typed groupByKey would key on an opaque appended column and force
+    * the shuffle the bucketing exists to avoid.
+    */
+  private def mergeBucketed(df: DataFrame): Dataset[Trace] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("trace_id", "spans", "root_ts").as[Trace]
+      .groupBy(col("trace_id")).as[String, Trace]
+      .mapGroups((id, it) => mergeRows(id, it.toSeq))
+  }
+
   /** Query-time fetch+merge per trace id. The merged trace keeps its
     * recomputed root timestamp, falling back to the smallest stored root_ts
     * when spans carry none — preserving the store's close-time placement for
@@ -121,12 +152,13 @@ object TraceQueries {
   private def mergeByTraceId(ds: Dataset[Trace]): Dataset[Trace] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.groupByKey(_.trace_id).mapGroups { (id, it) =>
-      val rows = it.toSeq
-      val merged = graft.core.TraceMerge.merge(rows.flatMap(_.spans))
-      val recomputed = graft.core.Traces.rootTimestamp(merged)
-      val stored = rows.map(_.root_ts).filter(_ > 0)
-      Trace(id, merged, if (recomputed > 0 || stored.isEmpty) recomputed else stored.min)
-    }
+    ds.groupByKey(_.trace_id).mapGroups((id, it) => mergeRows(id, it.toSeq))
+  }
+
+  private def mergeRows(id: String, rows: Seq[Trace]): Trace = {
+    val merged = graft.core.TraceMerge.merge(rows.flatMap(_.spans))
+    val recomputed = graft.core.Traces.rootTimestamp(merged)
+    val stored = rows.map(_.root_ts).filter(_ > 0)
+    Trace(id, merged, if (recomputed > 0 || stored.isEmpty) recomputed else stored.min)
   }
 }

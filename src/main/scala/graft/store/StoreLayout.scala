@@ -49,8 +49,10 @@ object StoreLayout {
   private def utcDate(epochMs: Long) =
     lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(epochMs, 86400000L)).toString).cast("date")
 
-  /** Dependency-window store partitioned by window date; same files-per-date
-    * bound as [[writeTraces]] (windows are tiny rows — one file per date).
+  /** Dependency-window store partitioned by window date. Unlike
+    * [[writeTraces]] there is no `filesPerDate` knob: window rows are tiny
+    * pre-aggregates (one per edge per minute), so one file per date is the
+    * right shape even for a bulk backfill.
     */
   def writeDependencyWindows(windows: DataFrame, path: String): Unit =
     windows
@@ -79,6 +81,25 @@ object StoreLayout {
       .sortBy("trace_id")
       .mode(SaveMode.Overwrite)
       .saveAsTable(tableName)
+
+  /** Read the bucketed point-lookup table, (re-)declaring the external table
+    * when the session catalog doesn't know it yet: bucketing metadata lives
+    * in the catalog, not in the parquet files, so a fresh session must
+    * re-register the layout before the scan can prune buckets and skip the
+    * merge shuffle. `buckets` must match what [[writeTracesBucketed]] wrote.
+    */
+  def readTracesBucketed(spark: SparkSession, tableName: String, path: String,
+      buckets: Int = 32): DataFrame = {
+    if (!spark.catalog.tableExists(tableName)) {
+      val ddl = org.apache.spark.sql.Encoders.product[Trace].schema.toDDL
+      val loc = new java.io.File(path).getAbsolutePath
+      spark.sql(
+        s"""CREATE TABLE $tableName ($ddl) USING PARQUET
+           |CLUSTERED BY (trace_id) SORTED BY (trace_id) INTO $buckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+    }
+    spark.table(tableName)
+  }
 
   /** Retention = drop expired date partitions (cheap metadata+delete op, the
     * reference's store-retention analog, ST6). Returns dropped partition names.

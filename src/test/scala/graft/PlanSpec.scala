@@ -84,7 +84,7 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     assert(plan.contains("PartitionFilters") && plan.contains("trace_date"),
       s"expected trace_date partition filters on the store scan:\n$plan")
-    val storeDir = s"target/graft-stores/traces_${Integer.toHexString(dir.hashCode)}"
+    val storeDir = SparkEntry.storePath("traces", dir)
     assertDatePruned(graft.store.StoreLayout.readTraces(spark, storeDir,
       1705708800000L, 864000000L), storeDir, "trace_date") // the q_store endTs/lookback
   }
@@ -94,9 +94,29 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     assert(plan.contains("PartitionFilters") && plan.contains("window_date"),
       s"expected window_date partition filters on the store scan:\n$plan")
-    val storeDir = s"target/graft-stores/deps_${Integer.toHexString(dir.hashCode)}"
+    val storeDir = SparkEntry.storePath("deps", dir)
     assertDatePruned(graft.store.StoreLayout.readDependencyWindows(spark, storeDir,
       1705708800000L, 864000000L), storeDir, "window_date")
+  }
+
+  test("q_store_get_trace: bucketed probe — zero Exchange, one bucket scanned") {
+    val df = SparkEntry.queries("q_store_get_trace")(spark, dir) // builds the store
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed point lookup must not shuffle:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 1 out of"),
+      s"expected bucket pruning down to the id's single bucket:\n$plan")
+  }
+
+  test("q_store_trace_many: bucketed id-list probe plans with zero Exchange") {
+    val df = SparkEntry.queries("q_store_trace_many")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed id-list lookup must not shuffle:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"expected bucket pruning on the isin probe:\n$plan")
   }
 
   test("driver smoke contract: entry returns rows on sf0.001") {
