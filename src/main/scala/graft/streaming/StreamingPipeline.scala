@@ -255,4 +255,38 @@ object StreamingPipeline {
   def autocompleteTagsToStore(envelopes: Dataset[SpanEnvelope], keys: Seq[String],
       path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     nameSetsToStore(autocompleteTagSets(envelopes, keys), path, checkpoint)
+
+  /** Scale-safe autocomplete sink: Update mode + delta append + merge-on-read
+    * (the trace store's pattern). The reference makes exactly this store
+    * persistent because tag VALUES are unbounded
+    * (streams/TraceStorageTopology.java:143-149) — with Complete mode
+    * ([[autocompleteTagsToStore]]) both the streaming state emitted per batch
+    * and the per-batch whole-store rewrite grow with the distinct-value
+    * count, which is fine for the bounded name stores but not here. Update
+    * emits only the keys whose set grew THAT batch; each delta row is
+    * appended, and [[readAutocompleteStore]] collapses deltas per key at
+    * read time. Sets grow monotonically, so union-of-deltas == latest ==
+    * the Complete-mode store — at-least-once re-appends collapse in the
+    * same array_distinct.
+    */
+  def autocompleteTagsToStoreIncremental(envelopes: Dataset[SpanEnvelope],
+      keys: Seq[String], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    autocompleteTagSets(envelopes, keys).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+      }
+      .start()
+
+  /** Read-side collapse of [[autocompleteTagsToStoreIncremental]]'s delta
+    * rows back to the (tag_key, sorted value set) serving shape the query
+    * surface expects — one hash aggregation, prunable by tag_key at scan.
+    */
+  def readAutocompleteStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("tag_key")
+      .agg(sort_array(array_distinct(flatten(collect_list(col("values"))))).as("values"))
 }

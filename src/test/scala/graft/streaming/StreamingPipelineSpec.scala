@@ -269,6 +269,46 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(batch == stored)
   }
 
+  test("incremental autocomplete store: Update-mode deltas collapse to the " +
+      "Complete-mode store and the batch builder (A8, unbounded-value path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-auto-inc")
+    val withTagA = spanA.copy(tags = Map("env" -> "prod", "ignored" -> "x"))
+    val withTagB = spanB.copy(tags = Map("env" -> "dev"))
+    val inU = MemoryStream[SpanEnvelope]
+    val inC = MemoryStream[SpanEnvelope]
+    val qU = StreamingPipeline.autocompleteTagsToStoreIncremental(
+      inU.toDS(), Seq("env"), s"$tmp/inc", s"$tmp/chk_u")
+    val qC = StreamingPipeline.autocompleteTagsToStore(
+      inC.toDS(), Seq("env"), s"$tmp/full", s"$tmp/chk_c")
+    try {
+      // two batches so the set GROWS across a batch boundary: the
+      // incremental store must then hold >1 delta row for the key and
+      // still collapse to the complete answer
+      inU.addData(SpanEnvelope(new Timestamp(1000L), withTagA))
+      inC.addData(SpanEnvelope(new Timestamp(1000L), withTagA))
+      Seq(qU, qC).foreach(_.processAllAvailable())
+      inU.addData(SpanEnvelope(new Timestamp(1001L), withTagB))
+      inC.addData(SpanEnvelope(new Timestamp(1001L), withTagB))
+      Seq(qU, qC).foreach(_.processAllAvailable())
+    } finally Seq(qU, qC).foreach(_.stop())
+
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("tag_key") -> r.getSeq[String](1)).toMap
+    val rawDeltas = spark.read.parquet(s"$tmp/inc")
+    assert(rawDeltas.count() > 1, "expected one delta row per growing batch")
+    val incremental = asMap(StreamingPipeline.readAutocompleteStore(spark, s"$tmp/inc"))
+    val complete = asMap(spark.read.parquet(s"$tmp/full"))
+    val batch = asMap(graft.operators.SpanPipeline.autocompleteTags(
+      spark.createDataset(Seq(withTagA, withTagB)), Seq("env")))
+    assert(incremental == batch, s"incremental $incremental != batch $batch")
+    assert(complete == batch, s"complete $complete != batch $batch")
+    // and the query surface serves it unchanged
+    assert(graft.operators.TraceQueries.autocompleteValues(
+        StreamingPipeline.readAutocompleteStore(spark, s"$tmp/inc"), "env")
+      .collect().map(_.getString(0)).toSeq == Seq("dev", "prod"))
+  }
+
   test("streaming name store accumulates sets in Update mode (A7)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SpanEnvelope]
