@@ -587,6 +587,45 @@ object SparkEntry {
         n = 3, numHashes = 128, bands = 32, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))),
 
+    // ——— dedup: MinHash banding quality gate at the 0.8 design threshold.
+    //     The corpus' organic ≥0.8 pairs are a fixture accident, so the gate
+    //     PLANTS one near-duplicate per document — ~1 marker token appended
+    //     per 12 original tokens puts the 3-shingle Jaccard at
+    //     n_sh/(n_sh + k) ≈ 0.85–0.92 — then measures the LSH pipeline's
+    //     recall against the EXACT Jaccard truth of those planted pairs
+    //     (computed directly on the known (orig, planted) id pairs — linear,
+    //     no quadratic join). A banding/signature regression shrinks the
+    //     candidate set, which exact verification cannot recover, so recall
+    //     craters and the constant-true oracle goes red. At 128 hashes / 32
+    //     bands an all-band miss at J≥0.85 is ~5e-11 per pair ———
+    "q_minhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).first()
+      val plantOffset = (if (maxId.isNullAt(0)) 0L else maxId.getLong(0)) + 1L
+      val nAppend = greatest(lit(1L),
+        floor(TextAnalysis.tokenCount(col("text")) / 12).cast("long"))
+      val planted = docs
+        .select(col("doc_id"), concat(col("text"), lit(" "), array_join(
+          transform(sequence(lit(1L), nAppend),
+            i => concat(lit("zz"), col("doc_id"), lit("x"), i)), " ")).as("text"))
+        .select((col("doc_id") + lit(plantOffset)).as("doc_id"), col("text"))
+      val all = docs.unionByName(planted)
+      // truth = planted pairs whose EXACT 3-shingle Jaccard clears 0.8
+      // (short docs fall below by construction and drop out here)
+      val truth = Dedup.verifyJaccard(
+          docs.select(col("doc_id").as("doc_a"),
+            (col("doc_id") + lit(plantOffset)).as("doc_b")),
+          all, "doc_id", "text", n = 3, threshold = 0.8)
+        .select("doc_a", "doc_b")
+      val found = Dedup.minhashPairs(all, "doc_id", "text",
+          n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        .select("doc_a", "doc_b").withColumn("found", lit(1))
+      truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
+        .agg(count(lit(1)).as("tot"), count(col("found")).as("hit"))
+        .select(lit("minhash_recall_at_0.8").as("metric"),
+          (col("tot") > 0 && col("hit") >= col("tot") * 0.9).as("meets_target"))
+    }),
+
     // ——— dedup: SimHash signatures + banded hamming join ———
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
@@ -1049,6 +1088,11 @@ object SparkEntry {
     // of the exact grid join's ≥0.9-cosine pairs on the planted fixture"
     "q_emb_lsh_recall" ->
       "SELECT 'lsh_recall_at_0.9' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
+
+    // constant oracle, same pattern: hash-match == "MinHash banding
+    // recovered ≥90% of the planted exact-Jaccard-≥0.8 pairs"
+    "q_minhash_recall" ->
+      "SELECT 'minhash_recall_at_0.8' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
 
     "q_mm_features" ->
       """SELECT doc_id AS media_id,
