@@ -84,6 +84,23 @@ object Bench {
       s""""stage2_sec":${(tEnd - t1) / 1e9},"rows_per_sec":$rps}"""
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+  /** Host 1/5/15-min load averages as a JSON array — recorded before and
+    * after the run so a number taken under outside load is self-labeling:
+    * wall time up while process-CPU time and the historical quiet-host
+    * numbers are flat means contention, not a code regression.
+    */
+  private def loadavgJson(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString("[", ",", "]")
+    catch { case _: Throwable => "null" }
+
+  /** Cumulative process CPU nanos (-1 where the JVM doesn't expose it). */
+  private def processCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's cores (the target env is local[32]) — a low
@@ -125,12 +142,14 @@ object Bench {
       System.err.println(s"[bench] store pre-build failed: ${e.getMessage}")
       -1.0
     }
+    val loadBefore = loadavgJson()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop caches built by the warmup/previous queries: several queries
       // share cached lineages (e.g. the shingle index), and timing one
       // against another's warm cache would flatter it
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
+      val cpu0 = processCpuNanos()
       // full materialization of every output column on the executors —
       // a bare count() lets Catalyst prune unevaluated projections, which
       // would time a row count instead of the query
@@ -138,14 +157,21 @@ object Bench {
       catch { case e: Throwable =>
         Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val cpuSec = { val c = processCpuNanos(); if (c < 0 || cpu0 < 0) -1.0 else (c - cpu0) / 1e9 }
+      (name, (System.nanoTime() - t0) / 1e9, cpuSec, err)
     }
     def jstr(s: String): String = Verify.jstr(s) // shared driver-JSON escaper
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // process-CPU seconds per query, next to the wall numbers: under a
+    // 32-thread local run CPU can legitimately reach 32x wall, but a
+    // WALL-up/CPU-flat delta vs the previous round is outside host load,
+    // not a code regression (see README "Reading the bench JSON")
+    val cpus_q = results.map { case (k, _, c, _) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     // a failed query's elapsed time is ~planning cost, not a result — the
     // errors map (and nonzero exit) is what distinguishes fast from broken
-    val errs = results.map { case (k, _, e) =>
+    val errs = results.map { case (k, _, _, e) =>
       s"\"" + k + "\":" + e.map(jstr).getOrElse("null")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -159,8 +185,9 @@ object Bench {
         ("null", Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
       }
     val streamErrJson = streamErr.map(jstr).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"store_write_sec":$storeWriteSec,"streaming":$streamJson,"streaming_error":$streamErrJson,"sf":"$sfDir"}""")
+    val loadAfter = loadavgJson()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$cpus_q,"errors":$errs,"store_write_sec":$storeWriteSec,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"streaming":$streamJson,"streaming_error":$streamErrJson,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.isDefined) || streamErr.isDefined) sys.exit(1)
+    if (results.exists(_._4.isDefined) || streamErr.isDefined) sys.exit(1)
   }
 }
