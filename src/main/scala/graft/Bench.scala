@@ -27,9 +27,12 @@ object Bench {
         """"sec":0,"stage1_sec":0,"stage2_sec":0,"rows_per_sec":0}"""
     // stateful micro-batches pay a per-(partition × batch) state-store commit;
     // 32 shuffle partitions for a 10k-row leg would measure commit overhead,
-    // not pipeline throughput
+    // not pipeline throughput. Env knob so the floor is measurable directly
+    // (see DESIGN.md "Streaming stage-2" — stage2 wall tracks parts × batches,
+    // not data volume).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
     try {
     val t0 = System.nanoTime()
     val in1 = MemoryStream[SpanEnvelope]
@@ -80,10 +83,19 @@ object Bench {
     val rps = if (sec > 0) envs.length / sec else 0.0
     s"""{"rows_in":${envs.length},"traces_out":${closed.length},""" +
       s""""windows_out":$windowsOut,"batches":$batches1,""" +
-      s""""sec":$sec,"stage1_sec":${(t1 - t0) / 1e9},""" +
-      s""""stage2_sec":${(tEnd - t1) / 1e9},"rows_per_sec":$rps}"""
+      s""""sec":${f3(sec)},"stage1_sec":${f3((t1 - t0) / 1e9)},""" +
+      s""""stage2_sec":${f3((tEnd - t1) / 1e9)},"rows_per_sec":${f1(rps)}}"""
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+
+  /** Fixed-precision JSON numbers: the driver keeps only the last ~2KB of
+    * bench output and parses the JSON line out of that window, so the line
+    * must stay compact — full-precision doubles tripled its size and every
+    * earlier round's line was truncated mid-object (BENCH_r01–r06 all show
+    * `parsed: null`). 3 decimals (ms) for wall seconds, 1 for rates/CPU.
+    */
+  private def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+  private def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
   /** Host 1/5/15-min load averages as a JSON array — recorded before and
     * after the run so a number taken under outside load is self-labeling:
     * wall time up while process-CPU time and the historical quiet-host
@@ -161,18 +173,21 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, cpuSec, err)
     }
     def jstr(s: String): String = Verify.jstr(s) // shared driver-JSON escaper
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // process-CPU seconds per query, next to the wall numbers: under a
-    // 32-thread local run CPU can legitimately reach 32x wall, but a
-    // WALL-up/CPU-flat delta vs the previous round is outside host load,
-    // not a code regression (see README "Reading the bench JSON")
-    val cpus_q = results.map { case (k, _, c, _) => s"\"" + k + "\":" + c }
-      .mkString("{", ",", "}")
+    // process-CPU seconds per query as an array POSITIONALLY ALIGNED with
+    // the (sorted) `queries` keys: under a 32-thread local run CPU can
+    // legitimately reach 32x wall, but a WALL-up/CPU-flat delta vs the
+    // previous round is outside host load, not a code regression (see
+    // README "Reading the bench JSON"). An array instead of a second
+    // name→value map keeps the line inside the driver's tail window.
+    val cpus_q = results.map { case (_, _, c, _) => f1(c) }
+      .mkString("[", ",", "]")
     // a failed query's elapsed time is ~planning cost, not a result — the
-    // errors map (and nonzero exit) is what distinguishes fast from broken
-    val errs = results.map { case (k, _, _, e) =>
-      s"\"" + k + "\":" + e.map(jstr).getOrElse("null")
+    // errors map (and nonzero exit) is what distinguishes fast from broken.
+    // Only FAILED queries are listed ({} = all passed), again for line size.
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      s"\"" + k + "\":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // streaming leg runs at sf0.01 regardless of the timed dir (it measures
@@ -186,7 +201,22 @@ object Bench {
       }
     val streamErrJson = streamErr.map(jstr).getOrElse("null")
     val loadAfter = loadavgJson()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cpu":$cpus_q,"errors":$errs,"store_write_sec":$storeWriteSec,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"streaming":$streamJson,"streaming_error":$streamErrJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f3(storeWriteSec)},"load":[$loadBefore,$loadAfter],"streaming":$streamJson,"streaming_error":$streamErrJson,"sf":"$sfDir"}"""
+    // full-precision per-query wall+CPU detail goes to a sidecar file (the
+    // stdout line is the driver's parse target and must fit its tail window)
+    try {
+      val detail = results.map { case (k, v, c, e) =>
+        s"\"$k\":{\"wall_sec\":$v,\"cpu_sec\":$c,\"error\":${e.map(jstr).getOrElse("null")}}"
+      }.mkString("{", ",", "}")
+      val w = new java.io.PrintWriter("target/bench_detail.json", "UTF-8")
+      try w.println(s"""{"queries":$detail,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamJson,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail window")
+    println(line)
     spark.stop()
     if (results.exists(_._4.isDefined) || streamErr.isDefined) sys.exit(1)
   }
