@@ -111,11 +111,28 @@ object SparkEntry {
     graft.store.StoreLayout.readTracesBucketed(s, storeKey("btraces", dir),
       bucketedTraceStore(s, dir))
 
+  /** Compacted trace store: seeded with redelivery duplicates (every row
+    * twice) plus a single-span partial per multi-span trace — the two row
+    * shapes merge-on-read exists for — then collapsed in place by
+    * `StoreLayout.compactTraces`. The q_store_compacted gate proves the
+    * compacted store still yields the exact find-traces answer through the
+    * unchanged production read path.
+    */
+  private def compactedTraceStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "ctraces", dir) { path =>
+      val tr = eventTraces(s, dir).toDF()
+      val partials = tr.where(size(col("spans")) > 1)
+        .select(col("trace_id"), slice(col("spans"), 1, 1).as("spans"), col("root_ts"))
+      graft.store.StoreLayout.writeTraces(tr.union(tr).union(partials), path)
+      graft.store.StoreLayout.compactTraces(s, path)
+    }
+
   /** Force-build the serving stores for `dir` (idempotent per JVM). */
   def prepareStores(s: SparkSession, dir: String): Unit = {
     traceStore(s, dir)
     dependencyStore(s, dir)
     bucketedTraceStore(s, dir)
+    compactedTraceStore(s, dir)
   }
 
   /** Shared exploded-span projection of the getTrace/getTraceMany surfaces —
@@ -274,6 +291,25 @@ object SparkEntry {
     //     must not change the answer ———
     "q_store_find_traces" -> ((s, dir) => {
       val path = traceStore(s, dir) // built once per JVM; Bench pre-builds
+      val req = QueryRequest(serviceName = Some("purchase"),
+        endTs = EndTsMs, lookback = LookbackMs, limit = 10)
+      TraceQueries.getTraces(
+        TraceQueries.fromStore(
+          graft.store.StoreLayout.readTraces(s, path, EndTsMs, LookbackMs)), req)
+        .select(col("trace_id"),
+          expr("root_ts DIV 1000").as("root_ts_ms"),
+          size(col("spans")).cast("long").as("n_spans"))
+    }),
+
+    // ——— Store compaction: the SAME find-traces answer after
+    //     StoreLayout.compactTraces collapsed a store seeded with
+    //     redelivery duplicates and split partials (the reference's store
+    //     is continuously compacted by Kafka Streams' changelog upserts,
+    //     streams/TraceStorageTopology.java:108-115; append-only parquet
+    //     needs the explicit pass). Production read path unchanged —
+    //     merge-on-read stays as the backstop for cross-date partials ———
+    "q_store_compacted" -> ((s, dir) => {
+      val path = compactedTraceStore(s, dir)
       val req = QueryRequest(serviceName = Some("purchase"),
         endTs = EndTsMs, lookback = LookbackMs, limit = 10)
       TraceQueries.getTraces(
@@ -763,6 +799,22 @@ object SparkEntry {
        |  AND root_ms - root_ms % 60000 BETWEEN ${EndTsMs - LookbackMs} AND $EndTsMs
        |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1000""".stripMargin
 
+  /** One oracle text for q_f1_find_traces, q_store_find_traces AND
+    * q_store_compacted: the find-traces answer is defined by the query, not
+    * by whether it is served from memory, the raw append store, or the
+    * compacted store — the three keys must never drift.
+    */
+  private val FindTracesOracle = SessionCtes +
+    s"""
+       |, agg AS (
+       |  SELECT concat(user_id, ':', session_id) AS trace_id, min(ts_us) AS root_us,
+       |         count(*) AS n_spans, bool_or(event_type = 'purchase') AS has_purchase
+       |  FROM s GROUP BY user_id, session_id)
+       |SELECT trace_id, root_us//1000 AS root_ts_ms, n_spans FROM agg
+       |WHERE has_purchase
+       |  AND root_us BETWEEN ${(EndTsMs - LookbackMs) * 1000} AND ${EndTsMs * 1000}
+       |ORDER BY root_us DESC, trace_id LIMIT 10""".stripMargin
+
   /** One oracle text for q_j4_get_trace AND q_store_get_trace (and the
     * _many pair below): a trace fetch is defined by its id, not by which
     * store serves it — the in-memory and bucketed legs must never drift.
@@ -818,29 +870,12 @@ object SparkEntry {
     // round-trip must not change the dependencies answer
     "q_store_dependencies" -> DependenciesOracle,
 
-    "q_f1_find_traces" -> (SessionCtes +
-      s"""
-         |, agg AS (
-         |  SELECT concat(user_id, ':', session_id) AS trace_id, min(ts_us) AS root_us,
-         |         count(*) AS n_spans, bool_or(event_type = 'purchase') AS has_purchase
-         |  FROM s GROUP BY user_id, session_id)
-         |SELECT trace_id, root_us//1000 AS root_ts_ms, n_spans FROM agg
-         |WHERE has_purchase
-         |  AND root_us BETWEEN ${(EndTsMs - LookbackMs) * 1000} AND ${EndTsMs * 1000}
-         |ORDER BY root_us DESC, trace_id LIMIT 10""".stripMargin),
+    "q_f1_find_traces" -> FindTracesOracle,
 
-    // identical to q_f1_find_traces: the partitioned-store round-trip must
-    // not change the find-traces answer
-    "q_store_find_traces" -> (SessionCtes +
-      s"""
-         |, agg AS (
-         |  SELECT concat(user_id, ':', session_id) AS trace_id, min(ts_us) AS root_us,
-         |         count(*) AS n_spans, bool_or(event_type = 'purchase') AS has_purchase
-         |  FROM s GROUP BY user_id, session_id)
-         |SELECT trace_id, root_us//1000 AS root_ts_ms, n_spans FROM agg
-         |WHERE has_purchase
-         |  AND root_us BETWEEN ${(EndTsMs - LookbackMs) * 1000} AND ${EndTsMs * 1000}
-         |ORDER BY root_us DESC, trace_id LIMIT 10""".stripMargin),
+    // identical to q_f1_find_traces: neither the partitioned-store
+    // round-trip nor compaction may change the find-traces answer
+    "q_store_find_traces" -> FindTracesOracle,
+    "q_store_compacted" -> FindTracesOracle,
 
     "q_a6_trace_store" -> (SessionCtes +
       """

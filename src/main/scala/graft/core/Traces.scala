@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.model.Span
+import graft.model.{Span, Trace}
 
 object Traces {
 
@@ -17,4 +17,20 @@ object Traces {
         val ts = spans.flatMap(_.timestamp).filter(_ != 0)
         if (ts.isEmpty) 0L else ts.min
       }
+
+  /** Collapse several stored rows of one trace (at-least-once re-appends,
+    * multi-session partials) into the canonical row: span-level
+    * [[TraceMerge]], root_ts recomputed, falling back to the smallest
+    * stored root_ts when no span carries a timestamp — preserving the
+    * store's close-time placement so timestamp-less traces stay findable
+    * by range queries. THE single definition of row collapse, shared by
+    * query-time merge-on-read (TraceQueries) and store compaction
+    * (StoreLayout.compactTraces) so the two can never disagree.
+    */
+  def mergeRows(id: String, rows: Seq[Trace]): Trace = {
+    val merged = TraceMerge.merge(rows.flatMap(_.spans))
+    val recomputed = rootTimestamp(merged)
+    val stored = rows.map(_.root_ts).filter(_ > 0)
+    Trace(id, merged, if (recomputed > 0 || stored.isEmpty) recomputed else stored.min)
+  }
 }

@@ -155,10 +155,7 @@ object TraceQueries {
     ds.groupByKey(_.trace_id).mapGroups((id, it) => mergeRows(id, it.toSeq))
   }
 
-  private def mergeRows(id: String, rows: Seq[Trace]): Trace = {
-    val merged = graft.core.TraceMerge.merge(rows.flatMap(_.spans))
-    val recomputed = graft.core.Traces.rootTimestamp(merged)
-    val stored = rows.map(_.root_ts).filter(_ > 0)
-    Trace(id, merged, if (recomputed > 0 || stored.isEmpty) recomputed else stored.min)
-  }
+  // row collapse shared with StoreLayout.compactTraces — see Traces.mergeRows
+  private def mergeRows(id: String, rows: Seq[Trace]): Trace =
+    graft.core.Traces.mergeRows(id, rows)
 }

@@ -49,6 +49,50 @@ object StoreLayout {
   private def utcDate(epochMs: Long) =
     lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(epochMs, 86400000L)).toString).cast("date")
 
+  /** Compact the merge-on-read trace store: collapse at-least-once
+    * re-appends and multi-session partials into one canonical row per
+    * trace, so read amplification stops growing with redelivery count (the
+    * analog of the reference's RocksDB/changelog compaction — its store is
+    * compacted continuously by Kafka Streams,
+    * streams/TraceStorageTopology.java:108-115 upserts into a compacted
+    * changelog; our append-only parquet needs an explicit pass).
+    *
+    * Rows merge within (trace_date, trace_id) — never across dates — so:
+    *  - no row changes partition (a group's recomputed root_ts is the min
+    *    over roots that all fall inside that date), which makes the pass
+    *    safe to run per closed date partition incrementally at scale, and
+    *  - cross-date partials of one trace (a session that moved the root
+    *    earlier) remain split — harmless, because query-time merge-on-read
+    *    (`TraceQueries.fromStore`, built on the same [[graft.core.Traces]]
+    *    mergeRows) stays in place as the correctness backstop; compaction
+    *    is an optimization, not a correctness requirement.
+    *
+    * The rewrite stages to `path + ".compact"` then swaps via delete +
+    * rename (single-writer maintenance op; a table format with atomic
+    * commit replaces the swap on a real deployment). Returns (rows before,
+    * rows after).
+    */
+  def compactTraces(spark: SparkSession, path: String, filesPerDate: Int = 1): (Long, Long) = {
+    import spark.implicits._
+    val raw = spark.read.parquet(path)
+    val before = raw.count()
+    val merged = raw
+      .select(col("trace_date").cast("string").as("_1"),
+        struct(col("trace_id"), col("spans"), col("root_ts")).as("_2"))
+      .as[(String, Trace)]
+      .groupByKey(r => (r._1, r._2.trace_id))
+      .mapGroups((key: (String, String), it: Iterator[(String, Trace)]) =>
+        graft.core.Traces.mergeRows(key._2, it.map(_._2).toSeq))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + ".compact")
+    fs.delete(staging, true)
+    writeTraces(merged.toDF(), staging.toString, filesPerDate)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(staging, new org.apache.hadoop.fs.Path(path))
+    (before, spark.read.parquet(path).count())
+  }
+
   /** Dependency-window store partitioned by window date. Unlike
     * [[writeTraces]] there is no `filesPerDate` knob: window rows are tiny
     * pre-aggregates (one per edge per minute), so one file per date is the

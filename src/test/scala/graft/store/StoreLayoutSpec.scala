@@ -77,6 +77,34 @@ class StoreLayoutSpec extends SparkSpec {
     assert(merged("000000000000000a").root_ts == day1Us)
   }
 
+  test("compaction collapses re-appends and partials; query answer unchanged") {
+    val dir = freshStore()
+    // redelivered duplicate of trace a, plus a second-session partial with
+    // one extra span — the two row shapes merge-on-read exists for
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us),
+      graft.model.Trace("000000000000000a",
+        Seq(graft.model.Span(trace_id = "000000000000000a", id = "000000000000000b",
+          parent_id = Some("000000000000000a"), timestamp = Some(day1Us + 5))),
+        day1Us + 5))).toDF(), dir)
+    val beforeAnswer = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
+      .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts)).sortBy(_._1)
+
+    val (rowsBefore, rowsAfter) = StoreLayout.compactTraces(spark, dir)
+    assert(rowsBefore == 4 && rowsAfter == 2, "one canonical row per (date, trace)")
+    // physically one row per trace now, already canonical — and the
+    // production read path (merge-on-read) still returns the same answer
+    val afterRaw = spark.read.parquet(dir)
+    assert(afterRaw.count() == 2)
+    val afterAnswer = graft.operators.TraceQueries.fromStore(afterRaw)
+      .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts)).sortBy(_._1)
+    assert(afterAnswer.toSeq == beforeAnswer.toSeq)
+    // partition layout preserved (rows never cross dates) and staging gone
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("trace_date=2024-01-10", "trace_date=2024-01-11"))
+    assert(!new java.io.File(dir + ".compact").exists())
+  }
+
   test("retention drops expired partitions only") {
     val dir = freshStore()
     val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
