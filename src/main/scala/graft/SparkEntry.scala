@@ -86,11 +86,18 @@ object SparkEntry {
     ensureStore(s, "traces", dir)(path =>
       graft.store.StoreLayout.writeTraces(eventTraces(s, dir).toDF(), path))
 
+  /** Written TWICE — a simulated micro-batch retry. The store read must
+    * collapse the duplicated finals (readDependencyWindows' full-row dedup,
+    * the keyed-upsert analog) or q_store_dependencies doubles every count
+    * and fails its oracle.
+    */
   private def dependencyStore(s: SparkSession, dir: String): String =
-    ensureStore(s, "deps", dir)(path =>
-      graft.store.StoreLayout.writeDependencyWindows(
-        SpanPipeline.dependencyWindows(SpanPipeline.dependencyLinks(eventTraces(s, dir))),
-        path))
+    ensureStore(s, "deps", dir) { path =>
+      val windows = SpanPipeline.dependencyWindows(
+        SpanPipeline.dependencyLinks(eventTraces(s, dir)))
+      graft.store.StoreLayout.writeDependencyWindows(windows, path)
+      graft.store.StoreLayout.writeDependencyWindows(windows, path)
+    }
 
   /** Bucketed point-lookup store (S8/S9 routing analog): written once per
     * JVM with the SAME redelivery-duplicated rows as the q_j4_* in-memory

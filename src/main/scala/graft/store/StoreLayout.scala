@@ -105,11 +105,22 @@ object StoreLayout {
       .repartition(col("window_date"))
       .write.partitionBy("window_date").mode(SaveMode.Append).parquet(path)
 
+  /** Range read with window_date pruning, then FULL-ROW dedup: the
+    * reference's window store is keyed (a redelivered final overwrites,
+    * RocksDB upsert), but parquet appends duplicate it — and the query
+    * surface SUMS window rows per edge, so without the dedup a retried
+    * micro-batch would double-count its whole window range. Identical
+    * re-appended finals collapse here; rows that differ in counts (two
+    * batch backfills over different data) are genuine partial sums and
+    * still both count. Dedup runs after pruning — it shuffles only the
+    * queried date range, not the store.
+    */
   def readDependencyWindows(spark: SparkSession, path: String, endTs: Long,
       lookback: Long): DataFrame =
     spark.read.parquet(path)
       .where(col("window_date").between(utcDate(endTs - lookback), utcDate(endTs)))
       .where(col("window_start_ms").between(endTs - lookback, endTs))
+      .dropDuplicates()
 
   /** Point-lookup store: traces bucketed by trace_id, so getTrace/getTraceMany
     * and co-located joins on trace_id skip the shuffle entirely (the analog of

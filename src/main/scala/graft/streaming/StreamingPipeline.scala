@@ -170,9 +170,10 @@ object StreamingPipeline {
 
   /** Wire the windowed dependency counts into the date-partitioned serving
     * store (S6, dependency side — the analog of [[tracesToStore]]). Append
-    * rows are final per (window, edge) under the watermark; at-least-once
-    * re-appends collapse at read time because the query surface re-sums
-    * per edge ([[graft.operators.TraceQueries.dependencies]]).
+    * rows are final per (window, edge) under the watermark; a retried
+    * micro-batch re-appends IDENTICAL finals, which collapse at read time
+    * via `StoreLayout.readDependencyWindows`' full-row dedup (the keyed
+    * RocksDB upsert analog) — re-summing alone would double-count them.
     */
   def dependencyWindowsToStore(windowCounts: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

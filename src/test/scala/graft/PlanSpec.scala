@@ -66,12 +66,25 @@ class PlanSpec extends SparkSpec {
     * only the ≤11 date partitions inside the 10-day query window are listed,
     * not the full month of dates the store holds.
     */
+  /** FileSourceScanExec nodes, descending through AQE wrappers (a read
+    * path with a shuffle — e.g. the window store's dedup — executes as an
+    * AdaptiveSparkPlanExec whose stages hide the scan from a plain
+    * collectFirst).
+    */
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectScans(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => collectScans(r.child)
+    case other => other.children.flatMap(collectScans)
+  }
+
   private def assertDatePruned(read: org.apache.spark.sql.DataFrame,
       storeDir: String, dateCol: String): Unit = {
     read.collect()
-    val scan = read.queryExecution.executedPlan.collectFirst {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }.get
+    val scan = collectScans(read.queryExecution.executedPlan).headOption.get
     val written = new java.io.File(storeDir).listFiles()
       .count(_.getName.startsWith(s"$dateCol="))
     assert(written > 11, s"fixture should span more dates than the query range ($written)")

@@ -105,6 +105,24 @@ class StoreLayoutSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".compact").exists())
   }
 
+  test("window store: re-appended finals don't double dependency counts") {
+    val dir = Files.createTempDirectory("graft-depstore").toString + "/deps"
+    val day1Ms = day1Us / 1000
+    val windows = Seq(
+      (day1Ms, "api", "db", 3L, 1L),
+      (day1Ms + 60000L, "api", "db", 2L, 0L)
+    ).toDF("window_start_ms", "parent", "child", "call_count", "error_count")
+    StoreLayout.writeDependencyWindows(windows, dir)
+    StoreLayout.writeDependencyWindows(windows, dir) // retried micro-batch
+    assert(spark.read.parquet(dir).count() == 4, "appends really duplicated rows")
+    val deps = graft.operators.TraceQueries.dependencies(
+      StoreLayout.readDependencyWindows(spark, dir, day1Ms + 120000L, 3600000L),
+      endTs = day1Ms + 120000L, lookback = 3600000L).collect()
+    assert(deps.map(r => (r.getAs[String]("parent"), r.getAs[String]("child"),
+      r.getAs[Long]("call_count"), r.getAs[Long]("error_count"))).toSeq ==
+      Seq(("api", "db", 5L, 1L)))
+  }
+
   test("retention drops expired partitions only") {
     val dir = freshStore()
     val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
