@@ -62,12 +62,21 @@ object SparkEntry {
     */
   private val builtStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Memo key = the sanitized FULL dir path (a hashCode key could collide
-    * across sf-dirs and silently serve the wrong store). Also a valid SQL
-    * identifier fragment, so the bucketed store reuses it as a table name.
+  /** Memo key = sanitized full dir path + content hash of the raw path.
+    * The readable part alone is NOT collision-free: punctuation collapses
+    * (`/sf0.1` vs `/sf0_1`) and the catalog lowercases table names (the
+    * bucketed store uses this key as one), so two distinct dirs could
+    * silently share a store. The appended MD5 fragment of the exact path
+    * disambiguates both cases; lowercase keeps the key a stable SQL
+    * identifier under catalog normalization.
     */
-  private[graft] def storeKey(kind: String, dir: String): String =
-    s"${kind}_" + dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+  private[graft] def storeKey(kind: String, dir: String): String = {
+    val safe = dir.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${kind}_${safe}_$digest"
+  }
 
   private[graft] def storePath(kind: String, dir: String): String =
     s"target/graft-stores/${storeKey(kind, dir)}"

@@ -67,39 +67,51 @@ object StoreLayout {
     *    mergeRows) stays in place as the correctness backstop; compaction
     *    is an optimization, not a correctness requirement.
     *
-    * The rewrite stages to `path + ".compact"` then swaps via delete +
-    * rename (single-writer maintenance op; a table format with atomic
-    * commit replaces the swap on a real deployment). Returns (rows before,
-    * rows after).
+    * The rewrite stages to `path + ".compact"`, moves the live store aside
+    * to `path + ".old"`, promotes the staging dir, then drops the old copy —
+    * every rename result is checked, and a crash mid-swap leaves the data
+    * recoverable in one of the two side dirs instead of deleted (a table
+    * format with atomic commit replaces the swap on a real deployment).
+    * No counts are computed — that would cost two extra full-store scans;
+    * callers who want them can count the parquet dirs themselves.
     */
-  def compactTraces(spark: SparkSession, path: String, filesPerDate: Int = 1): (Long, Long) = {
+  def compactTraces(spark: SparkSession, path: String, filesPerDate: Int = 1): Unit = {
     import spark.implicits._
-    val raw = spark.read.parquet(path)
-    val before = raw.count()
-    val merged = raw
+    val merged = spark.read.parquet(path)
       .select(col("trace_date").cast("string").as("_1"),
         struct(col("trace_id"), col("spans"), col("root_ts")).as("_2"))
       .as[(String, Trace)]
       .groupByKey(r => (r._1, r._2.trace_id))
       .mapGroups((key: (String, String), it: Iterator[(String, Trace)]) =>
         graft.core.Traces.mergeRows(key._2, it.map(_._2).toSeq))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path + ".compact")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(staging, true)
+    fs.delete(old, true)
     writeTraces(merged.toDF(), staging.toString, filesPerDate)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(staging, new org.apache.hadoop.fs.Path(path))
-    (before, spark.read.parquet(path).count())
+    require(fs.rename(live, old), s"compaction: could not move $live aside to $old")
+    require(fs.rename(staging, live),
+      s"compaction: could not promote $staging — previous store preserved at $old")
+    fs.delete(old, true)
   }
 
   /** Dependency-window store partitioned by window date. Unlike
     * [[writeTraces]] there is no `filesPerDate` knob: window rows are tiny
     * pre-aggregates (one per edge per minute), so one file per date is the
     * right shape even for a bulk backfill.
+    *
+    * `batchId` is the idempotence key for [[readDependencyWindows]]'s
+    * retry collapse: a RETRIED write (streaming micro-batch replay after a
+    * crash) must reuse the id of the attempt it repeats — foreachBatch's
+    * epoch id has exactly this property — while a genuine incremental
+    * backfill over different data passes a fresh id so its rows count even
+    * when the partial sums happen to be value-identical.
     */
-  def writeDependencyWindows(windows: DataFrame, path: String): Unit =
+  def writeDependencyWindows(windows: DataFrame, path: String, batchId: Long = 0L): Unit =
     windows
+      .withColumn("batch_id", lit(batchId))
       .withColumn("window_date",
         expr("date_add(DATE'1970-01-01', CAST(window_start_ms DIV 86400000 AS INT))"))
       .repartition(col("window_date"))
@@ -109,11 +121,13 @@ object StoreLayout {
     * reference's window store is keyed (a redelivered final overwrites,
     * RocksDB upsert), but parquet appends duplicate it — and the query
     * surface SUMS window rows per edge, so without the dedup a retried
-    * micro-batch would double-count its whole window range. Identical
-    * re-appended finals collapse here; rows that differ in counts (two
-    * batch backfills over different data) are genuine partial sums and
-    * still both count. Dedup runs after pruning — it shuffles only the
-    * queried date range, not the store.
+    * micro-batch would double-count its whole window range. The stored
+    * `batch_id` (see [[writeDependencyWindows]]) makes the collapse exact:
+    * a replayed attempt repeats its id and dedups away, while genuine
+    * partial sums from different appends differ in batch_id and both count
+    * even when their values coincide. The dedup shuffle runs after
+    * pruning — only the queried date range, not the store; `batch_id` is
+    * dropped afterwards so the query surface sees the window schema.
     */
   def readDependencyWindows(spark: SparkSession, path: String, endTs: Long,
       lookback: Long): DataFrame =
@@ -121,6 +135,7 @@ object StoreLayout {
       .where(col("window_date").between(utcDate(endTs - lookback), utcDate(endTs)))
       .where(col("window_start_ms").between(endTs - lookback, endTs))
       .dropDuplicates()
+      .drop("batch_id")
 
   /** Point-lookup store: traces bucketed by trace_id, so getTrace/getTraceMany
     * and co-located joins on trace_id skip the shuffle entirely (the analog of

@@ -180,8 +180,10 @@ object StreamingPipeline {
     windowCounts.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.store.StoreLayout.writeDependencyWindows(batch, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the epoch id IS the retry-idempotence key: a replayed batch
+        // repeats it, so the read-side dedup collapses exactly the retries
+        graft.store.StoreLayout.writeDependencyWindows(batch, path, batchId)
       }
       .start()
 
@@ -257,27 +259,34 @@ object StreamingPipeline {
       path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     nameSetsToStore(autocompleteTagSets(envelopes, keys), path, checkpoint)
 
-  /** Scale-safe autocomplete sink: Update mode + delta append + merge-on-read
+  /** Scale-safe autocomplete sink: batch-local delta append + merge-on-read
     * (the trace store's pattern). The reference makes exactly this store
     * persistent because tag VALUES are unbounded
     * (streams/TraceStorageTopology.java:143-149) — with Complete mode
     * ([[autocompleteTagsToStore]]) both the streaming state emitted per batch
     * and the per-batch whole-store rewrite grow with the distinct-value
-    * count, which is fine for the bounded name stores but not here. Update
-    * emits only the keys whose set grew THAT batch; each delta row is
-    * appended, and [[readAutocompleteStore]] collapses deltas per key at
-    * read time. Sets grow monotonically, so union-of-deltas == latest ==
-    * the Complete-mode store — at-least-once re-appends collapse in the
-    * same array_distinct.
+    * count, which is fine for the bounded name stores but not here.
+    *
+    * Each micro-batch aggregates ITS OWN rows (the same relational builder,
+    * run as a static aggregation inside foreachBatch) and appends that
+    * delta. No streaming state at all — a cumulative Update-mode
+    * `collect_set` would re-emit a key's ENTIRE accumulated set every batch
+    * it grows, making the store O(batches × set size) for a hot key; the
+    * batch-local delta keeps it linear in values actually observed.
+    * [[readAutocompleteStore]] collapses deltas per key at read time;
+    * at-least-once re-appends and cross-batch repeats collapse in the same
+    * array_distinct.
     */
   def autocompleteTagsToStoreIncremental(envelopes: Dataset[SpanEnvelope],
       keys: Seq[String], path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    autocompleteTagSets(envelopes, keys).writeStream
+    envelopes.writeStream
       .option("checkpointLocation", checkpoint)
-      .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[SpanEnvelope], _: Long) =>
+        graft.operators.SpanPipeline
+          .autocompleteTagsRelational(envelopeSpanFields(batch), keys)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
       }
       .start()
 

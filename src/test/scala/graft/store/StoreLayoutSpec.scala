@@ -90,19 +90,20 @@ class StoreLayoutSpec extends SparkSpec {
     val beforeAnswer = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
       .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts)).sortBy(_._1)
 
-    val (rowsBefore, rowsAfter) = StoreLayout.compactTraces(spark, dir)
-    assert(rowsBefore == 4 && rowsAfter == 2, "one canonical row per (date, trace)")
+    assert(spark.read.parquet(dir).count() == 4, "seeded with dupes+partials")
+    StoreLayout.compactTraces(spark, dir)
     // physically one row per trace now, already canonical — and the
     // production read path (merge-on-read) still returns the same answer
     val afterRaw = spark.read.parquet(dir)
-    assert(afterRaw.count() == 2)
+    assert(afterRaw.count() == 2, "one canonical row per (date, trace)")
     val afterAnswer = graft.operators.TraceQueries.fromStore(afterRaw)
       .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts)).sortBy(_._1)
     assert(afterAnswer.toSeq == beforeAnswer.toSeq)
-    // partition layout preserved (rows never cross dates) and staging gone
+    // partition layout preserved (rows never cross dates), side dirs gone
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.toSeq == Seq("trace_date=2024-01-10", "trace_date=2024-01-11"))
     assert(!new java.io.File(dir + ".compact").exists())
+    assert(!new java.io.File(dir + ".old").exists())
   }
 
   test("window store: re-appended finals don't double dependency counts") {
@@ -112,15 +113,19 @@ class StoreLayoutSpec extends SparkSpec {
       (day1Ms, "api", "db", 3L, 1L),
       (day1Ms + 60000L, "api", "db", 2L, 0L)
     ).toDF("window_start_ms", "parent", "child", "call_count", "error_count")
-    StoreLayout.writeDependencyWindows(windows, dir)
-    StoreLayout.writeDependencyWindows(windows, dir) // retried micro-batch
+    StoreLayout.writeDependencyWindows(windows, dir, batchId = 7L)
+    StoreLayout.writeDependencyWindows(windows, dir, batchId = 7L) // retried micro-batch
     assert(spark.read.parquet(dir).count() == 4, "appends really duplicated rows")
-    val deps = graft.operators.TraceQueries.dependencies(
+    def served() = graft.operators.TraceQueries.dependencies(
       StoreLayout.readDependencyWindows(spark, dir, day1Ms + 120000L, 3600000L),
       endTs = day1Ms + 120000L, lookback = 3600000L).collect()
-    assert(deps.map(r => (r.getAs[String]("parent"), r.getAs[String]("child"),
-      r.getAs[Long]("call_count"), r.getAs[Long]("error_count"))).toSeq ==
-      Seq(("api", "db", 5L, 1L)))
+      .map(r => (r.getAs[String]("parent"), r.getAs[String]("child"),
+        r.getAs[Long]("call_count"), r.getAs[Long]("error_count"))).toSeq
+    assert(served() == Seq(("api", "db", 5L, 1L)))
+    // a genuine backfill with value-identical partial sums carries a fresh
+    // batch id — it must COUNT, not collapse as a retry
+    StoreLayout.writeDependencyWindows(windows, dir, batchId = 8L)
+    assert(served() == Seq(("api", "db", 10L, 2L)))
   }
 
   test("retention drops expired partitions only") {

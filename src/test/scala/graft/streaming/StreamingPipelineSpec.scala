@@ -269,7 +269,7 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(batch == stored)
   }
 
-  test("incremental autocomplete store: Update-mode deltas collapse to the " +
+  test("incremental autocomplete store: batch-local deltas collapse to the " +
       "Complete-mode store and the batch builder (A8, unbounded-value path)") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-auto-inc")
