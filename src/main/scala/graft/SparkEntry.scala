@@ -127,6 +127,19 @@ object SparkEntry {
     graft.store.StoreLayout.readTracesBucketed(s, storeKey("btraces", dir),
       bucketedTraceStore(s, dir))
 
+  /** Compacted window store: seeded with a replayed micro-batch (same
+    * epoch id twice) then physically collapsed — q_store_deps_compact
+    * proves the compacted store serves the exact dependencies answer.
+    */
+  private def compactedDependencyStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "cdeps", dir) { path =>
+      val windows = SpanPipeline.dependencyWindows(
+        SpanPipeline.dependencyLinks(eventTraces(s, dir)))
+      graft.store.StoreLayout.writeDependencyWindows(windows, path)
+      graft.store.StoreLayout.writeDependencyWindows(windows, path)
+      graft.store.StoreLayout.compactDependencyWindows(s, path)
+    }
+
   /** Compacted trace store: seeded with redelivery duplicates (every row
     * twice) plus a single-span partial per multi-span trace — the two row
     * shapes merge-on-read exists for — then collapsed in place by
@@ -149,6 +162,7 @@ object SparkEntry {
     dependencyStore(s, dir)
     bucketedTraceStore(s, dir)
     compactedTraceStore(s, dir)
+    compactedDependencyStore(s, dir)
   }
 
   /** Shared exploded-span projection of the getTrace/getTraceMany surfaces —
@@ -348,6 +362,15 @@ object SparkEntry {
       TraceQueries.dependencies(
         graft.store.StoreLayout.readDependencyWindows(
           s, dependencyStore(s, dir), EndTsMs, LookbackMs),
+        EndTsMs, LookbackMs)),
+
+    // same answer once more after compactDependencyWindows physically
+    // collapsed the replayed finals (q_store_dependencies gates the
+    // READ-side collapse; this gates the store rewrite)
+    "q_store_deps_compact" -> ((s, dir) =>
+      TraceQueries.dependencies(
+        graft.store.StoreLayout.readDependencyWindows(
+          s, compactedDependencyStore(s, dir), EndTsMs, LookbackMs),
         EndTsMs, LookbackMs)),
 
     // ——— A6: materialized trace store (trace_id → root ts, span count) ———
@@ -885,6 +908,7 @@ object SparkEntry {
     // identical to q_a5_dependencies: the partitioned window-store
     // round-trip must not change the dependencies answer
     "q_store_dependencies" -> DependenciesOracle,
+    "q_store_deps_compact" -> DependenciesOracle,
 
     "q_f1_find_traces" -> FindTracesOracle,
 

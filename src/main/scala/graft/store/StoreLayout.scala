@@ -84,13 +84,39 @@ object StoreLayout {
       .groupByKey(r => (r._1, r._2.trace_id))
       .mapGroups((key: (String, String), it: Iterator[(String, Trace)]) =>
         graft.core.Traces.mergeRows(key._2, it.map(_._2).toSeq))
+    swapRewrite(spark, path)(staging => writeTraces(merged.toDF(), staging, filesPerDate))
+  }
+
+  /** Compact the dependency-window store: drop replayed finals (full-row
+    * duplicates under one batch_id) then merge genuine partial sums into one
+    * row per (window, edge) — after which a range read carries no redundant
+    * rows to dedup. Compacted rows take batch_id −1 (a generation marker no
+    * real foreachBatch epoch uses); run over closed dates only in
+    * production, like [[compactTraces]].
+    */
+  def compactDependencyWindows(spark: SparkSession, path: String): Unit = {
+    val merged = spark.read.parquet(path)
+      .dropDuplicates()
+      .groupBy("window_start_ms", "parent", "child")
+      .agg(sum("call_count").as("call_count"), sum("error_count").as("error_count"))
+    swapRewrite(spark, path)(staging =>
+      writeDependencyWindows(merged, staging, batchId = -1L))
+  }
+
+  /** Stage-and-swap rewrite of a store directory: write to `path.compact`,
+    * move the live store aside to `path.old`, promote staging, drop the old
+    * copy. Every rename result is checked and a crash mid-swap leaves the
+    * data recoverable in one of the side dirs instead of deleted (a table
+    * format with atomic commit replaces this on a real deployment).
+    */
+  private def swapRewrite(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path + ".compact")
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(staging, true)
     fs.delete(old, true)
-    writeTraces(merged.toDF(), staging.toString, filesPerDate)
+    write(staging.toString)
     require(fs.rename(live, old), s"compaction: could not move $live aside to $old")
     require(fs.rename(staging, live),
       s"compaction: could not promote $staging — previous store preserved at $old")

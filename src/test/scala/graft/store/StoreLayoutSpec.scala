@@ -126,6 +126,13 @@ class StoreLayoutSpec extends SparkSpec {
     // batch id — it must COUNT, not collapse as a retry
     StoreLayout.writeDependencyWindows(windows, dir, batchId = 8L)
     assert(served() == Seq(("api", "db", 10L, 2L)))
+    // compaction: replayed finals collapse physically, partial sums merge —
+    // 6 stored rows (2 windows × 3 appends) → 2, same served answer
+    StoreLayout.compactDependencyWindows(spark, dir)
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(served() == Seq(("api", "db", 10L, 2L)))
+    assert(!new java.io.File(dir + ".compact").exists())
+    assert(!new java.io.File(dir + ".old").exists())
   }
 
   test("retention drops expired partitions only") {
