@@ -135,6 +135,44 @@ class StoreLayoutSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".old").exists())
   }
 
+  test("compaction property: random partials+replays never change the served answer") {
+    val rnd = new scala.util.Random(42)
+    val dir = Files.createTempDirectory("graft-compact-prop").toString + "/traces"
+    // 25 traces over a 3-day window; span gaps up to 30h so some traces
+    // CROSS MIDNIGHT — their partials land in different date partitions,
+    // the one shape compaction deliberately leaves split for merge-on-read
+    val traces = (1 to 25).map { i =>
+      val id = f"$i%016x"
+      val t0 = day1Us + rnd.nextInt(3 * 86400) * 1000000L
+      val spans = (0 until 1 + rnd.nextInt(4)).map { j =>
+        Span(trace_id = id, id = f"$j%016x",
+          parent_id = if (j == 0) None else Some(f"${j - 1}%016x"),
+          name = Some(s"op$j"),
+          timestamp = Some(t0 + j * rnd.nextInt(30 * 3600) * 1000000L))
+      }
+      Trace(id, spans, graft.core.Traces.rootTimestamp(spans))
+    }
+    // store rows: each trace split into 1-3 partial sessions (every partial
+    // re-derives ITS OWN root_ts, like the pipeline does), some rows
+    // written twice (micro-batch replay)
+    val rows = traces.flatMap { t =>
+      val parts = t.spans.grouped(1 + rnd.nextInt(3)).toSeq
+        .map(ss => Trace(t.trace_id, ss, graft.core.Traces.rootTimestamp(ss)))
+      parts ++ parts.filter(_ => rnd.nextBoolean())
+    }
+    StoreLayout.writeTraces(spark.createDataset(rows).toDF(), dir)
+
+    def fingerprint() = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
+      .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts))
+      .sortBy(_._1).toSeq
+    val before = fingerprint()
+    StoreLayout.compactTraces(spark, dir)
+    assert(fingerprint() == before)
+    // physically exactly one row per (date, trace) now
+    val expected = rows.map(r => (r.root_ts / 86400000000L, r.trace_id)).distinct.size
+    assert(spark.read.parquet(dir).count() == expected)
+  }
+
   test("retention drops expired partitions only") {
     val dir = freshStore()
     val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
