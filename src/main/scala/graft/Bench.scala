@@ -199,9 +199,11 @@ object Bench {
       catch { case e: Throwable =>
         ("null", Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
       }
-    val streamErrJson = streamErr.map(jstr).getOrElse("null")
+    // key present only on failure — every byte of the stdout line counts
+    // against the driver's tail window
+    val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e)}""").getOrElse("")
     val loadAfter = loadavgJson()
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f3(storeWriteSec)},"load":[$loadBefore,$loadAfter],"streaming":$streamJson,"streaming_error":$streamErrJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f3(storeWriteSec)},"load":[$loadBefore,$loadAfter],"streaming":$streamJson$streamErrJson,"sf":"$sfDir"}"""
     // full-precision per-query wall+CPU detail goes to a sidecar file (the
     // stdout line is the driver's parse target and must fit its tail window)
     try {
