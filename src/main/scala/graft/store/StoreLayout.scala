@@ -103,6 +103,25 @@ object StoreLayout {
       writeDependencyWindows(merged, staging, batchId = -1L))
   }
 
+  /** Collapse (key, set) delta rows to one sorted-set row per key — the
+    * read-side merge of the incremental name/autocomplete stores AND their
+    * compaction rewrite share this one expression, so the two can never
+    * disagree.
+    */
+  def collapseSetDeltas(df: DataFrame, keyCol: String, setCol: String): DataFrame =
+    df.groupBy(keyCol)
+      .agg(sort_array(array_distinct(flatten(collect_list(col(setCol))))).as(setCol))
+
+  /** Compact a (key, set) delta store (e.g. the incremental autocomplete
+    * sink's appends) to one row per key — set union is idempotent, so
+    * unlike the counter store no batch-id bookkeeping is needed.
+    */
+  def compactSetStore(spark: SparkSession, path: String, keyCol: String,
+      setCol: String): Unit = {
+    val collapsed = collapseSetDeltas(spark.read.parquet(path), keyCol, setCol)
+    swapRewrite(spark, path)(staging => collapsed.write.parquet(staging))
+  }
+
   /** Stage-and-swap rewrite of a store directory: write to `path.compact`,
     * move the live store aside to `path.old`, promote staging, drop the old
     * copy. Every rename result is checked and a crash mid-swap leaves the

@@ -296,7 +296,6 @@ object StreamingPipeline {
     */
   def readAutocompleteStore(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(path)
-      .groupBy("tag_key")
-      .agg(sort_array(array_distinct(flatten(collect_list(col("values"))))).as("values"))
+    graft.store.StoreLayout.collapseSetDeltas(
+      spark.read.parquet(path), "tag_key", "values")
 }

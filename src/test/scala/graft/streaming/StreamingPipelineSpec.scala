@@ -307,6 +307,10 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(graft.operators.TraceQueries.autocompleteValues(
         StreamingPipeline.readAutocompleteStore(spark, s"$tmp/inc"), "env")
       .collect().map(_.getString(0)).toSeq == Seq("dev", "prod"))
+    // compaction collapses the delta rows physically; same served answer
+    graft.store.StoreLayout.compactSetStore(spark, s"$tmp/inc", "tag_key", "values")
+    assert(spark.read.parquet(s"$tmp/inc").count() == 1, "one row per key after compaction")
+    assert(asMap(StreamingPipeline.readAutocompleteStore(spark, s"$tmp/inc")) == batch)
   }
 
   test("streaming name store accumulates sets in Update mode (A7)") {
