@@ -203,7 +203,7 @@ object Bench {
     // against the driver's tail window
     val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e)}""").getOrElse("")
     val loadAfter = loadavgJson()
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f3(storeWriteSec)},"load":[$loadBefore,$loadAfter],"streaming":$streamJson$streamErrJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f3(storeWriteSec)},"load":[$loadBefore,$loadAfter],"streaming":$streamJson$streamErrJson,"sf":${jstr(sfDir)}}"""
     // full-precision per-query wall+CPU detail goes to a sidecar file (the
     // stdout line is the driver's parse target and must fit its tail window)
     try {
@@ -211,7 +211,7 @@ object Bench {
         s"\"$k\":{\"wall_sec\":$v,\"cpu_sec\":$c,\"error\":${e.map(jstr).getOrElse("null")}}"
       }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("target/bench_detail.json", "UTF-8")
-      try w.println(s"""{"queries":$detail,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"queries":$detail,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamJson,"sf":${jstr(sfDir)}}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")

@@ -718,8 +718,10 @@ object SparkEntry {
     //     exact baseline q_ann_topk is the oracle-checked one) ———
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // nProbe MUST match q_ann_ivf_recall's: the gate only protects the
+      // operating point it measures
       Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
-        k = 5, nProbe = 4, centroids = Some(ivfCentroids(s, dir)))
+        k = 5, nProbe = 8, centroids = Some(ivfCentroids(s, dir)))
         .select(col("query_id"), col("corpus_id"),
           col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
     }),

@@ -65,6 +65,15 @@ object DependencyLinker {
       counts(key) = (c + 1, if (error) e + 1 else e)
     }
 
+    // One pass of index-building so the per-span checks below are O(1) —
+    // a scan-per-span would make link() quadratic in trace size, the one
+    // thing the "per-group work bounded by trace size" posture forbids.
+    val sharedServerIds = spans.iterator
+      .filter(t => t.kind.contains("SERVER") && t.isShared).map(_.id).toSet
+    val serverParentIds = spans.iterator
+      .filter(_.kind.contains("SERVER")).flatMap(_.parent_id).toSet
+    val roots = spans.filter(_.parent_id.isEmpty)
+
     for (s <- spans) {
       // Unknown-kind spans with both endpoints known act as client spans
       // (zipkin-core DependencyLinker published behavior).
@@ -76,10 +85,10 @@ object DependencyLinker {
         // tags; count it there, not here (no double count). Messaging spans
         // are NOT suppressed: a PRODUCER with a CONSUMER child represents
         // two hops through the broker (svcA→broker and broker→svcB), and
-        // zipkin emits both edges.
-        val serverHalf = kind == "CLIENT" && spans.exists(t => (t ne s) &&
-          t.kind.contains("SERVER") &&
-          ((t.id == s.id && t.isShared) || t.parent_id.contains(s.id)))
+        // zipkin emits both edges. (s itself is CLIENT-kind here, so the
+        // SERVER-only index sets can never match s against itself.)
+        val serverHalf = kind == "CLIENT" &&
+          (sharedServerIds.contains(s.id) || serverParentIds.contains(s.id))
         if (!serverHalf) {
           val parent = s.localServiceName.orElse(ancestorService(s))
           val child = s.remoteServiceName
@@ -90,8 +99,7 @@ object DependencyLinker {
         val parent = s.remoteServiceName.orElse(ancestorService(s)).orElse {
           // Orphan server span in a trace with a distinct root: attach under
           // the root's service (zipkin places parentless nodes under the root).
-          spans.find(r => r.parent_id.isEmpty && r.id != s.id)
-            .flatMap(_.localServiceName)
+          roots.find(_.id != s.id).flatMap(_.localServiceName)
         }
         for (p <- parent; c <- child) bump(p, c, s.tags.contains("error"))
       }

@@ -5,16 +5,23 @@ import graft.model.{Span, Trace}
 object Traces {
 
   /** The single definition of a trace's index/order timestamp: the root
-    * span's (null parent) timestamp, else the minimum non-zero timestamp
+    * span's (null parent) timestamp, else the minimum positive timestamp
     * (SURVEY §2.3 F1.1 / W1 — KafkaStorageHttpService.java:232 sorts by the
     * first span's timestamp). Shared by the pipeline, the store and the
     * query predicate so the rules cannot drift.
+    *
+    * Timestamps ≤ 0 are "absent" EVERYWHERE, including on the root span: a
+    * root reporting the explicit-0 zipkin encoding (or garbage negatives)
+    * must not pin the trace to epoch 0 — that lands it in the 1970-01-01
+    * partition where no realistic range query can ever find it. The
+    * returned value is therefore always > 0 or exactly 0 ("no timestamp",
+    * rescued by the close-time placement at the store sink).
     */
   def rootTimestamp(spans: Seq[Span]): Long =
-    spans.find(s => s.parent_id.isEmpty && s.timestamp.isDefined)
+    spans.find(s => s.parent_id.isEmpty && s.timestamp.exists(_ > 0))
       .flatMap(_.timestamp)
       .getOrElse {
-        val ts = spans.flatMap(_.timestamp).filter(_ != 0)
+        val ts = spans.flatMap(_.timestamp).filter(_ > 0)
         if (ts.isEmpty) 0L else ts.min
       }
 

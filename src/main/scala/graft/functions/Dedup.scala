@@ -98,8 +98,11 @@ object Dedup {
     * materializing the pairs, or compose through [[clustersFromMinhash]],
     * which releases them as soon as the components are built.
     */
+  // default threshold matches what the 32-band/4-row banding is DESIGNED
+  // for: at 0.5 the all-band miss probability is high enough to measurably
+  // drop boundary pairs (callers lowering the threshold should widen bands)
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.5): DataFrame =
+      numHashes: Int = 128, bands: Int = 32, threshold: Double = 0.8): DataFrame =
     minhashPairsScoped(docs, idCol, textCol, n, numHashes, bands, threshold)._1
 
   /** [[minhashPairs]] plus handles to its persisted intermediates, so eager
@@ -302,6 +305,13 @@ object Dedup {
       chk = nextChk
       i += 1
     }
+    if (!converged)
+      // silent partial labels would split one real cluster into several and
+      // quietly keep extra duplicates downstream — make the cap audible
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connected components did NOT converge after $maxIterations rounds " +
+          "(component diameter exceeds the cap); labels are partial — " +
+          "rerun with a higher maxIterations")
     // labels is fully materialized by its convergence checksum; the edge
     // cache only serves the (already finished) propagation rounds. The
     // returned labels stay cached — they are the component labels the caller

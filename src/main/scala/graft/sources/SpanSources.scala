@@ -65,14 +65,18 @@ object SpanSources {
 
   /** File-based streaming source: JSON_V2 span lines landing in a directory
     * (runs in any environment; same downstream pipeline as Kafka). The span's
-    * own timestamp (µs→ms) is the event time; spans without one take the
-    * arrival (batch) time — epoch 0 would be dropped as late by the
-    * watermark, silently losing the span from its trace.
+    * own timestamp (µs→ms) is the event time; spans without a POSITIVE one
+    * take the arrival (batch) time — zipkin encodes "absent" as an explicit
+    * 0 as often as null, and either would otherwise become an epoch-0 event
+    * time that the watermark drops as late, silently losing the span from
+    * its trace.
     */
   def fromJsonFiles(spark: SparkSession, path: String): Dataset[SpanEnvelope] = {
     import spark.implicits._
     Spans.normalize(spark.readStream.schema(Spans.schema).json(path))
-      .select(coalesce(timestamp_micros(col("timestamp")), current_timestamp())
+      .select(coalesce(
+          when(col("timestamp") > 0, timestamp_micros(col("timestamp"))),
+          current_timestamp())
         .as("ingest_ts"),
         struct(col("*")).as("span"))
       .as[SpanEnvelope]

@@ -31,9 +31,11 @@ object StoreLayout {
     traces.select(col("trace_id"), col("spans"), col("root_ts"))
       // UTC epoch-day arithmetic, NOT to_date(): partition assignment must
       // not depend on the writer session's timezone or readers in another
-      // zone silently prune the wrong partitions
-      .withColumn("trace_date",
-        expr("date_add(DATE'1970-01-01', CAST(root_ts DIV 86400000000 AS INT))"))
+      // zone silently prune the wrong partitions. FLOOR division (SQL DIV
+      // truncates toward zero): a negative timestamp must land on the same
+      // 1969-12-31 date the read side's Math.floorDiv prunes by, or the row
+      // becomes unreachable
+      .withColumn("trace_date", expr(epochDayExpr("root_ts", 86400000000L)))
       .repartition(col("trace_date"), pmod(xxhash64(col("trace_id")), lit(filesPerDate)))
       .write.partitionBy("trace_date").mode(SaveMode.Append).parquet(path)
 
@@ -48,6 +50,15 @@ object StoreLayout {
   /** Epoch-ms → UTC date literal (reader-timezone independent). */
   private def utcDate(epochMs: Long) =
     lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(epochMs, 86400000L)).toString).cast("date")
+
+  /** SQL text for the UTC date of an epoch column with `unitPerDay` ticks
+    * per day, using FLOOR division so negatives agree with [[utcDate]]'s
+    * Math.floorDiv on the read side (SQL DIV truncates toward zero).
+    */
+  private def epochDayExpr(colName: String, unitPerDay: Long): String =
+    s"date_add(DATE'1970-01-01', CAST(CASE WHEN $colName < 0 " +
+      s"THEN ($colName - ${unitPerDay - 1}) DIV $unitPerDay " +
+      s"ELSE $colName DIV $unitPerDay END AS INT))"
 
   /** Compact the merge-on-read trace store: collapse at-least-once
     * re-appends and multi-session partials into one canonical row per
@@ -125,8 +136,16 @@ object StoreLayout {
   /** Stage-and-swap rewrite of a store directory: write to `path.compact`,
     * move the live store aside to `path.old`, promote staging, drop the old
     * copy. Every rename result is checked and a crash mid-swap leaves the
-    * data recoverable in one of the side dirs instead of deleted (a table
-    * format with atomic commit replaces this on a real deployment).
+    * data recoverable in one of the side dirs instead of deleted.
+    *
+    * SINGLE-WRITER CONTRACT: the caller must own the store exclusively for
+    * the duration — the directory swap is not safe against concurrent
+    * appends. A streaming sink committing a micro-batch between the two
+    * renames lands its files in the retired copy and they are silently
+    * dropped, even though the sink's checkpoint records the batch as
+    * written. Quiesce the store's writers first; on a real deployment a
+    * table format with atomic commit (and partition-scoped rewrite for
+    * closed dates) replaces this directory swap.
     */
   private def swapRewrite(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
@@ -157,8 +176,7 @@ object StoreLayout {
   def writeDependencyWindows(windows: DataFrame, path: String, batchId: Long = 0L): Unit =
     windows
       .withColumn("batch_id", lit(batchId))
-      .withColumn("window_date",
-        expr("date_add(DATE'1970-01-01', CAST(window_start_ms DIV 86400000 AS INT))"))
+      .withColumn("window_date", expr(epochDayExpr("window_start_ms", 86400000L)))
       .repartition(col("window_date"))
       .write.partitionBy("window_date").mode(SaveMode.Append).parquet(path)
 
@@ -205,15 +223,20 @@ object StoreLayout {
     */
   def readTracesBucketed(spark: SparkSession, tableName: String, path: String,
       buckets: Int = 32): DataFrame = {
+    // identifier + string-literal escaping: this is a public method over
+    // arbitrary names/paths, and an unquoted interpolation would break
+    // (or inject into) the DDL on the first quote character
+    val tbl = "`" + tableName.replace("`", "``") + "`"
     if (!spark.catalog.tableExists(tableName)) {
       val ddl = org.apache.spark.sql.Encoders.product[Trace].schema.toDDL
       val loc = new java.io.File(path).getAbsolutePath
+        .replace("\\", "\\\\").replace("'", "\\'")
       spark.sql(
-        s"""CREATE TABLE $tableName ($ddl) USING PARQUET
+        s"""CREATE TABLE $tbl ($ddl) USING PARQUET
            |CLUSTERED BY (trace_id) SORTED BY (trace_id) INTO $buckets BUCKETS
            |LOCATION '$loc'""".stripMargin)
     }
-    spark.table(tableName)
+    spark.table(tbl)
   }
 
   /** Retention = drop expired date partitions (cheap metadata+delete op, the

@@ -61,6 +61,21 @@ class TraceMergeSpec extends AnyFunSuite {
   } yield Span(trace_id = "000000000000000a", id = id, kind = kind, timestamp = ts,
     shared = shared, local_endpoint = svc.map(s => Endpoint(service_name = Some(s))))
 
+  test("rootTimestamp treats explicit-0 and negative timestamps as absent") {
+    // a root reporting zipkin's explicit-0 "absent" must not pin the trace
+    // to epoch 0 (the 1970-01-01 partition no range query reaches) — fall
+    // through to the minimum positive child timestamp
+    val root = span("0000000000000001", ts = Some(0L))
+    val child = span("0000000000000002", ts = Some(5000L)).copy(
+      parent_id = Some("0000000000000001"))
+    assert(Traces.rootTimestamp(Seq(root, child)) == 5000L)
+    // garbage negatives are absent too, in both branches
+    assert(Traces.rootTimestamp(Seq(root.copy(timestamp = Some(-7L)), child)) == 5000L)
+    assert(Traces.rootTimestamp(Seq(span("03", ts = Some(-7L)))) == 0L)
+    // a genuine positive root timestamp still wins over a smaller child's
+    assert(Traces.rootTimestamp(Seq(root.copy(timestamp = Some(9000L)), child)) == 9000L)
+  }
+
   test("merge is idempotent") {
     forAllSamples(Gen.listOfN(6, genSpan)) { spans =>
       val once = TraceMerge.merge(spans)

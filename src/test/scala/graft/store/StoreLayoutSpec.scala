@@ -77,6 +77,20 @@ class StoreLayoutSpec extends SparkSpec {
     assert(merged("000000000000000a").root_ts == day1Us)
   }
 
+  test("negative timestamps partition with floor semantics and stay readable") {
+    // write-side DIV truncation would store a -1µs trace under 1970-01-01
+    // while the read side's floorDiv prunes by 1969-12-31 — the row would
+    // exist but be unreachable by exactly the range that should find it
+    val dir = Files.createTempDirectory("graft-negts").toString + "/traces"
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      Trace("000000000000000c",
+        Seq(Span(trace_id = "000000000000000c", id = "000000000000000c")), -1L))).toDF(), dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSeq == Seq("trace_date=1969-12-31"))
+    val read = StoreLayout.readTraces(spark, dir, endTs = 0L, lookback = 3600000L)
+    assert(read.collect().map(_.getAs[String]("trace_id")).toSeq == Seq("000000000000000c"))
+  }
+
   test("compaction collapses re-appends and partials; query answer unchanged") {
     val dir = freshStore()
     // redelivered duplicate of trace a, plus a second-session partial with
