@@ -628,6 +628,13 @@ object SparkEntry {
           col("p.n_stopwords").as("n_stopwords"),
           TextAnalysis.qualityFromProfile(col("p")).as("quality"))),
 
+    // ——— text analysis: overlapping token-window chunking (the shape a
+    //     pretraining pipeline feeds to tokenization/packing; narrow
+    //     projection, no shuffle) ———
+    "q_chunk_text" -> ((s, dir) =>
+      graft.functions.Chunking.chunkByTokens(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, overlap = 16)),
+
     // ——— text analysis: n-gram-heuristic language ID ———
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1082,6 +1089,27 @@ object SparkEntry {
 
     "q_p5_normalize" ->
       "SELECT DISTINCT lower(lpad(to_hex(user_id), 16, '0')) AS norm_id FROM events",
+
+    // chunk layout mirrored in integer arithmetic: 64-token windows, stride
+    // 48 (overlap 16), last window = first to reach the document's end
+    "q_chunk_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |                             t -> length(t) > 0) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, len(toks) AS n_tok,
+        |    CASE WHEN len(toks) <= 64 THEN 1
+        |         ELSE 1 + (len(toks) - 64 + 47) // 48 END AS n_chunks
+        |  FROM d WHERE len(toks) > 0
+        |), e AS (
+        |  SELECT doc_id, toks, n_tok, unnest(range(0, n_chunks)) AS i FROM c
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_index,
+        |       CAST(i * 48 AS BIGINT) AS start_token,
+        |       CAST(least(64, n_tok - i * 48) AS BIGINT) AS n_tokens,
+        |       array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+        |FROM e""".stripMargin,
 
     "q_text_stats" ->
       """WITH f AS (

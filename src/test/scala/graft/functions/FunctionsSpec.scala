@@ -300,6 +300,35 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@5 too low: $recall") // probing half the cells
   }
 
+  test("chunkByTokens: window layout, overlap stitching, and edge docs") {
+    val toks = (1 to 100).map(i => s"t$i")
+    val input = Seq(
+      (0L, toks.mkString(" ")),          // 100 tokens → 2 windows at 64/16
+      (1L, "exactly ten tokens here to  check the\tshort-doc path ok"), // ≤ chunk → 1 window
+      (2L, "   \t  "),                   // whitespace-only → no chunks
+      (3L, (1 to 112).map(i => s"u$i").mkString(" ")) // 112 = 64+48 → exactly 2 windows
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(input, "doc_id", "text", chunkSize = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(c => (c._1, c._2))
+
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(2L), "whitespace-only doc must produce no chunks")
+    assert(byDoc(1L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, 0L, 10L)))
+    assert(byDoc(1L).head._5 == "exactly ten tokens here to check the short-doc path ok",
+      "runs of whitespace collapse to single spaces in chunk text")
+    assert(byDoc(3L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 48L, 64L)), "112 tokens end exactly at window 2")
+    assert(byDoc(0L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 48L, 52L)),
+      "100 tokens → window 2 reaches the end (no window fully inside window 1)")
+    // overlap stitching: window 0 ++ later windows minus their 16-token
+    // overlap reconstructs the document's token stream exactly
+    val chunks0 = byDoc(0L).sortBy(_._2).map(_._5.split(" ").toSeq)
+    val stitched = chunks0.head ++ chunks0.tail.flatMap(_.drop(16))
+    assert(stitched == toks)
+  }
+
   test("embedding cosine near-dup pairs") {
     val pairs = Dedup.embeddingCosinePairs(vectors, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
