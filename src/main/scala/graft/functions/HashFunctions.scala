@@ -13,8 +13,4 @@ object HashFunctions {
     */
   def portableHash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
-  /** Seeded variant for minhash permutations. */
-  def seededHash(c: Column, seed: Column): Column =
-    xxhash64(seed, c)
 }

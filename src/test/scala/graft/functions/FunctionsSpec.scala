@@ -300,6 +300,27 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@5 too low: $recall") // probing half the cells
   }
 
+  test("stratifiedSample is deterministic and ~pct-sized per stratum") {
+    val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(rows, "doc_id", 10)
+    val again = Sampling.stratifiedSample(rows, "doc_id", 10)
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq, "content hash ⇒ reproducible")
+    val frac = kept.count().toDouble / 2000
+    assert(frac > 0.05 && frac < 0.15, s"~10% expected, got $frac")
+  }
+
+  test("minhashSignatures: fixed width, deterministic, drops shingle-less docs") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(_.length == 64))
+    assert(sigs(0L) == sigs(3L), "exact duplicate docs share the signature")
+    assert(sigs(0L) != sigs(2L))
+    val tiny = Seq((9L, "one two")).toDF("doc_id", "text") // < n tokens → no shingles
+    assert(Dedup.minhashSignatures(tiny, "doc_id", "text", n = 3).count() == 0)
+  }
+
   test("chunkByTokens: window layout, overlap stitching, and edge docs") {
     val toks = (1 to 100).map(i => s"t$i")
     val input = Seq(
