@@ -45,18 +45,30 @@ object DependencyLinker {
         byId.get(pid).map(cands => cands.find(!_.isShared).getOrElse(cands.head)))
 
     // Nearest ancestor (walking parent links) with a local service name.
+    // Memoized per span id: a degenerate deep chain of service-less spans
+    // would otherwise re-walk to the root for every span — O(n²) in the
+    // per-trace hot loop.
+    val ancestorMemo = mutable.HashMap.empty[String, Option[String]]
     def ancestorService(s: Span): Option[String] = {
       var cur = parentOf(s)
       var hops = 0
-      while (cur.isDefined && hops < spans.size + 1) {
+      val visited = mutable.ArrayBuffer.empty[String]
+      var result: Option[String] = None
+      while (result.isEmpty && cur.isDefined && hops < spans.size + 1) {
         val c = cur.get
-        val svc = if (ClientKinds.contains(c.kind.getOrElse("")) || c.kind.isEmpty ||
-          ServerKinds.contains(c.kind.getOrElse(""))) c.localServiceName else None
-        if (svc.isDefined) return svc
-        cur = parentOf(c)
-        hops += 1
+        ancestorMemo.get(c.id) match {
+          case Some(cached) => result = cached; cur = None
+          case None =>
+            val svc = if (ClientKinds.contains(c.kind.getOrElse("")) || c.kind.isEmpty ||
+              ServerKinds.contains(c.kind.getOrElse(""))) c.localServiceName else None
+            if (svc.isDefined) { result = svc; cur = None }
+            else { visited += c.id; cur = parentOf(c); hops += 1 }
+        }
       }
-      None
+      // every service-less span on the walked path resolves to the same
+      // answer — record it so the next sibling's walk is O(1)
+      visited.foreach(id => ancestorMemo(id) = result)
+      result
     }
 
     def bump(parent: String, child: String, error: Boolean): Unit = {
@@ -70,8 +82,18 @@ object DependencyLinker {
     // thing the "per-group work bounded by trace size" posture forbids.
     val sharedServerIds = spans.iterator
       .filter(t => t.kind.contains("SERVER") && t.isShared).map(_.id).toSet
+    // A shared server span WITH a same-id non-shared twin is that twin's
+    // other half: its parent_id names the twin's parent, so counting it as
+    // "my child's server half" would suppress the GRANDPARENT client's own
+    // (different) edge — such twins suppress via sharedServerIds only. A
+    // shared server whose id has NO twin (single-host instrumentation that
+    // sets shared on a child span) still acts as its parent's direct server
+    // half, like any non-shared SERVER child.
+    val nonSharedIds = spans.iterator.filterNot(_.isShared).map(_.id).toSet
     val serverParentIds = spans.iterator
-      .filter(_.kind.contains("SERVER")).flatMap(_.parent_id).toSet
+      .filter(t => t.kind.contains("SERVER") &&
+        (!t.isShared || !nonSharedIds.contains(t.id)))
+      .flatMap(_.parent_id).toSet
     val roots = spans.filter(_.parent_id.isEmpty)
 
     for (s <- spans) {

@@ -139,7 +139,23 @@ object ProtoSpans {
     private def need(n: Int): Unit =
       if (n < 0 || n > end - pos) throw new IllegalArgumentException(
         s"malformed protobuf: need $n bytes at $pos, message ends at $end")
-    def readTag(): (Int, Int) = { val t = readVarint(); ((t >>> 3).toInt, (t & 7).toInt) }
+    // field numbers are bounded (proto3: 1..2^29−1) and lengths must fit a
+    // non-negative Int BEFORE .toInt — a 64-bit varint that truncates to a
+    // small value would otherwise pass need() and decode a sibling field's
+    // bytes as fabricated data instead of rejecting the payload
+    def readTag(): (Int, Int) = {
+      val t = readVarint()
+      val field = t >>> 3
+      if (field == 0 || field > 536870911L) throw new IllegalArgumentException(
+        s"malformed protobuf: field number $field out of range at $pos")
+      (field.toInt, (t & 7).toInt)
+    }
+    private def readLen(): Int = {
+      val v = readVarint()
+      if (v < 0 || v > Int.MaxValue) throw new IllegalArgumentException(
+        s"malformed protobuf: length $v out of range at $pos")
+      v.toInt
+    }
     def readVarint(): Long = {
       var (shift, v) = (0, 0L)
       var b = 0
@@ -160,7 +176,7 @@ object ProtoSpans {
       v
     }
     def readBytes(): Array[Byte] = {
-      val len = readVarint().toInt
+      val len = readLen()
       need(len)
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
@@ -168,7 +184,7 @@ object ProtoSpans {
     }
     def readString(): String = new String(readBytes(), "UTF-8")
     def readSlice(): Reader = {
-      val len = readVarint().toInt
+      val len = readLen()
       need(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len
@@ -177,7 +193,7 @@ object ProtoSpans {
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
       case 1 => need(8); pos += 8
-      case 2 => val len = readVarint().toInt; need(len); pos += len
+      case 2 => val len = readLen(); need(len); pos += len
       case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
@@ -276,13 +292,26 @@ object ProtoSpans {
     * streaming DataFrame with those columns (Kafka's exact shape). The
     * row-at-a-time flatMap is fine here: decode is the ingest boundary and
     * the payload is opaque bytes — there is no columnar shortcut to skip.
+    *
+    * Malformed records are LOGGED AND SKIPPED, not thrown: in a streaming
+    * query the checkpoint pins the offset, so a single corrupt record that
+    * threw would crash-loop the whole topic forever (the JSON path drops
+    * malformed values the same way). [[decodeList]] itself still throws —
+    * batch callers validating a payload keep the strict contract.
     */
   def envelopes(df: DataFrame): Dataset[SpanEnvelope] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("timestamp"), col("value"))
       .as[(java.sql.Timestamp, Array[Byte])]
-      .flatMap { case (ts, bytes) => decodeList(bytes).map(SpanEnvelope(ts, _)) }
+      .flatMap { case (ts, bytes) =>
+        try decodeList(bytes).map(SpanEnvelope(ts, _))
+        catch { case e: IllegalArgumentException =>
+          org.slf4j.LoggerFactory.getLogger(ProtoSpans.getClass)
+            .warn(s"skipping undecodable proto record (${bytes.length} bytes): ${e.getMessage}")
+          Nil
+        }
+      }
   }
 
   /** S2 variant: Kafka spans topic carrying proto3 `ListOfSpans` values —

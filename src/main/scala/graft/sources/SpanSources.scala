@@ -33,9 +33,14 @@ object SpanSources {
       .select(col("timestamp").as("ingest_ts"),
         explode(from_json(col("value").cast("string"), ArrayType(Spans.schema))).as("span"))
       .select(col("ingest_ts"), col("span.*"))
-    // normalize exactly like the file/batch paths: canonical trace ids (a
-    // 64- vs 128-bit report of one trace must session to ONE key) and
-    // non-null containers (TraceMerge/DependencyLinker dereference them)
+    // normalize exactly like the file/batch paths: canonical id FORM
+    // (lowercase, zero-padded to 16 or 32 hex — length-preserving) and
+    // non-null containers (TraceMerge/DependencyLinker dereference them).
+    // A trace reported under BOTH its 64- and 128-bit id forms still
+    // sessions to two keys — the reference behaves identically (its
+    // aggregation keys on the span's reported traceId string,
+    // streams/SpanAggregationTopology.java); TraceMerge's longest-id rule
+    // unifies them only where both forms meet in one span list (merge())
     Spans.normalize(flat)
       .select(col("ingest_ts"),
         struct(Spans.schema.fieldNames.map(col): _*).as("span"))
@@ -70,6 +75,13 @@ object SpanSources {
     * 0 as often as null, and either would otherwise become an epoch-0 event
     * time that the watermark drops as late, silently losing the span from
     * its trace.
+    *
+    * REPLAY HAZARD: when catching up on HISTORICAL files, one timestamp-less
+    * span's wall-clock fallback advances the watermark to "now" and every
+    * older span in later micro-batches is dropped as late. Replays of aged
+    * data should go through the Kafka source ([[fromKafka]]), whose record
+    * timestamp is the original receive time — historically placed, so the
+    * fallback cannot outrun the data.
     */
   def fromJsonFiles(spark: SparkSession, path: String): Dataset[SpanEnvelope] = {
     import spark.implicits._

@@ -28,6 +28,46 @@ class DependencyLinkerSpec extends AnyFunSuite {
     assert(DependencyLinker.link(Seq(c)) == Seq(DependencyLink("front", "back", 1, 0)))
   }
 
+  test("a child's shared server twin must not suppress the grandparent's edge") {
+    // G (client A→Z, callee Z uninstrumented) has child C (client A→B) whose
+    // RPC is recorded by shared server twin S (same id as C, parent = G's id).
+    // S's parent pointer names G only because shared twins copy the client's
+    // parent — it is the server half of C's RPC, not of G's, so A→Z must
+    // still be emitted (and A→B exactly once, from S's side).
+    val g = Span(trace_id = "000000000000000a", id = "00000000000000aa",
+      kind = Some("CLIENT"), local_endpoint = ep("svc_a"), remote_endpoint = ep("svc_z"))
+    val c = Span(trace_id = "000000000000000a", id = "00000000000000bb",
+      parent_id = Some("00000000000000aa"), kind = Some("CLIENT"),
+      local_endpoint = ep("svc_a"), remote_endpoint = ep("svc_b"))
+    val s = Span(trace_id = "000000000000000a", id = "00000000000000bb",
+      parent_id = Some("00000000000000aa"), kind = Some("SERVER"),
+      local_endpoint = ep("svc_b"), shared = Some(true))
+    val links = DependencyLinker.link(Seq(g, c, s)).sortBy(l => (l.parent, l.child))
+    assert(links == Seq(
+      DependencyLink("svc_a", "svc_b", 1, 0),
+      DependencyLink("svc_a", "svc_z", 1, 0)))
+  }
+
+  test("deep service-less chains resolve ancestors without quadratic re-walks") {
+    // 2k-span chain where only the root names a service: every SERVER span's
+    // parent edge resolves through the memoized ancestor walk — this spec is
+    // a liveness pin (completes fast) plus a correctness check on the edge
+    val root = Span(trace_id = "000000000000000a", id = "r",
+      kind = Some("CLIENT"), local_endpoint = ep("origin"))
+    val chain = (1 to 2000).map { i =>
+      Span(trace_id = "000000000000000a", id = s"s$i",
+        parent_id = Some(if (i == 1) "r" else s"s${i - 1}"), kind = Some("SERVER"),
+        local_endpoint = None, remote_endpoint = None)
+    }
+    val leaf = Span(trace_id = "000000000000000a", id = "leaf",
+      parent_id = Some("s2000"), kind = Some("SERVER"), local_endpoint = ep("deep"))
+    val t0 = System.nanoTime()
+    val links = DependencyLinker.link(root +: chain :+ leaf)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(links == Seq(DependencyLink("origin", "deep", 1, 0)))
+    assert(ms < 2000, s"ancestor resolution took ${ms}ms — quadratic re-walk suspected")
+  }
+
   test("shared server twin suppresses the client half (no double count)") {
     val client = Span(trace_id = "000000000000000a", id = "000000000000000b",
       parent_id = Some("000000000000000a"), kind = Some("CLIENT"),

@@ -124,4 +124,26 @@ class ProtoSpansSpec extends SparkSpec {
     assert(got.map(_.span).toSet == fixture.toSet)
     assert(got.forall(_.ingest_ts == ts))
   }
+
+  test("envelopes: a corrupt record is skipped, not a streaming poison pill") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val corrupt = Array[Byte](0x0a, 0x7f, 1, 2) // claims 127 bytes, has 2
+    val df = Seq((ts, corrupt), (ts, ProtoSpans.encodeList(fixture)))
+      .toDF("timestamp", "value")
+    val got = ProtoSpans.envelopes(df).collect()
+    assert(got.length == fixture.length, "good record decoded, corrupt one dropped")
+    // the strict batch contract still rejects the same bytes
+    intercept[IllegalArgumentException](ProtoSpans.decodeList(corrupt))
+  }
+
+  test("64-bit varint lengths and field numbers are rejected, not truncated to Int") {
+    // length 0x1_0000_0005 truncates to 5 via .toInt — a decoder doing that
+    // would silently parse a sibling field's bytes as this field's value
+    val hugeLen = Array(0x0a, 0x85, 0x80, 0x80, 0x80, 0x10, 1, 2, 3, 4, 5).map(_.toByte)
+    intercept[IllegalArgumentException](ProtoSpans.decodeList(hugeLen))
+    // field number 2^29+1 encodes in >32 bits of tag varint
+    val hugeField = Array(0x88, 0x80, 0x80, 0x80, 0x10, 0x01).map(_.toByte)
+    intercept[IllegalArgumentException](ProtoSpans.decodeList(hugeField))
+  }
 }
