@@ -30,20 +30,27 @@ object SparkEntry {
     * refuses by default; read nanos as long and surface a µs-truncated
     * TimestampType `ts` (the same truncation DuckDB's epoch_us applies).
     */
-  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    // schema resolution happens eagerly inside read.parquet(), so the legacy
-    // conf can be restored right after — no session-wide side effect on
-    // unrelated reads
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  private val eventsConfLock = new Object
+
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame =
+    // the set→resolve→restore block is serialized: session conf is shared
+    // JVM-wide, and a concurrent caller's restore between another's set and
+    // eager schema resolution would throw (or leave the legacy flag flipped
+    // for unrelated reads)
+    eventsConfLock.synchronized {
+      // schema resolution happens eagerly inside read.parquet(), so the
+      // legacy conf can be restored right after — no session-wide side
+      // effect on unrelated reads
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   private def eventSpans(s: SparkSession, dir: String): Dataset[Span] =
     EventSpans.spans(s, events(s, dir))
@@ -83,13 +90,28 @@ object SparkEntry {
 
   private def ensureStore(s: SparkSession, kind: String, dir: String)
       (build: String => Unit): String =
-    builtStores.computeIfAbsent(storeKey(kind, dir), key => {
-      val path = s"target/graft-stores/$key"
+    builtStores.computeIfAbsent(storeKey(kind, dir), _ => {
+      val path = storePath(kind, dir) // single definition — PlanSpec locates stores by it
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       build(path)
       path
     })
+
+  /** ONE definition of the redelivery-duplicated, id-normalized trace set
+    * behind q_j4_get_trace, q_j4_trace_many AND the bucketed store build:
+    * the three legs share GetTraceOracle/TraceManyOracle, so they must feed
+    * from literally the same rows or one leg can silently drift. The
+    * union's two legs share one lineage — ReuseExchange dedups the
+    * sessionization shuffle, no cache (which Verify would retain for the
+    * rest of the run) needed.
+    */
+  private def redeliveredTraces(s: SparkSession, dir: String): Dataset[graft.model.Trace] = {
+    import s.implicits._
+    val tr = eventTraces(s, dir).toDF()
+      .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
+    tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace]
+  }
 
   private def traceStore(s: SparkSession, dir: String): String =
     ensureStore(s, "traces", dir)(path =>
@@ -115,12 +137,8 @@ object SparkEntry {
     */
   private def bucketedTraceStore(s: SparkSession, dir: String): String =
     ensureStore(s, "btraces", dir) { path =>
-      import s.implicits._
-      val tr = eventTraces(s, dir).toDF()
-        .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
       graft.store.StoreLayout.writeTracesBucketed(
-        tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace],
-        storeKey("btraces", dir), path)
+        redeliveredTraces(s, dir), storeKey("btraces", dir), path)
     }
 
   private def bucketedTraces(s: SparkSession, dir: String): DataFrame =
@@ -255,6 +273,17 @@ object SparkEntry {
   private val EndTsMs = 1705708800000L
   private val LookbackMs = 864000000L
 
+  /** Store reads that MERGE partials over-read the range by this bound
+    * (one day ≫ any session length + allowed lateness): a partial row whose
+    * own root_ts sits just OUTSIDE [endTs−lookback, endTs] still belongs to
+    * a trace whose merged root is inside it — a range read sized exactly to
+    * the query window would drop that row pre-merge and serve a
+    * subset-merged trace. The query predicate re-applies the EXACT window
+    * on the post-merge root_ts, so the grace only widens the candidate
+    * scan (a few extra date partitions), never the answer.
+    */
+  private val MergeGraceMs = 86400000L
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_a3_dependency_links")(spark, "/root/testdata/sf0.001")
@@ -325,7 +354,7 @@ object SparkEntry {
         endTs = EndTsMs, lookback = LookbackMs, limit = 10)
       TraceQueries.getTraces(
         TraceQueries.fromStore(
-          graft.store.StoreLayout.readTraces(s, path, EndTsMs, LookbackMs)), req)
+          graft.store.StoreLayout.readTraces(s, path, EndTsMs, LookbackMs + MergeGraceMs)), req)
         .select(col("trace_id"),
           expr("root_ts DIV 1000").as("root_ts_ms"),
           size(col("spans")).cast("long").as("n_spans"))
@@ -344,7 +373,7 @@ object SparkEntry {
         endTs = EndTsMs, lookback = LookbackMs, limit = 10)
       TraceQueries.getTraces(
         TraceQueries.fromStore(
-          graft.store.StoreLayout.readTraces(s, path, EndTsMs, LookbackMs)), req)
+          graft.store.StoreLayout.readTraces(s, path, EndTsMs, LookbackMs + MergeGraceMs)), req)
         .select(col("trace_id"),
           expr("root_ts DIV 1000").as("root_ts_ms"),
           size(col("spans")).cast("long").as("n_spans"))
@@ -420,17 +449,9 @@ object SparkEntry {
     //     redelivery — duplicate store rows MUST collapse at read via
     //     TraceMerge (reference KafkaStorageHttpService.java:268-290).
     //     Store ids are ingest-normalized, request ids query-normalized. ———
-    "q_j4_trace_many" -> ((s, dir) => {
-      import s.implicits._
-      // the redelivery union's two legs share one lineage — ReuseExchange
-      // dedups the sessionization shuffle, no cache (which Verify would
-      // retain for the rest of the run) needed
-      val tr = eventTraces(s, dir).toDF()
-        .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
-      val store = tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace]
-      spanRows(TraceQueries.getTraceMany(store,
-        (1 to 8).flatMap(u => Seq(s"$u:1", s"$u:2"))))
-    }),
+    "q_j4_trace_many" -> ((s, dir) =>
+      spanRows(TraceQueries.getTraceMany(redeliveredTraces(s, dir),
+        (1 to 8).flatMap(u => Seq(s"$u:1", s"$u:2"))))),
 
     // ——— S8/S9 + J4 through the BUCKETED point-lookup store: the layout's
     //     hash-clustering on trace_id is the reference's key-hash routing
@@ -484,13 +505,8 @@ object SparkEntry {
     //     one-trace variant of q_j4_trace_many; redelivered duplicate rows
     //     MUST collapse via TraceMerge at read
     //     (KafkaStorageHttpService.java:243-266) ———
-    "q_j4_get_trace" -> ((s, dir) => {
-      import s.implicits._
-      val tr = eventTraces(s, dir).toDF()
-        .withColumn("trace_id", graft.model.Spans.normalizeTraceId(col("trace_id")))
-      val store = tr.union(tr).select("trace_id", "spans", "root_ts").as[graft.model.Trace]
-      spanRows(TraceQueries.getTrace(store, "3:2"))
-    }),
+    "q_j4_get_trace" -> ((s, dir) =>
+      spanRows(TraceQueries.getTrace(redeliveredTraces(s, dir), "3:2"))),
 
     // ——— skew: salted equi-join, oracle-pinned result-identical to the
     //     unsalted join. l_returnflag has 3 distinct values — the genuinely
@@ -566,13 +582,20 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(countDistinct("user_id").as("n_users"),
           count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("sum_value"))),
+          // sum over DECIMAL, not DOUBLE: exact accumulation is
+          // order-independent, so Spark's partition order and DuckDB's
+          // sequential scan cannot round a half-boundary sum differently
+          round(sum(col("value").cast("decimal(18,6)")), 2)
+            .cast("double").as("sum_value"))),
 
     // ——— ST3-adjacent: sliding event-time windows (2 h window, 1 h slide) ———
     "q_st3_sliding" -> ((s, dir) =>
       events(s, dir)
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          // decimal sum: see q_count_distinct
+          round(sum(col("value").cast("decimal(18,6)")), 2)
+            .cast("double").as("sum_value"))
         .select(unix_millis(col("window.start")).as("window_start_ms"),
           col("event_type"), col("n"), col("sum_value"))),
 
@@ -963,9 +986,13 @@ object SparkEntry {
         |SELECT DISTINCT event_type AS service, parent AS remote_service
         |FROM tr WHERE parent IS NOT NULL""".stripMargin),
 
+    // the SAME digits-only regex as the engine's PropsK (EventSpans) — a
+    // json-path oracle would diverge on quoted values or props without 'k'
     "q_a8_autocomplete" ->
-      """SELECT DISTINCT json_extract_string(props, '$.k') AS value
-        |FROM events WHERE props IS NOT NULL ORDER BY value LIMIT 1000""".stripMargin,
+      """SELECT DISTINCT regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS value
+        |FROM events
+        |WHERE props IS NOT NULL AND regexp_matches(props, '"k"\s*:\s*\d+')
+        |ORDER BY value LIMIT 1000""".stripMargin,
 
     // roundtrip_ok is the in-engine full-schema comparison (original spans
     // vs the re-parsed JSON, fingerprinted over every field); the oracle
@@ -1003,7 +1030,7 @@ object SparkEntry {
         |  SELECT DISTINCT 'error' AS tag_key FROM events WHERE event_type = 'error'
         |  UNION
         |  SELECT DISTINCT 'k' AS tag_key FROM events
-        |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+        |  WHERE props IS NOT NULL AND regexp_matches(props, '"k"\s*:\s*\d+'))
         |ORDER BY tag_key LIMIT 1000""".stripMargin,
 
     "q_join_revenue" ->
@@ -1045,13 +1072,14 @@ object SparkEntry {
 
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-        |       round(sum(value), 2) AS sum_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
 
     // each event lands in the two 1h-aligned 2h windows covering it
     "q_st3_sliding" ->
       """SELECT (epoch_ms(ts) // 3600000 - k.k) * 3600000 AS window_start_ms,
-        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |       event_type, count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
         |GROUP BY 1, 2""".stripMargin,
 
@@ -1206,12 +1234,13 @@ object SparkEntry {
         |  round(CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) / 255.0, 6) AS f1,
         |  round(CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) / 255.0, 6) AS f2,
         |  round(CAST(concat('0x', substr(md5(text), 7, 2)) AS INTEGER) / 255.0, 6) AS f3
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT doc_id AS media_id,
         |  least(4, CAST(ceil(n * 1.0 / greatest(1, n // 4)) AS BIGINT)) AS n_frames_out
-        |FROM (SELECT doc_id, n_chars % 16 + 1 AS n FROM documents)""".stripMargin
+        |FROM (SELECT doc_id, n_chars % 16 + 1 AS n
+        |      FROM documents WHERE text IS NOT NULL)""".stripMargin
   )
 
   /** Shared CTE chain for the clusters/apply oracles: UNCAPPED shingle

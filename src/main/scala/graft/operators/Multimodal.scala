@@ -64,7 +64,10 @@ object Multimodal {
     */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select("media_id", "content").as[(Long, Array[Byte])]
+    // null assets are SKIPPED (a real pipeline dead-letters them): the typed
+    // decode would otherwise NPE the whole task on one null payload
+    media.select("media_id", "content").where(col("content").isNotNull)
+      .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         MediaFeatures(id, bytes.length.toLong,
           MediaCodec.decodeFeatures(bytes, dim).toIndexedSeq)
@@ -78,6 +81,7 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, media: DataFrame, maxFrames: Int = 4): Dataset[Frame] = {
     import spark.implicits._
     media.select(col("media_id"), col("content"), col("meta.n_frames").as("n_frames"))
+      .where(col("content").isNotNull) // null assets skipped, as in extractFeatures
       .as[(Long, Array[Byte], Int)]
       .flatMap { case (id, bytes, nFrames) =>
         val stride = math.max(1, nFrames / maxFrames)
@@ -91,7 +95,8 @@ object Multimodal {
   /** Resize stage: metadata-driven, partition-preserving. */
   def resizeAll(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
     import spark.implicits._
-    media.select("media_id", "content").as[(Long, Array[Byte])]
+    media.select("media_id", "content").where(col("content").isNotNull)
+      .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, MediaCodec.resize(bytes, w, h)) })
       .toDF("media_id", "resized")
   }

@@ -96,9 +96,9 @@ final class GraftStorage(val config: StorageConfig) {
       .map(TraceQueries.dependencies(_, endTs, lookback))
       // full result schema: a disabled surface must stay a benign no-op for
       // callers that select counts or union with an enabled store's output
+      // (schema shared with the live path so the two can never drift)
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("parent", StringType), StructField("child", StringType),
-          StructField("call_count", LongType), StructField("error_count", LongType)))))
+        TraceQueries.dependenciesSchema))
 
   private def emptyTraces(spark: SparkSession): Dataset[Trace] = {
     import spark.implicits._

@@ -68,6 +68,20 @@ object TraceQueries {
     * store then merge = groupBy(parent, child).sum (SURVEY §2.4 A5;
     * KafkaStorageHttpService.java:69-96).
     */
+  /** Output schema of [[dependencies]] — shared with the disabled-surface
+    * empty result (GraftStorage) so the two shapes cannot drift.
+    */
+  val dependenciesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("parent",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("child",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("call_count",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("error_count",
+        org.apache.spark.sql.types.LongType)))
+
   def dependencies(dependencyWindows: DataFrame, endTs: Long, lookback: Long): DataFrame =
     dependencyWindows
       .where(col("window_start_ms").between(endTs - lookback, endTs))

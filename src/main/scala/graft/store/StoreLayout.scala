@@ -41,6 +41,12 @@ object StoreLayout {
 
   /** Range read with partition pruning: only `trace_date` partitions
     * intersecting [endTs−lookback, endTs] (ms) are listed.
+    *
+    * Callers that MERGE partial rows afterwards (fromStore) must over-read
+    * by their partial-spread bound (session length + allowed lateness) and
+    * re-apply the exact window on the post-merge root_ts: a partial whose
+    * own root_ts falls just outside the window still contributes spans to
+    * a trace whose merged root is inside it.
     */
   def readTraces(spark: SparkSession, path: String, endTs: Long, lookback: Long): DataFrame =
     spark.read.parquet(path)
