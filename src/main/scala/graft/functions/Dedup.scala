@@ -82,7 +82,9 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    // spread like every sibling sketch projection: the numHashes-way fold
+    // is the arithmetic-heavy stage and must not run on one split
+    Partitioning.spread(docs).select(col(idCol).as("doc_id"),
         TextAnalysis.distinctShingles(col(textCol), n).as("shs"))
       .where(size(col("shs")) > 0)
       .select(col("doc_id"), MinHashSig(col("shs"), numHashes).as("sig"))
@@ -147,8 +149,11 @@ object Dedup {
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
+        // nullif: two shingle-less docs give |A∪B| = 0, and ANSI division
+        // by zero THROWS (Spark 4 default) — undefined Jaccard becomes
+        // null and fails the ≥-threshold filter instead of killing the job
         (size(array_intersect(col("sa.sh"), col("sb.sh"))) /
-          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+          nullif(size(array_union(col("sa.sh"), col("sb.sh"))), lit(0))).as("jaccard"))
       .where(col("jaccard") >= threshold)
     (pairs, sets)
   }
@@ -170,9 +175,13 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-byte banding guarantees recall only for maxDist <= 3")
     val sig = simhashSignatures(docs, idCol, textCol)
+    // cached like the sibling band self-joins (minhashPairsScoped,
+    // cosinePairsLSHScoped): both join sides read it, and the per-token MD5
+    // signature is the expensive stage — same caller-clears cache contract
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_val", expr("shiftright(simhash, band * 8) & 255"))
+      .cache()
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -223,13 +232,17 @@ object Dedup {
       driverSideEdgeLimit: Int = 2_000_000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // the primitive union-find below is a numeric-id fast path (sorted long
-    // arrays, binary-search indices); string-keyed corpora (UUID doc ids)
-    // route to the type-agnostic distributed propagation, where min() picks
-    // the lexicographic canonical instead
-    if (!pairs.schema("doc_a").dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType])
-      return connectedComponentsDistributed(pairs)
+    // the primitive union-find below is an INTEGRAL-id fast path (sorted
+    // long arrays, binary-search indices); string-keyed corpora (UUIDs) and
+    // fractional numerics (a DOUBLE/DECIMAL id would TRUNCATE under
+    // cast(long), conflating distinct docs like 7.2 and 7.9 into node 7)
+    // route to the type-agnostic distributed propagation instead
+    val integral = pairs.schema("doc_a").dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (!integral) return connectedComponentsDistributed(pairs)
     // limit(cap+1) bounds the driver transfer GLOBALLY (CollectLimit fetches
     // partitions incrementally), so a runaway pair explosion falls back to
     // the distributed path instead of shipping partitions × cap edges; the

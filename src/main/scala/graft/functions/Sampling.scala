@@ -17,6 +17,11 @@ object Sampling {
   /** Deterministic train/val/test split: fractions in buckets of 1/denom. */
   def split(df: DataFrame, idCol: String, trainPct: Int = 90, valPct: Int = 5,
       denom: Int = 100): DataFrame = {
+    // loud failure beats a silently shrunken val/test split — a
+    // misconfigured overlap is a train/val leak in a module whose whole
+    // point is deterministic leak-free splits
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= denom,
+      s"train ($trainPct) + val ($valPct) must fit in denom ($denom)")
     val b = bucket(col(idCol), denom)
     df.withColumn("split",
       when(b < trainPct, "train")

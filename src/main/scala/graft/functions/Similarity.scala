@@ -18,7 +18,18 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(VectorDot(a, a))
 
-  def cosine(a: Column, b: Column): Column = VectorDot(a, b) / (norm(a) * norm(b))
+  /** Guarded cosine: −2 (below every real cosine ∈ [−1,1]) for zero-norm
+    * or NaN-poisoned vectors. The guard matters twice under Spark 4
+    * defaults: ANSI division by zero THROWS (it does not yield the NaN the
+    * old comments assumed), and NaN compares ABOVE every double, so an
+    * unguarded NaN cosine passes every ≥-threshold filter and outranks
+    * every true neighbor.
+    */
+  def cosine(a: Column, b: Column): Column =
+    safeCosine(VectorDot(a, b), norm(a) * norm(b))
+
+  private def safeCosine(num: Column, den: Column): Column =
+    coalesce(nanvl(num / nullif(den, lit(0d)), lit(-2d)), lit(-2d))
 
   /** id, vec, nrm — precomputed once before any pairwise stage. */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
@@ -40,10 +51,10 @@ object Similarity {
     val joinCond = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
     c.join(broadcast(q), joinCond)
       .select(col("query_id"), col("corpus_id"),
-        // nanvl: a zero-norm vector's NaN would sort above every real
-        // cosine and claim rank 1; -2 ranks it below all true neighbors
-        nanvl(VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm")),
-          lit(-2.0)).as("cosine"))
+        // zero-norm / NaN vectors rank below all true neighbors (see
+        // safeCosine — ANSI division would otherwise throw on zero norms)
+        safeCosine(VectorDot(col("qv"), col("cv")),
+          col("qv_nrm") * col("cv_nrm")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -84,7 +95,8 @@ object Similarity {
       .where(col("bi") < col("bj") || col("id_l") < col("id_r"))
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"),
-        (VectorDot(col("vl"), col("vr")) / (col("nrm_l") * col("nrm_r"))).as("cosine"))
+        safeCosine(VectorDot(col("vl"), col("vr")),
+          col("nrm_l") * col("nrm_r")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
@@ -125,14 +137,18 @@ object Similarity {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val v = withNorm(vectors, idCol, vecCol, "vid", "vv")
+    // cached + spread like verifyJaccardScoped's sets: joined once per
+    // pair side, so without the cache the norm projection re-scans the
+    // full corpus twice; the handle joins the scoped release list
+    val v = withNorm(Partitioning.spread(vectors), idCol, vecCol, "vid", "vv").cache()
     val pairs = candidates
       .join(v.as("pa"), col("id_a") === col("pa.vid"))
       .join(v.as("pb"), col("id_b") === col("pb.vid"))
       .select(col("id_a"), col("id_b"),
-        (VectorDot(col("pa.vv"), col("pb.vv")) / (col("pa.vv_nrm") * col("pb.vv_nrm"))).as("cosine"))
+        safeCosine(VectorDot(col("pa.vv"), col("pb.vv")),
+          col("pa.vv_nrm") * col("pb.vv_nrm")).as("cosine"))
       .where(col("cosine") >= threshold)
-    (pairs, Seq(bandKeys))
+    (pairs, Seq(bandKeys, v))
   }
 
   /** Assign each vector to its nearest centroid (IVF cell). Centroids must be
@@ -161,12 +177,11 @@ object Similarity {
     base
       .join(broadcast(centroids.select(col("centroid_id"), col("centroid_vec"),
         norm(col("centroid_vec")).as("__cn"))))
-      // nanvl: Spark's max-struct ranks NaN above every double, so a
-      // zero-norm vector's NaN sims would hijack the argmax; -2 ranks below
-      // every real cosine and keeps the smaller-id tiebreak deterministic
-      .withColumn("sim", nanvl(
-        VectorDot(col(vecCol), col("centroid_vec")) / (col("vec_nrm") * col("__cn")),
-        lit(-2.0)))
+      // safeCosine: ANSI zero-division would throw, and Spark's max-struct
+      // ranks NaN above every double — −2 ranks below every real cosine and
+      // keeps the smaller-id tiebreak deterministic
+      .withColumn("sim", safeCosine(
+        VectorDot(col(vecCol), col("centroid_vec")), col("vec_nrm") * col("__cn")))
       .groupBy(col(idCol))
       .agg(max(struct(col("sim"), (-col("centroid_id")).as("neg_cid"),
         col(vecCol).as("v"), col("vec_nrm").as("n"))).as("best"))
@@ -221,7 +236,12 @@ object Similarity {
       .where(pmod(xxhash64(col(idCol)), lit(m)) === 0)
       .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
       .as[(String, Array[Double])].collect()
-    val sample = raw.filter(_._2.exists(_ != 0.0))
+    // null vectors would NPE the driver fold; ragged lengths (corrupt
+    // corpus) would AIOOBE at the dim loop — both are directionless noise
+    // here, like zero vectors
+    val nonNull = raw.filter(r => r._2 != null && r._2.exists(_ != 0.0))
+    val headDim = nonNull.headOption.map(_._2.length).getOrElse(0)
+    val sample = nonNull.filter(_._2.length == headDim)
       // (length, value) sorts non-negative numeric ids NUMERICALLY (the
       // seed order the recall gates are tuned against) and is still a total
       // deterministic order for UUID-style ids
@@ -292,9 +312,8 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           norm(col(vecCol)).as("qv_nrm"))
         .join(broadcast(cents.withColumn("__cn", norm(col("centroid_vec")))))
-        .withColumn("sim", nanvl( // NaN would sort above all sims in desc
-          VectorDot(col("qv"), col("centroid_vec")) / (col("qv_nrm") * col("__cn")),
-          lit(-2.0)))
+        .withColumn("sim", safeCosine( // NaN/zero-norm: see safeCosine
+          VectorDot(col("qv"), col("centroid_vec")), col("qv_nrm") * col("__cn")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= nProbe)
         .select(col("query_id"), col("qv"), col("qv_nrm"), col("centroid_id"))
@@ -306,8 +325,8 @@ object Similarity {
     probes.join(assigned, "centroid_id")
       .where(if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true))
       .select(col("query_id"), col("corpus_id"),
-        nanvl(VectorDot(col("qv"), col("cv")) / (col("qv_nrm") * col("cv_nrm")),
-          lit(-2.0)).as("cosine")) // NaN would outrank every real neighbor
+        safeCosine(VectorDot(col("qv"), col("cv")),
+          col("qv_nrm") * col("cv_nrm")).as("cosine")) // NaN/zero: safeCosine
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

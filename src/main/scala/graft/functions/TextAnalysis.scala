@@ -39,7 +39,11 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long")))
 
-  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  // word lists live in TextProfile and are SHARED here: the profile-based
+  // variants are documented as arithmetic-identical to these column
+  // versions, and a list edited in one place but not the other would break
+  // that parity with no compile error
+  private val Stopwords = TextProfile.Stopwords.toSeq.sorted
 
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(Stopwords: _*)))
@@ -62,9 +66,9 @@ object TextAnalysis {
     * (undetermined) on zero hits. Tie order: en > es > de.
     */
   def languageId(text: Column): Column = {
-    val en = Seq("the", "and", "of", "to", "is", "in", "that", "it")
-    val es = Seq("el", "la", "de", "que", "y", "los", "en", "un")
-    val de = Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein")
+    val en = TextProfile.En.toSeq.sorted
+    val es = TextProfile.Es.toSeq.sorted
+    val de = TextProfile.De.toSeq.sorted
     def score(ws: Seq[String]) = size(filter(tokens(lower(text)), t => t.isin(ws: _*)))
     val (se, ss, sd) = (score(en), score(es), score(de))
     when(se === 0 && ss === 0 && sd === 0, "und")

@@ -350,6 +350,30 @@ class FunctionsSpec extends SparkSpec {
     assert(stitched == toks)
   }
 
+  test("zero-norm and NaN vectors neither crash (ANSI ÷0) nor emit pairs") {
+    // Spark 4 default ANSI mode THROWS on 0.0/0.0, and NaN compares above
+    // every double — an unguarded corpus with one zero or NaN vector used
+    // to either kill the job or pass every ≥-threshold filter
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 1e-9, 0.0)),            // near-dup of 1
+      (3L, Seq(0.0, 0.0, 0.0)),             // zero norm
+      (4L, Seq(Double.NaN, 1.0, 0.0)),      // poisoned embedding
+      (5L, Seq(0.0, 1.0, 0.0))              // orthogonal to 1
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.8, numBlocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == Seq((1L, 2L)), s"only the true near-dup pair: ${pairs.toSeq}")
+    val lsh = Similarity.cosinePairsLSH(vecs, "vec_id", "embedding", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!lsh.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"zero/NaN vectors must not pair: ${lsh.toSeq}")
+    val topk = Similarity.bruteForceTopK(vecs.where($"vec_id" === 1L), vecs,
+      "vec_id", "embedding", k = 2).collect()
+    assert(topk.map(_.getAs[Long]("corpus_id")).toSeq == Seq(2L, 5L),
+      "zero/NaN corpus vectors rank below every real neighbor")
+  }
+
   test("embedding cosine near-dup pairs") {
     val pairs = Dedup.embeddingCosinePairs(vectors, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
