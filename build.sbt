@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the forked run's stdout must reach the caller UNPREFIXED: the default
+// LoggedOutput strategy routes it through sbt's logger, which stamps every
+// line with "[info] " — that prefix is exactly what kept the bench driver's
+// JSON-line extraction failing (BENCH_r01–r07 all `parsed: null` with the
+// complete object sitting in the tail behind "[info] ")
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -89,12 +89,17 @@ object Bench {
   }
 
   /** Fixed-precision JSON numbers: the driver keeps only the last ~2KB of
-    * bench output and parses the JSON line out of that window, so the line
-    * must stay compact — full-precision doubles tripled its size and every
-    * earlier round's line was truncated mid-object (BENCH_r01–r06 all show
-    * `parsed: null`). 3 decimals (ms) for wall seconds, 1 for rates/CPU.
+    * bench output and parses the JSON line out of that window, so the
+    * complete line must sit inside it alongside sbt's trailing "[success]"
+    * line — budget ≤ 1800 chars. (r1–r7's `parsed: null` had TWO causes:
+    * full-precision doubles overflowing the window in early rounds, and —
+    * once the line fit — sbt's logger stamping it with "[info] ", fixed in
+    * build.sbt via run/outputStrategy := StdoutOutput.) 3 decimals for the
+    * headline/streaming seconds, 2 for per-query wall, 1 for rates/CPU; the
+    * sidecar `target/bench_detail.json` keeps full precision.
     */
   private def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+  private def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
   private def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
   /** Host 1/5/15-min load averages as a JSON array — recorded before and
     * after the run so a number taken under outside load is self-labeling:
@@ -173,7 +178,7 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, cpuSec, err)
     }
     def jstr(s: String): String = Verify.jstr(s) // shared driver-JSON escaper
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // process-CPU seconds per query as an array POSITIONALLY ALIGNED with
     // the (sorted) `queries` keys: under a 32-thread local run CPU can
@@ -203,7 +208,7 @@ object Bench {
     // against the driver's tail window
     val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e)}""").getOrElse("")
     val loadAfter = loadavgJson()
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f3(storeWriteSec)},"load":[$loadBefore,$loadAfter],"streaming":$streamJson$streamErrJson,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f2(storeWriteSec)},"load":[$loadBefore,$loadAfter],"streaming":$streamJson$streamErrJson,"sf":${jstr(sfDir)}}"""
     // full-precision per-query wall+CPU detail goes to a sidecar file (the
     // stdout line is the driver's parse target and must fit its tail window)
     try {
@@ -216,7 +221,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
-    if (line.length > 1900)
+    if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail window")
     println(line)
     spark.stop()

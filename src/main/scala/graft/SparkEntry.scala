@@ -145,9 +145,18 @@ object SparkEntry {
     graft.store.StoreLayout.readTracesBucketed(s, storeKey("btraces", dir),
       bucketedTraceStore(s, dir))
 
+  /** Closed-date watermark mid-way through the fixture's event range
+    * (2024-01-01..01-30): dates before it compact, later dates keep their
+    * redelivery duplicates — the MIXED store must serve the same answer,
+    * which is exactly the incremental-maintenance state a 100 TB deployment
+    * lives in permanently.
+    */
+  private val CompactionWatermark = java.time.LocalDate.parse("2024-01-18")
+
   /** Compacted window store: seeded with a replayed micro-batch (same
-    * epoch id twice) then physically collapsed — q_store_deps_compact
-    * proves the compacted store serves the exact dependencies answer.
+    * epoch id twice) then partition-scoped-collapsed up to the watermark —
+    * q_store_deps_compact proves the half-compacted store serves the exact
+    * dependencies answer (read-side batch_id dedup covers the rest).
     */
   private def compactedDependencyStore(s: SparkSession, dir: String): String =
     ensureStore(s, "cdeps", dir) { path =>
@@ -155,23 +164,57 @@ object SparkEntry {
         SpanPipeline.dependencyLinks(eventTraces(s, dir)))
       graft.store.StoreLayout.writeDependencyWindows(windows, path)
       graft.store.StoreLayout.writeDependencyWindows(windows, path)
-      graft.store.StoreLayout.compactDependencyWindows(s, path)
+      graft.store.StoreLayout.compactDependencyWindowsBefore(s, path, CompactionWatermark)
     }
 
+  /** Distance the retention fodder is shifted into the past (~300 days —
+    * far outside every query window and the fixture's event range).
+    */
+  private val ExpiredShiftUs = 300L * 86400L * 1000000L
+
   /** Compacted trace store: seeded with redelivery duplicates (every row
-    * twice) plus a single-span partial per multi-span trace — the two row
-    * shapes merge-on-read exists for — then collapsed in place by
-    * `StoreLayout.compactTraces`. The q_store_compacted gate proves the
-    * compacted store still yields the exact find-traces answer through the
-    * unchanged production read path.
+    * twice), a single-span partial per multi-span trace — the two row shapes
+    * merge-on-read exists for — plus distinct-id rows shifted ~300 days into
+    * the past as retention fodder (ST6). The lifecycle then runs exactly as
+    * a maintenance cycle would at scale: `dropExpired` removes the expired
+    * date partitions, `compactTracesBefore` rewrites only closed dates up to
+    * the watermark. The q_store_compacted gate proves the
+    * retained+half-compacted store still yields the exact find-traces answer
+    * through the unchanged production read path.
     */
   private def compactedTraceStore(s: SparkSession, dir: String): String =
     ensureStore(s, "ctraces", dir) { path =>
       val tr = eventTraces(s, dir).toDF()
       val partials = tr.where(size(col("spans")) > 1)
         .select(col("trace_id"), slice(col("spans"), 1, 1).as("spans"), col("root_ts"))
-      graft.store.StoreLayout.writeTraces(tr.union(tr).union(partials), path)
-      graft.store.StoreLayout.compactTraces(s, path)
+      val expired = tr.select(concat(lit("exp"), col("trace_id")).as("trace_id"),
+        col("spans"), (col("root_ts") - lit(ExpiredShiftUs)).as("root_ts"))
+      graft.store.StoreLayout.writeTraces(
+        tr.union(tr).union(partials).union(expired), path)
+      val dropped = graft.store.StoreLayout.dropExpired(s, path, "trace_date",
+        java.time.LocalDate.parse("2024-01-01"))
+      require(dropped.nonEmpty, "retention fixture: expected expired partitions to drop")
+      graft.store.StoreLayout.compactTracesBefore(s, path, CompactionWatermark)
+    }
+
+  /** Incremental autocomplete set store: the q_a8_autocomplete input split
+    * into two deterministic halves fed through the literal streaming-sink
+    * delta-append body ([[graft.streaming.StreamingPipeline
+    * .appendAutocompleteDelta]]) — two micro-batches plus a REPLAYED first
+    * batch (at-least-once re-append) — then physically collapsed by
+    * `compactSetStore`. q_store_autocomplete serves the identical
+    * q_a8_autocomplete answer through delta → replay → compact → collapse.
+    */
+  private def autocompleteStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "actags", dir) { path =>
+      val ev = events(s, dir)
+      val half = pmod(xxhash64(col("event_id")), lit(2))
+      val b0 = EventSpans.spanFields(ev.where(half === 0))
+      val b1 = EventSpans.spanFields(ev.where(half === 1))
+      graft.streaming.StreamingPipeline.appendAutocompleteDelta(b0, Seq("k"), path)
+      graft.streaming.StreamingPipeline.appendAutocompleteDelta(b1, Seq("k"), path)
+      graft.streaming.StreamingPipeline.appendAutocompleteDelta(b0, Seq("k"), path)
+      graft.store.StoreLayout.compactSetStore(s, path, "tag_key", "values")
     }
 
   /** Force-build the serving stores for `dir` (idempotent per JVM). */
@@ -181,6 +224,7 @@ object SparkEntry {
     bucketedTraceStore(s, dir)
     compactedTraceStore(s, dir)
     compactedDependencyStore(s, dir)
+    autocompleteStore(s, dir)
   }
 
   /** Shared exploded-span projection of the getTrace/getTraceMany surfaces —
@@ -273,14 +317,16 @@ object SparkEntry {
   private val EndTsMs = 1705708800000L
   private val LookbackMs = 864000000L
 
-  /** Store reads that MERGE partials over-read the range by this bound
-    * (one day ≫ any session length + allowed lateness): a partial row whose
-    * own root_ts sits just OUTSIDE [endTs−lookback, endTs] still belongs to
-    * a trace whose merged root is inside it — a range read sized exactly to
-    * the query window would drop that row pre-merge and serve a
-    * subset-merged trace. The query predicate re-applies the EXACT window
-    * on the post-merge root_ts, so the grace only widens the candidate
-    * scan (a few extra date partitions), never the answer.
+  /** Store reads that MERGE partials over-read the range SYMMETRICALLY by
+    * this bound (one day ≫ any session length + allowed lateness): a partial
+    * row whose own root_ts sits just outside [endTs−lookback, endTs] — on
+    * EITHER side; late spans of a trace rooted just inside the upper edge
+    * land after it — still belongs to a trace whose merged root is inside
+    * the window, and a range read sized exactly to the query window would
+    * drop that row pre-merge and serve a subset-merged trace. The query
+    * predicate re-applies the EXACT window on the post-merge root_ts, so the
+    * grace only widens the candidate scan (a few extra date partitions),
+    * never the answer.
     */
   private val MergeGraceMs = 86400000L
 
@@ -354,7 +400,8 @@ object SparkEntry {
         endTs = EndTsMs, lookback = LookbackMs, limit = 10)
       TraceQueries.getTraces(
         TraceQueries.fromStore(
-          graft.store.StoreLayout.readTraces(s, path, EndTsMs, LookbackMs + MergeGraceMs)), req)
+          graft.store.StoreLayout.readTraces(s, path,
+            EndTsMs + MergeGraceMs, LookbackMs + 2 * MergeGraceMs)), req)
         .select(col("trace_id"),
           expr("root_ts DIV 1000").as("root_ts_ms"),
           size(col("spans")).cast("long").as("n_spans"))
@@ -373,7 +420,8 @@ object SparkEntry {
         endTs = EndTsMs, lookback = LookbackMs, limit = 10)
       TraceQueries.getTraces(
         TraceQueries.fromStore(
-          graft.store.StoreLayout.readTraces(s, path, EndTsMs, LookbackMs + MergeGraceMs)), req)
+          graft.store.StoreLayout.readTraces(s, path,
+            EndTsMs + MergeGraceMs, LookbackMs + 2 * MergeGraceMs)), req)
         .select(col("trace_id"),
           expr("root_ts DIV 1000").as("root_ts_ms"),
           size(col("spans")).cast("long").as("n_spans"))
@@ -444,6 +492,17 @@ object SparkEntry {
       TraceQueries.autocompleteValues(
         SpanPipeline.autocompleteTagsRelational(
           EventSpans.spanFields(events(s, dir)), Seq("k")), "k")),
+
+    // ——— the SAME autocomplete answer served through the incremental
+    //     delta store (the reference's persistent autocomplete store,
+    //     streams/TraceStorageTopology.java:143-149): two batch-local delta
+    //     appends + one replayed append, compactSetStore's physical
+    //     collapse, then the read-side collapse — the last store shape in
+    //     the shared-oracle family; the store must not change the answer ———
+    "q_store_autocomplete" -> ((s, dir) =>
+      TraceQueries.autocompleteValues(
+        graft.streaming.StreamingPipeline.readAutocompleteStore(
+          s, autocompleteStore(s, dir)), "k")),
 
     // ——— J4/A9/A6: getTraceMany through a store with at-least-once
     //     redelivery — duplicate store rows MUST collapse at read via
@@ -904,6 +963,19 @@ object SparkEntry {
       |       ts_us//1000 AS ts_ms
       |FROM s WHERE user_id BETWEEN 1 AND 8 AND session_id IN (1, 2)""".stripMargin
 
+  /** One oracle text for q_a8_autocomplete AND q_store_autocomplete: the
+    * autocomplete answer is defined by the tag extraction, not by whether it
+    * is served in-memory or through the incremental set store — the two keys
+    * must never drift. The SAME digits-only regex as the engine's PropsK
+    * (EventSpans) — a json-path oracle would diverge on quoted values or
+    * props without 'k'.
+    */
+  private val AutocompleteOracle =
+    """SELECT DISTINCT regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS value
+      |FROM events
+      |WHERE props IS NOT NULL AND regexp_matches(props, '"k"\s*:\s*\d+')
+      |ORDER BY value LIMIT 1000""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -986,13 +1058,12 @@ object SparkEntry {
         |SELECT DISTINCT event_type AS service, parent AS remote_service
         |FROM tr WHERE parent IS NOT NULL""".stripMargin),
 
-    // the SAME digits-only regex as the engine's PropsK (EventSpans) — a
-    // json-path oracle would diverge on quoted values or props without 'k'
-    "q_a8_autocomplete" ->
-      """SELECT DISTINCT regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS value
-        |FROM events
-        |WHERE props IS NOT NULL AND regexp_matches(props, '"k"\s*:\s*\d+')
-        |ORDER BY value LIMIT 1000""".stripMargin,
+    "q_a8_autocomplete" -> AutocompleteOracle,
+
+    // identical to q_a8_autocomplete: the incremental set store's
+    // delta-append → replay → compact → collapse round-trip must not change
+    // the autocomplete answer
+    "q_store_autocomplete" -> AutocompleteOracle,
 
     // roundtrip_ok is the in-engine full-schema comparison (original spans
     // vs the re-parsed JSON, fingerprinted over every field); the oracle

@@ -170,25 +170,38 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist (≤ 3 for exact
     * recall under 4-byte banding: 3 flipped bits cannot hit all 4 bands).
+    * Convenience form of [[simhashPairsScoped]] that drops the cache
+    * handles — for callers whose session hygiene already clears caches per
+    * execution (Bench/Verify); long-lived sessions should use the scoped
+    * variant and unpersist after materializing the pairs.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    simhashPairsScoped(docs, idCol, textCol, maxDist)._1
+
+  /** [[simhashPairs]] plus the cached intermediates it pins (the
+    * minhashPairsScoped/cosinePairsLSHScoped contract): both join sides read
+    * the banded signature table and the per-token MD5 signature is the
+    * expensive stage, so it is cached — the caller unpersists the returned
+    * handles once the pair set is materialized instead of pinning executor
+    * storage for the session lifetime.
+    */
+  def simhashPairsScoped(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): (DataFrame, Seq[DataFrame]) = {
     require(maxDist <= 3, "4-byte banding guarantees recall only for maxDist <= 3")
     val sig = simhashSignatures(docs, idCol, textCol)
-    // cached like the sibling band self-joins (minhashPairsScoped,
-    // cosinePairsLSHScoped): both join sides read it, and the per-token MD5
-    // signature is the expensive stage — same caller-clears cache contract
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_val", expr("shiftright(simhash, band * 8) & 255"))
       .cache()
-    banded.as("x").join(banded.as("y"),
+    val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
+    (pairs, Seq(banded))
   }
 
   /** Near-dup clusters from the sub-quadratic pair source: MinHash band

@@ -84,40 +84,131 @@ object StoreLayout {
     *    mergeRows) stays in place as the correctness backstop; compaction
     *    is an optimization, not a correctness requirement.
     *
-    * The rewrite stages to `path + ".compact"`, moves the live store aside
-    * to `path + ".old"`, promotes the staging dir, then drops the old copy —
-    * every rename result is checked, and a crash mid-swap leaves the data
-    * recoverable in one of the two side dirs instead of deleted (a table
-    * format with atomic commit replaces the swap on a real deployment).
-    * No counts are computed — that would cost two extra full-store scans;
-    * callers who want them can count the parquet dirs themselves.
+    * Delegates to [[compactTracePartitions]] over every present date — each
+    * partition is staged and swapped independently (checked renames,
+    * dot-prefixed side dirs invisible to readers), so this whole-store form
+    * is just "all dates at once"; production runs [[compactTracesBefore]] so
+    * only closed dates are rewritten. No counts are computed — that would
+    * cost two extra full-store scans; callers who want them can count the
+    * parquet dirs themselves.
     */
-  def compactTraces(spark: SparkSession, path: String, filesPerDate: Int = 1): Unit = {
+  def compactTraces(spark: SparkSession, path: String, filesPerDate: Int = 1): Unit =
+    compactTracePartitions(spark, path, listPartitionDates(spark, path, "trace_date"),
+      filesPerDate)
+
+  /** Closed-date watermark variant: compact only `trace_date` partitions
+    * strictly before `before` (the maintenance cadence at scale — open dates
+    * still receiving appends are left alone, so the single-writer contract
+    * only has to quiesce writers of already-closed dates).
+    */
+  def compactTracesBefore(spark: SparkSession, path: String,
+      before: java.time.LocalDate, filesPerDate: Int = 1): Unit =
+    compactTracePartitions(spark, path,
+      listPartitionDates(spark, path, "trace_date").filter(_.isBefore(before)), filesPerDate)
+
+  /** Partition-scoped compaction: rewrite ONLY the listed `trace_date=`
+    * partitions, one checked stage-and-swap per partition — every other
+    * partition's files are physically untouched (StoreLayoutSpec pins this
+    * by file name + length). Rows merge within (date, trace_id) — see the
+    * class doc above — so a per-date rewrite is exactly the whole-store pass
+    * restricted, and a 100 TB store compacts incrementally, date by closed
+    * date, instead of rewriting everything per maintenance cycle (the analog
+    * of the reference's continuous incremental RocksDB compaction,
+    * streams/TraceStorageTopology.java:108-115). Dates with no partition
+    * directory are skipped.
+    */
+  def compactTracePartitions(spark: SparkSession, path: String,
+      dates: Seq[java.time.LocalDate], filesPerDate: Int = 1): Unit = {
     import spark.implicits._
-    val merged = spark.read.parquet(path)
-      .select(col("trace_date").cast("string").as("_1"),
-        struct(col("trace_id"), col("spans"), col("root_ts")).as("_2"))
-      .as[(String, Trace)]
-      .groupByKey(r => (r._1, r._2.trace_id))
-      .mapGroups((key: (String, String), it: Iterator[(String, Trace)]) =>
-        graft.core.Traces.mergeRows(key._2, it.map(_._2).toSeq))
-    swapRewrite(spark, path)(staging => writeTraces(merged.toDF(), staging, filesPerDate))
+    forEachPartitionDir(spark, path, "trace_date", dates) { (partDir, staging) =>
+      val merged = spark.read.parquet(partDir)
+        .select(col("trace_id"), col("spans"), col("root_ts")).as[Trace]
+        .groupByKey(_.trace_id)
+        .mapGroups((id: String, it: Iterator[Trace]) =>
+          graft.core.Traces.mergeRows(id, it.toSeq))
+      // same per-date file shape as writeTraces: ≈ filesPerDate files,
+      // id-hash-clustered (the partition value lives in the dir name, not
+      // the files, so the partition column is not re-written)
+      merged.toDF().repartition(filesPerDate, col("trace_id")).write.parquet(staging)
+    }
   }
 
   /** Compact the dependency-window store: drop replayed finals (full-row
     * duplicates under one batch_id) then merge genuine partial sums into one
     * row per (window, edge) — after which a range read carries no redundant
     * rows to dedup. Compacted rows take batch_id −1 (a generation marker no
-    * real foreachBatch epoch uses); run over closed dates only in
-    * production, like [[compactTraces]].
+    * real foreachBatch epoch uses). Delegates to the partition-scoped pass
+    * over every date; production runs [[compactDependencyWindowsBefore]] on
+    * closed dates only.
     */
-  def compactDependencyWindows(spark: SparkSession, path: String): Unit = {
-    val merged = spark.read.parquet(path)
-      .dropDuplicates()
-      .groupBy("window_start_ms", "parent", "child")
-      .agg(sum("call_count").as("call_count"), sum("error_count").as("error_count"))
-    swapRewrite(spark, path)(staging =>
-      writeDependencyWindows(merged, staging, batchId = -1L))
+  def compactDependencyWindows(spark: SparkSession, path: String): Unit =
+    compactDependencyPartitions(spark, path,
+      listPartitionDates(spark, path, "window_date"))
+
+  /** Closed-date watermark variant of [[compactDependencyWindows]]. */
+  def compactDependencyWindowsBefore(spark: SparkSession, path: String,
+      before: java.time.LocalDate): Unit =
+    compactDependencyPartitions(spark, path,
+      listPartitionDates(spark, path, "window_date").filter(_.isBefore(before)))
+
+  /** Partition-scoped window compaction ([[compactTracePartitions]]'s twin):
+    * a window's date is a function of window_start_ms, so dedup + re-sum
+    * never cross partitions and the per-date rewrite equals the whole-store
+    * pass restricted. Untouched partitions' files stay physically identical.
+    */
+  def compactDependencyPartitions(spark: SparkSession, path: String,
+      dates: Seq[java.time.LocalDate]): Unit =
+    forEachPartitionDir(spark, path, "window_date", dates) { (partDir, staging) =>
+      spark.read.parquet(partDir)
+        .dropDuplicates()
+        .groupBy("window_start_ms", "parent", "child")
+        .agg(sum("call_count").as("call_count"), sum("error_count").as("error_count"))
+        .withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.parquet(staging)
+    }
+
+  /** Dates of the `col=` partition directories present under `path`
+    * (non-date values are ignored rather than thrown on — foreign dirs are
+    * not this store's partitions).
+    */
+  private def listPartitionDates(spark: SparkSession, path: String,
+      partitionCol: String): Seq[java.time.LocalDate] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$partitionCol="))
+      .flatMap { name =>
+        try Some(java.time.LocalDate.parse(name.stripPrefix(s"$partitionCol=")))
+        catch { case _: Exception => None }
+      }
+  }
+
+  /** Per-partition stage-and-swap: `write(liveDir, stagingDir)` stages the
+    * rewrite of one partition, then the swap promotes it with checked
+    * renames. Staging/aside dirs are DOT-prefixED siblings inside the store
+    * (`.compact-…`, `.old-…`): Spark's file listing ignores dot-prefixed
+    * names, so a reader never sees a half-written rewrite as a partition —
+    * and a crash mid-swap leaves the data recoverable in one of the side
+    * dirs, invisible to queries, instead of deleted. Single-writer contract
+    * as in [[compactSetStore]]'s swap: quiesce writers of the SELECTED dates
+    * first (untouched dates may keep appending).
+    */
+  private def forEachPartitionDir(spark: SparkSession, path: String,
+      partitionCol: String, dates: Seq[java.time.LocalDate])
+      (write: (String, String) => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dates.distinct.foreach { d =>
+      val partName = s"$partitionCol=$d"
+      val live = new org.apache.hadoop.fs.Path(path, partName)
+      if (fs.exists(live))
+        swapDirs(fs, live,
+          staging = new org.apache.hadoop.fs.Path(path, s".compact-$partName"),
+          old = new org.apache.hadoop.fs.Path(path, s".old-$partName"))(
+          staging => write(live.toString, staging))
+    }
   }
 
   /** Collapse (key, set) delta rows to one sorted-set row per key — the
@@ -156,8 +247,17 @@ object StoreLayout {
   private def swapRewrite(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(path + ".compact")
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    swapDirs(fs, live, new org.apache.hadoop.fs.Path(path + ".compact"),
+      new org.apache.hadoop.fs.Path(path + ".old"))(write)
+  }
+
+  /** The checked stage-and-swap core shared by the whole-dir and
+    * per-partition rewrites: clear side dirs, stage, move live aside,
+    * promote, drop the aside copy — every rename result checked.
+    */
+  private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path)(write: String => Unit): Unit = {
     fs.delete(staging, true)
     fs.delete(old, true)
     write(staging.toString)
@@ -233,7 +333,10 @@ object StoreLayout {
     // arbitrary names/paths, and an unquoted interpolation would break
     // (or inject into) the DDL on the first quote character
     val tbl = "`" + tableName.replace("`", "``") + "`"
-    if (!spark.catalog.tableExists(tableName)) {
+    // the SAME quoted identifier everywhere: tableExists parses its argument
+    // too, and feeding it the raw name while DDL gets the escaped one would
+    // miss the table (→ CREATE collision) exactly when escaping matters
+    if (!spark.catalog.tableExists(tbl)) {
       val ddl = org.apache.spark.sql.Encoders.product[Trace].schema.toDDL
       val loc = new java.io.File(path).getAbsolutePath
         .replace("\\", "\\\\").replace("'", "\\'")

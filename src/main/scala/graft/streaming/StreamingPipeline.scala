@@ -284,11 +284,19 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[SpanEnvelope], _: Long) =>
-        graft.operators.SpanPipeline
-          .autocompleteTagsRelational(envelopeSpanFields(batch), keys)
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+        appendAutocompleteDelta(envelopeSpanFields(batch), keys, path)
       }
       .start()
+
+  /** One delta-append body shared by the streaming sink's foreachBatch and
+    * batch seeding/backfill (SparkEntry's q_store_autocomplete gate): the
+    * batch's OWN (tag_key, sorted set) aggregate appended as a delta row —
+    * sharing it means the gate proves the literal sink write path.
+    */
+  def appendAutocompleteDelta(spanFields: DataFrame, keys: Seq[String],
+      path: String): Unit =
+    graft.operators.SpanPipeline.autocompleteTagsRelational(spanFields, keys)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
 
   /** Read-side collapse of [[autocompleteTagsToStoreIncremental]]'s delta
     * rows back to the (tag_key, sorted value set) serving shape the query

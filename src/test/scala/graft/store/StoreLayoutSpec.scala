@@ -187,6 +187,86 @@ class StoreLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == expected)
   }
 
+  private def partFiles(dir: String, part: String): Seq[(String, Long)] =
+    new java.io.File(dir, part).listFiles().filter(_.isFile)
+      .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
+
+  private def noSideDirs(dir: String): Boolean =
+    !new java.io.File(dir).listFiles().exists(f =>
+      f.getName.startsWith(".compact-") || f.getName.startsWith(".old-"))
+
+  test("partition-scoped compaction leaves unselected partitions physically untouched") {
+    val dir = freshStore()
+    // redelivery duplicates in BOTH dates
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us), trace("000000000000000b", day2Us))).toDF(), dir)
+    val day2Before = partFiles(dir, "trace_date=2024-01-11")
+    def answer() = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
+      .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts)).sortBy(_._1).toSeq
+    val before = answer()
+
+    StoreLayout.compactTracePartitions(spark, dir,
+      Seq(java.time.LocalDate.parse("2024-01-10")))
+    // the unselected date's files: identical names AND lengths — not rewritten
+    assert(partFiles(dir, "trace_date=2024-01-11") == day2Before)
+    // the selected date collapsed to one canonical row; day 2 keeps its dupes
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-11").count() == 2)
+    assert(answer() == before)
+    assert(noSideDirs(dir), "staging/aside dirs must not survive the swap")
+  }
+
+  test("watermark compaction rewrites only closed window dates; answer unchanged") {
+    val dir = Files.createTempDirectory("graft-depscoped").toString + "/deps"
+    val day1Ms = day1Us / 1000
+    val day2Ms = day2Us / 1000
+    val windows = Seq(
+      (day1Ms, "api", "db", 3L, 1L),
+      (day2Ms, "api", "cache", 2L, 0L)
+    ).toDF("window_start_ms", "parent", "child", "call_count", "error_count")
+    StoreLayout.writeDependencyWindows(windows, dir, batchId = 7L)
+    StoreLayout.writeDependencyWindows(windows, dir, batchId = 7L) // retried micro-batch
+    val day2Before = partFiles(dir, "window_date=2024-01-11")
+    def served() = graft.operators.TraceQueries.dependencies(
+      StoreLayout.readDependencyWindows(spark, dir, day2Ms + 3600000L, 3 * 86400000L),
+      endTs = day2Ms + 3600000L, lookback = 3 * 86400000L).collect()
+      .map(r => (r.getAs[String]("parent"), r.getAs[String]("child"),
+        r.getAs[Long]("call_count"), r.getAs[Long]("error_count"))).toSeq
+    val before = served()
+
+    StoreLayout.compactDependencyWindowsBefore(spark, dir,
+      java.time.LocalDate.parse("2024-01-11"))
+    assert(partFiles(dir, "window_date=2024-01-11") == day2Before)
+    assert(spark.read.parquet(dir + "/window_date=2024-01-10").count() == 1)
+    assert(served() == before)
+    assert(noSideDirs(dir))
+  }
+
+  test("retention + scoped compaction: expired dates gone, served answer unchanged") {
+    val dir = freshStore()
+    // duplicate appends on the live dates, plus an EXPIRED distinct-id trace
+    // nine days earlier — outside any query window, so dropping it must not
+    // change what the store serves
+    val expiredUs = day1Us - 9L * 86400L * 1000000L
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us), trace("00000000000000ee", expiredUs))).toDF(), dir)
+    val endTs = day2Us / 1000 + 3600000L
+    def answer() = graft.operators.TraceQueries.fromStore(
+      StoreLayout.readTraces(spark, dir, endTs, 3 * 86400000L))
+      .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted)).sortBy(_._1).toSeq
+    val before = answer()
+    assert(before.map(_._1) == Seq("000000000000000a", "000000000000000b"))
+
+    val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
+      java.time.LocalDate.parse("2024-01-10"))
+    assert(dropped == Seq("trace_date=2024-01-01"))
+    StoreLayout.compactTracesBefore(spark, dir, java.time.LocalDate.parse("2024-01-11"))
+    assert(!new java.io.File(dir, "trace_date=2024-01-01").exists())
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
+    assert(answer() == before)
+    assert(noSideDirs(dir))
+  }
+
   test("retention drops expired partitions only") {
     val dir = freshStore()
     val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
