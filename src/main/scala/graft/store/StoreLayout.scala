@@ -200,15 +200,33 @@ object StoreLayout {
       (write: (String, String) => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dates.distinct.foreach { d =>
-      val partName = s"$partitionCol=$d"
-      val live = new org.apache.hadoop.fs.Path(path, partName)
-      if (fs.exists(live))
-        swapDirs(fs, live,
-          staging = new org.apache.hadoop.fs.Path(path, s".compact-$partName"),
-          old = new org.apache.hadoop.fs.Path(path, s".old-$partName"))(
-          staging => write(live.toString, staging))
-    }
+    val present = dates.distinct.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$d")))
+    if (present.isEmpty) return
+    // partitions rewrite independently (disjoint dirs, disjoint rows), so a
+    // maintenance cycle over many closed dates runs them CONCURRENTLY — a
+    // bounded pool of Spark jobs per store, not one serial job per date
+    // (30 closed dates would otherwise pay 30 sequential job latencies; job
+    // submission is thread-safe and each job is small by construction)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, present.size))
+    try {
+      val futures = present.map { d =>
+        val partName = s"$partitionCol=$d"
+        val live = new org.apache.hadoop.fs.Path(path, partName)
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = swapDirs(fs, live,
+            staging = new org.apache.hadoop.fs.Path(path, s".compact-$partName"),
+            old = new org.apache.hadoop.fs.Path(path, s".old-$partName"))(
+            staging => write(live.toString, staging))
+        })
+      }
+      // surface the FIRST failure with its own cause (not the wrapper)
+      futures.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
   }
 
   /** Collapse (key, set) delta rows to one sorted-set row per key — the

@@ -112,6 +112,16 @@ class PlanSpec extends SparkSpec {
       1705708800000L, 864000000L), storeDir, "window_date")
   }
 
+  test("q_store_autocomplete: key filter pushes below the collapse to the scan") {
+    val df = SparkEntry.queries("q_store_autocomplete")(spark, dir) // builds the store
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the filter references only the grouping key, so it must cross the
+    // set-collapse aggregate and reach the parquet scan — at scale the read
+    // lists one key's delta rows, not the whole store
+    assert(plan.contains("EqualTo(tag_key,k)"),
+      s"tag_key filter must reach the delta-store scan as a pushed filter:\n$plan")
+  }
+
   test("q_store_get_trace: bucketed probe — zero Exchange, one bucket scanned") {
     val df = SparkEntry.queries("q_store_get_trace")(spark, dir) // builds the store
     df.collect()
