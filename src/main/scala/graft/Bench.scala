@@ -172,7 +172,8 @@ object Bench {
       // would time a row count instead of the query
       val err = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
       catch { case e: Throwable =>
-        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        System.err.println(s"[bench] $name failed: $e")
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
       }
       val cpuSec = { val c = processCpuNanos(); if (c < 0 || cpu0 < 0) -1.0 else (c - cpu0) / 1e9 }
       (name, (System.nanoTime() - t0) / 1e9, cpuSec, err)
@@ -190,9 +191,12 @@ object Bench {
       .mkString("[", ",", "]")
     // a failed query's elapsed time is ~planning cost, not a result — the
     // errors map (and nonzero exit) is what distinguishes fast from broken.
-    // Only FAILED queries are listed ({} = all passed), again for line size.
+    // Only FAILED queries are listed ({} = all passed), and messages are
+    // capped at 100 chars HERE so the line survives a failure inside the
+    // driver's 2KB tail (~1790 chars clean + ~130/failure); the sidecar and
+    // stderr carry the longer message.
     val errs = results.collect { case (k, _, _, Some(e)) =>
-      s"\"" + k + "\":" + jstr(e)
+      s"\"" + k + "\":" + jstr(e.take(100))
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // streaming leg runs at sf0.01 regardless of the timed dir (it measures
@@ -202,11 +206,12 @@ object Bench {
       if (!streamDir.isDirectory) ("null", None)
       else try { spark.catalog.clearCache(); (streamingBench(spark, streamDir.getAbsolutePath), None) }
       catch { case e: Throwable =>
-        ("null", Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+        System.err.println(s"[bench] streaming leg failed: $e")
+        ("null", Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
       }
     // key present only on failure — every byte of the stdout line counts
     // against the driver's tail window
-    val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e)}""").getOrElse("")
+    val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e.take(100))}""").getOrElse("")
     val loadAfter = loadavgJson()
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f2(storeWriteSec)},"load":[$loadBefore,$loadAfter],"streaming":$streamJson$streamErrJson,"sf":${jstr(sfDir)}}"""
     // full-precision per-query wall+CPU detail goes to a sidecar file (the

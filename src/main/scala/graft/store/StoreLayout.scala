@@ -200,8 +200,19 @@ object StoreLayout {
       (write: (String, String) => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val present = dates.distinct.filter(d =>
-      fs.exists(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$d")))
+    val present = dates.distinct.filter { d =>
+      val partName = s"$partitionCol=$d"
+      val live = new org.apache.hadoop.fs.Path(path, partName)
+      // crash recovery: a run that died between its two renames left the
+      // partition's ONLY copy in the aside dir (invisible to readers) —
+      // restore it before compacting, so the pass self-heals instead of
+      // skipping the date forever (the staged copy, if any, is stale-deleted
+      // by swapDirs on this rerun)
+      val old = new org.apache.hadoop.fs.Path(path, s".old-$partName")
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live), s"compaction recovery: could not restore $old to $live")
+      fs.exists(live)
+    }
     if (present.isEmpty) return
     // partitions rewrite independently (disjoint dirs, disjoint rows), so a
     // maintenance cycle over many closed dates runs them CONCURRENTLY — a
@@ -221,12 +232,25 @@ object StoreLayout {
             staging => write(live.toString, staging))
         })
       }
-      // surface the FIRST failure with its own cause (not the wrapper)
+      // surface the FIRST failure with its own cause; cancel the queued
+      // rest — and (finally, below) WAIT for in-flight swaps to finish
+      // before propagating, so no orphaned thread keeps renaming inside a
+      // store whose caller already observed failure (and may delete and
+      // rebuild it)
+      var firstFailure: Throwable = null
       futures.foreach { f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        if (firstFailure != null) f.cancel(false)
+        else try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => firstFailure = e.getCause
+          case e: Throwable => firstFailure = e
+        }
       }
-    } finally pool.shutdown()
+      if (firstFailure != null) throw firstFailure
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+    }
   }
 
   /** Collapse (key, set) delta rows to one sorted-set row per key — the

@@ -267,6 +267,27 @@ class StoreLayoutSpec extends SparkSpec {
     assert(noSideDirs(dir))
   }
 
+  test("scoped compaction self-heals a crash that left the partition in its aside dir") {
+    val dir = freshStore()
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us))).toDF(), dir) // dupe so compaction has work
+    // simulate a run that died between its two renames: the live partition
+    // moved aside, nothing promoted — readers see no 2024-01-10 data at all
+    val live = new java.io.File(dir, "trace_date=2024-01-10")
+    val aside = new java.io.File(dir, ".old-trace_date=2024-01-10")
+    assert(live.renameTo(aside))
+    assert(spark.read.parquet(dir).where("trace_date = DATE'2024-01-10'").count() == 0)
+
+    StoreLayout.compactTracePartitions(spark, dir,
+      Seq(java.time.LocalDate.parse("2024-01-10")))
+    // restored AND compacted: the date is served again, collapsed to one row
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
+    val served = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
+      .collect().map(_.trace_id).sorted
+    assert(served.toSeq == Seq("000000000000000a", "000000000000000b"))
+    assert(noSideDirs(dir))
+  }
+
   test("retention drops expired partitions only") {
     val dir = freshStore()
     val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
