@@ -169,7 +169,10 @@ object StoreLayout {
 
   /** Dates of the `col=` partition directories present under `path`
     * (non-date values are ignored rather than thrown on — foreign dirs are
-    * not this store's partitions).
+    * not this store's partitions). Dates surviving only as `.old-` aside
+    * dirs — a compaction run that crashed between its renames — are listed
+    * too, so the whole-store/watermark passes feed them to the recovery in
+    * [[forEachPartitionDir]] instead of skipping the date forever.
     */
   private def listPartitionDates(spark: SparkSession, path: String,
       partitionCol: String): Seq[java.time.LocalDate] = {
@@ -178,11 +181,13 @@ object StoreLayout {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
+      .map(n => if (n.startsWith(s".old-$partitionCol=")) n.stripPrefix(".old-") else n)
       .filter(_.startsWith(s"$partitionCol="))
       .flatMap { name =>
         try Some(java.time.LocalDate.parse(name.stripPrefix(s"$partitionCol=")))
         catch { case _: Exception => None }
       }
+      .distinct
   }
 
   /** Per-partition stage-and-swap: `write(liveDir, stagingDir)` stages the

@@ -278,9 +278,9 @@ class StoreLayoutSpec extends SparkSpec {
     assert(live.renameTo(aside))
     assert(spark.read.parquet(dir).where("trace_date = DATE'2024-01-10'").count() == 0)
 
-    StoreLayout.compactTracePartitions(spark, dir,
-      Seq(java.time.LocalDate.parse("2024-01-10")))
-    // restored AND compacted: the date is served again, collapsed to one row
+    // the WHOLE-STORE form must find the crashed date (listed only via its
+    // aside dir), restore it, and compact it like any other partition
+    StoreLayout.compactTraces(spark, dir)
     assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
     val served = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
       .collect().map(_.trace_id).sorted
