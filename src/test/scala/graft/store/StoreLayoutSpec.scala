@@ -267,6 +267,42 @@ class StoreLayoutSpec extends SparkSpec {
     assert(noSideDirs(dir))
   }
 
+  test("scoped compaction property: any date subset preserves answers and untouched files") {
+    val rnd = new scala.util.Random(7)
+    val dir = Files.createTempDirectory("graft-subset-prop").toString + "/traces"
+    // 20 traces across 4 dates, partials + replays like the main property test
+    val rows = (1 to 20).flatMap { i =>
+      val id = f"$i%016x"
+      val t0 = day1Us + rnd.nextInt(4 * 86400) * 1000000L
+      val spans = (0 until 1 + rnd.nextInt(3)).map(j =>
+        Span(trace_id = id, id = f"$j%016x", timestamp = Some(t0 + j * 1000000L)))
+      val parts = spans.grouped(1 + rnd.nextInt(2)).toSeq
+        .map(ss => Trace(id, ss, graft.core.Traces.rootTimestamp(ss)))
+      parts ++ parts.filter(_ => rnd.nextBoolean())
+    }
+    StoreLayout.writeTraces(spark.createDataset(rows).toDF(), dir)
+    def fingerprint() = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
+      .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts))
+      .sortBy(_._1).toSeq
+    val before = fingerprint()
+    val allDates = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(f => java.time.LocalDate.parse(f.getName.stripPrefix("trace_date="))).sorted
+    // three successive randomly-chosen subsets (some dates compacted twice,
+    // some never): the answer must be invariant at every intermediate state,
+    // and every unselected date's files must stay physically identical
+    (1 to 3).foreach { _ =>
+      val subset = allDates.filter(_ => rnd.nextBoolean()).toSeq
+      val untouchedBefore = allDates.filterNot(subset.contains)
+        .map(d => d -> partFiles(dir, s"trace_date=$d")).toMap
+      StoreLayout.compactTracePartitions(spark, dir, subset)
+      untouchedBefore.foreach { case (d, files) =>
+        assert(partFiles(dir, s"trace_date=$d") == files, s"$d was rewritten unselected")
+      }
+      assert(fingerprint() == before)
+      assert(noSideDirs(dir))
+    }
+  }
+
   test("scoped compaction self-heals a crash that left the partition in its aside dir") {
     val dir = freshStore()
     StoreLayout.writeTraces(spark.createDataset(Seq(
