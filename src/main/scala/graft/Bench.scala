@@ -228,6 +228,10 @@ object Bench {
     }
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail window")
+    // shutdown WARNs ("Failed to cancel job group…") land on stderr AFTER
+    // the JSON line and eat into the driver's tail window — silence them
+    // once the line is the last thing that matters
+    spark.sparkContext.setLogLevel("ERROR")
     println(line)
     spark.stop()
     if (results.exists(_._4.isDefined) || streamErr.isDefined) sys.exit(1)
