@@ -159,6 +159,10 @@ object Bench {
       System.err.println(s"[bench] store pre-build failed: ${e.getMessage}")
       -1.0
     }
+    // collect the store-build's garbage OUTSIDE the timed region: GC time
+    // is attributed to whichever query triggers it, and the pre-build churns
+    // enough old-gen to noticeably inflate the first heavy queries' cpu_sec
+    System.gc()
     val loadBefore = loadavgJson()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop caches built by the warmup/previous queries: several queries
