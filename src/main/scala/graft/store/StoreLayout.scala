@@ -27,8 +27,8 @@ object StoreLayout {
     * micro-batch appends; a bulk backfill of ~1 TB/day raises it so a day is
     * written (and later scanned) by many tasks.
     */
-  def writeTraces(traces: DataFrame, path: String, filesPerDate: Int = 1): Unit =
-    traces.select(col("trace_id"), col("spans"), col("root_ts"))
+  def writeTraces(traces: DataFrame, path: String, filesPerDate: Int = 1): Unit = {
+    val withDate = traces.select(col("trace_id"), col("spans"), col("root_ts"))
       // UTC epoch-day arithmetic, NOT to_date(): partition assignment must
       // not depend on the writer session's timezone or readers in another
       // zone silently prune the wrong partitions. FLOOR division (SQL DIV
@@ -36,8 +36,11 @@ object StoreLayout {
       // 1969-12-31 date the read side's Math.floorDiv prunes by, or the row
       // becomes unreachable
       .withColumn("trace_date", expr(epochDayExpr("root_ts", 86400000000L)))
+    assertDatesUnleased(withDate, "trace_date", path)
+    withDate
       .repartition(col("trace_date"), pmod(xxhash64(col("trace_id")), lit(filesPerDate)))
       .write.partitionBy("trace_date").mode(SaveMode.Append).parquet(path)
+  }
 
   /** Range read with partition pruning: only `trace_date` partitions
     * intersecting [endTs−lookback, endTs] (ms) are listed.
@@ -190,33 +193,160 @@ object StoreLayout {
       .distinct
   }
 
+  /** Compaction-lease TTL: a lease older than this is treated as abandoned
+    * by a crashed compactor and reclaimed by the next compaction pass (after
+    * the usual `.old-` crash recovery). Writers never reclaim — a stale
+    * lease means the partition may be mid-swap on disk, so appends stay
+    * refused (fail-fast) until a compaction pass heals and releases it.
+    */
+  private val LeaseTtlMs: Long = 30L * 60 * 1000
+
+  private def leasePath(path: String, partName: String) =
+    new org.apache.hadoop.fs.Path(path, s".compacting-$partName")
+
+  /** Atomically acquire a compaction lease (a dot-prefixed marker file,
+    * invisible to Spark's listing). A FRESH existing lease means another
+    * compactor owns the partition → fail fast; a STALE one (crashed run,
+    * see [[LeaseTtlMs]]) is reclaimed. `create(overwrite = false)` makes the
+    * final claim atomic — a concurrent acquirer loses with an exception.
+    */
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(lease)) {
+      val ageMs = System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
+      if (ageMs <= LeaseTtlMs)
+        throw new IllegalStateException(
+          s"compaction refused: $lease is held by a concurrent compactor (age ${ageMs}ms)")
+      fs.delete(lease, false) // stale — crashed owner; reclaim
+    }
+    try fs.create(lease, false).close()
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"compaction refused: lost the race to acquire $lease", e)
+    }
+  }
+
+  /** Dates (as `yyyy-MM-dd` strings) currently under a compaction lease in
+    * `path` — one cheap directory listing, so the no-compaction-running
+    * common case costs writers nothing beyond it.
+    */
+  private def leasedDates(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      partitionCol: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val prefix = s".compacting-$partitionCol="
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).iterator
+      .map(_.getPath.getName).filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix)).toSet
+  }
+
+  /** Fail-fast half of the single-writer contract: refuse an append whose
+    * rows touch a partition currently under a compaction lease — without the
+    * check the append's files land in the retired `.old-` copy after the
+    * swap's rename and are silently dropped. Only when leases exist at all
+    * does this cost a (micro-batch-sized) distinct scan of the append's
+    * partition column; untouched dates append freely.
+    */
+  private def assertDatesUnleased(withDate: DataFrame, partitionCol: String,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      withDate.sparkSession.sparkContext.hadoopConfiguration)
+    val leased = leasedDates(fs, path, partitionCol)
+    if (leased.nonEmpty) {
+      val hit = withDate.select(partitionCol).distinct().collect()
+        .map(_.get(0).toString).toSet.intersect(leased)
+      if (hit.nonEmpty) throw new IllegalStateException(
+        s"append refused: $partitionCol partitions under compaction in $path: " +
+          s"${hit.toSeq.sorted.mkString(", ")} — retry after the lease is released")
+    }
+  }
+
+  /** Fail-fast check for UNpartitioned (whole-dir) stores: refuse an append
+    * while `<path>.compacting` (the lease [[compactSetStore]] holds over its
+    * stage-and-swap) exists.
+    */
+  def assertNotCompacting(spark: SparkSession, path: String): Unit = {
+    val lease = new org.apache.hadoop.fs.Path(path + ".compacting")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(lease)) throw new IllegalStateException(
+      s"append refused: $path is under compaction ($lease present) — " +
+        "retry after the lease is released")
+  }
+
   /** Per-partition stage-and-swap: `write(liveDir, stagingDir)` stages the
     * rewrite of one partition, then the swap promotes it with checked
     * renames. Staging/aside dirs are DOT-prefixED siblings inside the store
     * (`.compact-…`, `.old-…`): Spark's file listing ignores dot-prefixed
-    * names, so a reader never sees a half-written rewrite as a partition —
-    * and a crash mid-swap leaves the data recoverable in one of the side
-    * dirs, invisible to queries, instead of deleted. Single-writer contract
-    * as in [[compactSetStore]]'s swap: quiesce writers of the SELECTED dates
-    * first (untouched dates may keep appending).
+    * names, so a reader never sees a half-written rewrite as a partition.
+    * A crash mid-swap leaves the data recoverable in one of the side dirs,
+    * invisible to queries, instead of deleted.
+    *
+    * Single-writer contract — now CHECKED, not trust-me: each selected
+    * partition is leased (`.compacting-<part>` marker) for the duration;
+    * [[writeTraces]]/[[writeDependencyWindows]] appends touching a leased
+    * date fail fast instead of silently landing in the retired copy, and a
+    * second compactor of the same date fails fast in [[acquireLease]].
+    * Untouched dates append freely.
+    *
+    * READER caveat (unchanged by the lease): between the swap's two renames
+    * a partition is briefly ABSENT — a query listing files in that window
+    * silently serves an answer without that date, and concurrent
+    * per-partition swaps widen the exposure to several dates. Acceptable for
+    * a maintenance pass over CLOSED dates on mostly-historical queries; a
+    * deployment that cannot tolerate it quiesces readers too, or replaces
+    * the directory swap with a table format whose commit is atomic
+    * (Iceberg/Delta-style metadata pointer flip).
     */
   private def forEachPartitionDir(spark: SparkSession, path: String,
       partitionCol: String, dates: Seq[java.time.LocalDate])
       (write: (String, String) => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val present = dates.distinct.filter { d =>
-      val partName = s"$partitionCol=$d"
-      val live = new org.apache.hadoop.fs.Path(path, partName)
-      // crash recovery: a run that died between its two renames left the
-      // partition's ONLY copy in the aside dir (invisible to readers) —
-      // restore it before compacting, so the pass self-heals instead of
-      // skipping the date forever (the staged copy, if any, is stale-deleted
-      // by swapDirs on this rerun)
-      val old = new org.apache.hadoop.fs.Path(path, s".old-$partName")
-      if (!fs.exists(live) && fs.exists(old))
-        require(fs.rename(old, live), s"compaction recovery: could not restore $old to $live")
-      fs.exists(live)
+    val selected = dates.distinct.map(d => s"$partitionCol=$d")
+    // stale-staging sweep: a crash before any rename leaves `.compact-<part>`
+    // behind; re-selecting the date cleans it, but a date never re-selected
+    // (e.g. dropped by retention) would leak the staging dir forever. Sweep
+    // this store's unselected, UNleased `.compact-` orphans here — a leased
+    // one belongs to a live concurrent compactor (or to a crash the lease
+    // TTL will hand back to a later pass, which then re-stages over it).
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(s".compact-$partitionCol=")) {
+        val part = n.stripPrefix(".compact-")
+        if (!selected.contains(part) && !fs.exists(leasePath(path, part)))
+          fs.delete(st.getPath, true)
+      }
+    }
+    // lease every date that has data (live or crashed-aside) BEFORE any
+    // work: a concurrent compactor of any selected date aborts the whole
+    // pass here, with nothing staged and the already-acquired leases
+    // released (store untouched)
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val present = try {
+      dates.distinct.filter { d =>
+        val partName = s"$partitionCol=$d"
+        val live = new org.apache.hadoop.fs.Path(path, partName)
+        val old = new org.apache.hadoop.fs.Path(path, s".old-$partName")
+        val hasData = fs.exists(live) || fs.exists(old)
+        if (hasData) {
+          val lp = leasePath(path, partName)
+          acquireLease(fs, lp)
+          acquired += lp
+          // crash recovery: a run that died between its two renames left the
+          // partition's ONLY copy in the aside dir (invisible to readers) —
+          // restore it (under the fresh lease) so the pass self-heals instead
+          // of skipping the date forever; a stale staged copy is re-staged
+          // over below
+          if (!fs.exists(live) && fs.exists(old))
+            require(fs.rename(old, live),
+              s"compaction recovery: could not restore $old to $live")
+        }
+        hasData
+      }
+    } catch { case e: Throwable =>
+      acquired.foreach(fs.delete(_, false))
+      throw e
     }
     if (present.isEmpty) return
     // partitions rewrite independently (disjoint dirs, disjoint rows), so a
@@ -231,9 +361,10 @@ object StoreLayout {
         val partName = s"$partitionCol=$d"
         val live = new org.apache.hadoop.fs.Path(path, partName)
         pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = swapDirs(fs, live,
+          def call(): Unit = leasedSwap(fs, live,
             staging = new org.apache.hadoop.fs.Path(path, s".compact-$partName"),
-            old = new org.apache.hadoop.fs.Path(path, s".old-$partName"))(
+            old = new org.apache.hadoop.fs.Path(path, s".old-$partName"),
+            lease = leasePath(path, partName))(
             staging => write(live.toString, staging))
         })
       }
@@ -241,11 +372,14 @@ object StoreLayout {
       // rest — and (finally, below) WAIT for in-flight swaps to finish
       // before propagating, so no orphaned thread keeps renaming inside a
       // store whose caller already observed failure (and may delete and
-      // rebuild it)
+      // rebuild it). Cancelled-before-start dates still hold their leases:
+      // release them, their partitions were never touched.
       var firstFailure: Throwable = null
-      futures.foreach { f =>
-        if (firstFailure != null) f.cancel(false)
-        else try f.get()
+      (present zip futures).foreach { case (d, f) =>
+        if (firstFailure != null) {
+          if (f.cancel(false))
+            fs.delete(leasePath(path, s"$partitionCol=$d"), false)
+        } else try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException => firstFailure = e.getCause
           case e: Throwable => firstFailure = e
@@ -254,7 +388,39 @@ object StoreLayout {
       if (firstFailure != null) throw firstFailure
     } finally {
       pool.shutdown()
-      pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+      // never proceed with a swap thread still live (ADVICE r8): loop the
+      // wait — the caller observing a failure may delete and rebuild the
+      // store, and an orphaned thread mid-rename would corrupt it
+      while (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS))
+        System.err.println(s"[compaction] still waiting on in-flight partition swaps in $path")
+    }
+  }
+
+  /** [[swapDirs]] plus lease lifecycle: release the lease on success AND on
+    * a clean abort (failure before any rename — the live partition is
+    * untouched, so writers may resume); KEEP it after a destructive failure
+    * (live already moved aside) so appends stay refused until the next
+    * compaction pass recovers the partition and reclaims the stale lease.
+    */
+  private def leasedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path, lease: org.apache.hadoop.fs.Path)
+      (write: String => Unit): Unit = {
+    var destructive = false
+    try {
+      fs.delete(staging, true)
+      fs.delete(old, true)
+      write(staging.toString)
+      if (!fs.rename(live, old))
+        throw new IllegalStateException(s"compaction: could not move $live aside to $old")
+      destructive = true
+      require(fs.rename(staging, live),
+        s"compaction: could not promote $staging — previous store preserved at $old")
+      fs.delete(old, true)
+      fs.delete(lease, false)
+    } catch { case e: Throwable =>
+      if (!destructive) { fs.delete(staging, true); fs.delete(lease, false) }
+      throw e
     }
   }
 
@@ -277,41 +443,31 @@ object StoreLayout {
     swapRewrite(spark, path)(staging => collapsed.write.parquet(staging))
   }
 
-  /** Stage-and-swap rewrite of a store directory: write to `path.compact`,
-    * move the live store aside to `path.old`, promote staging, drop the old
-    * copy. Every rename result is checked and a crash mid-swap leaves the
-    * data recoverable in one of the side dirs instead of deleted.
+  /** Stage-and-swap rewrite of a whole store directory: write to
+    * `path.compact`, move the live store aside to `path.old`, promote
+    * staging, drop the old copy. Every rename result is checked and a crash
+    * mid-swap leaves the data recoverable in one of the side dirs instead of
+    * deleted.
     *
-    * SINGLE-WRITER CONTRACT: the caller must own the store exclusively for
-    * the duration — the directory swap is not safe against concurrent
-    * appends. A streaming sink committing a micro-batch between the two
-    * renames lands its files in the retired copy and they are silently
-    * dropped, even though the sink's checkpoint records the batch as
-    * written. Quiesce the store's writers first; on a real deployment a
-    * table format with atomic commit (and partition-scoped rewrite for
-    * closed dates) replaces this directory swap.
+    * Single-writer contract — CHECKED via the `<path>.compacting` lease held
+    * for the duration: a delta append between the two renames would land its
+    * files in the retired copy and be silently dropped even though the
+    * sink's checkpoint records the batch as written, so
+    * [[assertNotCompacting]] (called by the append paths, e.g.
+    * `StreamingPipeline.appendAutocompleteDelta`) refuses it while the lease
+    * exists, and a second concurrent compactor fails fast in
+    * [[acquireLease]]. Readers see the same brief-absence window as the
+    * per-partition swap (see [[forEachPartitionDir]]); a table format with
+    * atomic commit replaces this directory swap on a deployment that cannot
+    * tolerate it.
     */
   private def swapRewrite(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    swapDirs(fs, live, new org.apache.hadoop.fs.Path(path + ".compact"),
-      new org.apache.hadoop.fs.Path(path + ".old"))(write)
-  }
-
-  /** The checked stage-and-swap core shared by the whole-dir and
-    * per-partition rewrites: clear side dirs, stage, move live aside,
-    * promote, drop the aside copy — every rename result checked.
-    */
-  private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
-      live: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
-      old: org.apache.hadoop.fs.Path)(write: String => Unit): Unit = {
-    fs.delete(staging, true)
-    fs.delete(old, true)
-    write(staging.toString)
-    require(fs.rename(live, old), s"compaction: could not move $live aside to $old")
-    require(fs.rename(staging, live),
-      s"compaction: could not promote $staging — previous store preserved at $old")
-    fs.delete(old, true)
+    val lease = new org.apache.hadoop.fs.Path(path + ".compacting")
+    acquireLease(fs, lease)
+    leasedSwap(fs, live, new org.apache.hadoop.fs.Path(path + ".compact"),
+      new org.apache.hadoop.fs.Path(path + ".old"), lease)(write)
   }
 
   /** Dependency-window store partitioned by window date. Unlike
@@ -326,12 +482,15 @@ object StoreLayout {
     * backfill over different data passes a fresh id so its rows count even
     * when the partial sums happen to be value-identical.
     */
-  def writeDependencyWindows(windows: DataFrame, path: String, batchId: Long = 0L): Unit =
-    windows
+  def writeDependencyWindows(windows: DataFrame, path: String, batchId: Long = 0L): Unit = {
+    val withDate = windows
       .withColumn("batch_id", lit(batchId))
       .withColumn("window_date", expr(epochDayExpr("window_start_ms", 86400000L)))
+    assertDatesUnleased(withDate, "window_date", path)
+    withDate
       .repartition(col("window_date"))
       .write.partitionBy("window_date").mode(SaveMode.Append).parquet(path)
+  }
 
   /** Range read with window_date pruning, then FULL-ROW dedup: the
     * reference's window store is keyed (a redelivered final overwrites,

@@ -291,12 +291,17 @@ object StreamingPipeline {
   /** One delta-append body shared by the streaming sink's foreachBatch and
     * batch seeding/backfill (SparkEntry's q_store_autocomplete gate): the
     * batch's OWN (tag_key, sorted set) aggregate appended as a delta row —
-    * sharing it means the gate proves the literal sink write path.
+    * sharing it means the gate proves the literal sink write path. Fails
+    * fast while `compactSetStore` holds the store's `.compacting` lease —
+    * an append racing the swap would land in the retired copy and be
+    * silently dropped (the checked single-writer contract, SURVEY §4).
     */
   def appendAutocompleteDelta(spanFields: DataFrame, keys: Seq[String],
-      path: String): Unit =
+      path: String): Unit = {
+    graft.store.StoreLayout.assertNotCompacting(spanFields.sparkSession, path)
     graft.operators.SpanPipeline.autocompleteTagsRelational(spanFields, keys)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+  }
 
   /** Read-side collapse of [[autocompleteTagsToStoreIncremental]]'s delta
     * rows back to the (tag_key, sorted value set) serving shape the query

@@ -324,6 +324,104 @@ class StoreLayoutSpec extends SparkSpec {
     assert(noSideDirs(dir))
   }
 
+  test("append into a leased date fails fast; untouched dates append freely") {
+    val dir = freshStore()
+    // what a compactor holds while staging/swapping 2024-01-10
+    val lease = new java.io.File(dir, ".compacting-trace_date=2024-01-10")
+    assert(lease.createNewFile())
+    val e = intercept[IllegalStateException] {
+      StoreLayout.writeTraces(spark.createDataset(Seq(
+        trace("00000000000000aa", day1Us))).toDF(), dir)
+    }
+    assert(e.getMessage.contains("2024-01-10"))
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1,
+      "refused append must not have landed anything")
+    // a batch touching only the UNleased date goes through
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("00000000000000bb", day2Us))).toDF(), dir)
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-11").count() == 2)
+    assert(lease.delete())
+    // window-store twin of the same contract
+    val wdir = Files.createTempDirectory("graft-deplease").toString + "/deps"
+    val day1Ms = day1Us / 1000
+    val w = Seq((day1Ms, "api", "db", 1L, 0L))
+      .toDF("window_start_ms", "parent", "child", "call_count", "error_count")
+    StoreLayout.writeDependencyWindows(w, wdir)
+    assert(new java.io.File(wdir, ".compacting-window_date=2024-01-10").createNewFile())
+    intercept[IllegalStateException] { StoreLayout.writeDependencyWindows(w, wdir, 1L) }
+  }
+
+  test("second concurrent compactor of a leased date fails fast, store untouched") {
+    val dir = freshStore()
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us))).toDF(), dir) // dupe = work to do
+    val lease = new java.io.File(dir, ".compacting-trace_date=2024-01-10")
+    assert(lease.createNewFile()) // fresh → owned by a live compactor
+    intercept[IllegalStateException] {
+      StoreLayout.compactTracePartitions(spark, dir,
+        Seq(java.time.LocalDate.parse("2024-01-10")))
+    }
+    // nothing staged or swapped: the dupes are still there, lease still held
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 2)
+    assert(lease.exists())
+    assert(!new java.io.File(dir, ".compact-trace_date=2024-01-10").exists())
+    assert(lease.delete())
+  }
+
+  test("stale lease from a crashed compactor is reclaimed and released") {
+    val dir = freshStore()
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us))).toDF(), dir)
+    val lease = new java.io.File(dir, ".compacting-trace_date=2024-01-10")
+    assert(lease.createNewFile())
+    // older than the 30-min TTL → abandoned by a crashed run
+    assert(lease.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+    StoreLayout.compactTracePartitions(spark, dir,
+      Seq(java.time.LocalDate.parse("2024-01-10")))
+    assert(!lease.exists(), "reclaimed lease must be released after the swap")
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
+  }
+
+  test("set-store delta append fails fast under the compaction lease") {
+    val dir = Files.createTempDirectory("graft-setlease").toString + "/auto"
+    val fields = Seq(("svc", "get", null: String, Map("k" -> "v1")))
+      .toDF("service", "name", "remote_service", "tags")
+    graft.streaming.StreamingPipeline.appendAutocompleteDelta(fields, Seq("k"), dir)
+    val lease = new java.io.File(dir + ".compacting")
+    assert(lease.createNewFile())
+    intercept[IllegalStateException] {
+      graft.streaming.StreamingPipeline.appendAutocompleteDelta(fields, Seq("k"), dir)
+    }
+    assert(lease.delete())
+    // with the lease gone both the append and the compactor run; the
+    // compactor acquires and RELEASES its own lease
+    graft.streaming.StreamingPipeline.appendAutocompleteDelta(fields, Seq("k"), dir)
+    StoreLayout.compactSetStore(spark, dir, "tag_key", "values")
+    assert(!lease.exists())
+    val served = graft.streaming.StreamingPipeline.readAutocompleteStore(spark, dir)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(served.toSeq == Seq(("k", Seq("v1"))))
+  }
+
+  test("unleased .compact- staging orphan of an unselected date is swept") {
+    val dir = freshStore()
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000b", day2Us))).toDF(), dir) // day-2 dupe = work
+    // a run that crashed on 2024-01-10 BEFORE any rename: live intact,
+    // partial staging left behind, lease long gone (released or pre-lease)
+    val orphan = new java.io.File(dir, ".compact-trace_date=2024-01-10")
+    assert(orphan.mkdir())
+    assert(new java.io.File(orphan, "part-junk.parquet").createNewFile())
+    val day1Before = partFiles(dir, "trace_date=2024-01-10")
+    // a pass that does NOT select 2024-01-10 still sweeps the orphan
+    StoreLayout.compactTracePartitions(spark, dir,
+      Seq(java.time.LocalDate.parse("2024-01-11")))
+    assert(!orphan.exists(), "stale staging dir must not linger")
+    assert(partFiles(dir, "trace_date=2024-01-10") == day1Before)
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-11").count() == 1)
+    assert(noSideDirs(dir))
+  }
+
   test("retention drops expired partitions only") {
     val dir = freshStore()
     val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
