@@ -874,10 +874,15 @@ object SparkEntry {
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
-    // ——— multimodal: binary columns + stubbed decode/feature extraction ———
+    // ——— multimodal: binary columns + REAL RIFF/WAVE PCM decode. The media
+    // table synthesizes one integer-exact sawtooth WAV per doc id
+    // (Multimodal.sawtoothSamples documents the closed form); the oracle
+    // recomputes duration/RMS/peak/zero-crossing-rate from that closed form
+    // in SQL, so a hash match proves encode → RIFF parse → PCM decode →
+    // feature math is sample-exact end to end ———
     "q_mm_features" -> ((s, dir) => {
-      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
-      Multimodal.extractFeatures(s, media, dim = 8).toDF()
+      val media = Multimodal.wavFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(s, media).toDF()
         .select(col("media_id"), col("byte_len"),
           round(element_at(col("features"), 1), 6).as("f0"),
           round(element_at(col("features"), 2), 6).as("f1"),
@@ -1298,14 +1303,33 @@ object SparkEntry {
     "q_minhash_recall" ->
       "SELECT 'minhash_recall_at_0.8' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
 
+    // the closed-form twin of Multimodal.sawtoothSamples + WavCodec.features:
+    // sr 8000, freq = id%400+40, n = (id%50+10)*20 frames, 16-bit mono →
+    // byte_len = 44-byte header + 2n; f0 duration, f1 RMS, f2 peak, f3
+    // zero-crossing rate. All sample math is integer (// is floor division,
+    // operands non-negative), so both engines derive IDENTICAL samples and
+    // the per-term float shapes (v²/32767², sign-bit change counts) match
+    // the Scala loop exactly.
     "q_mm_features" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  round(CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) / 255.0, 6) AS f0,
-        |  round(CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) / 255.0, 6) AS f1,
-        |  round(CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) / 255.0, 6) AS f2,
-        |  round(CAST(concat('0x', substr(md5(text), 7, 2)) AS INTEGER) / 255.0, 6) AS f3
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 400 + 40 AS freq, (doc_id % 50 + 10) * 20 AS n
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n, i,
+        |    (2 * ((i * freq) % 8000) * 32767) // 8000 - 32767 AS v
+        |  FROM (SELECT doc_id, freq, n, unnest(range(n)) AS i FROM p)
+        |), d AS (
+        |  SELECT doc_id, n, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(44 + 2 * n AS BIGINT) AS byte_len,
+        |  round(max(n) / 8000.0, 6) AS f0,
+        |  round(sqrt(avg(v * v / (32767.0 * 32767.0))), 6) AS f1,
+        |  round(max(abs(v)) / 32767.0, 6) AS f2,
+        |  round(count(CASE WHEN (pv < 0) <> (v < 0) THEN 1 END) * 1.0, 6) AS f3
+        |FROM d GROUP BY doc_id, n""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT doc_id AS media_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.operators.Multimodal.WavCodec
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -13,21 +14,67 @@ class MultimodalSpec extends SparkSpec {
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
   private lazy val media = Multimodal.fromDocuments(docs)
+  private lazy val wavMedia = Multimodal.wavFromDocuments(spark, docs)
 
   test("media schema: binary content + typed metadata") {
     assert(media.schema("content").dataType.typeName == "binary")
     val m = media.where($"media_id" === 1).select("meta.format", "meta.n_frames").head()
     assert(m.getString(0) == "fake/rgb8" && m.getInt(1) == 12) // 11 % 16 + 1
+    assert(wavMedia.schema("content").dataType.typeName == "binary")
+    assert(wavMedia.where($"media_id" === 1).select("meta.format").head().getString(0)
+      == "audio/wav")
   }
 
-  test("extractFeatures: deterministic per-byte features, fixed dim") {
-    val f = Multimodal.extractFeatures(spark, media, dim = 8).collect()
+  test("WavCodec: encode → decode round-trips header fields and every sample") {
+    val samples = Multimodal.sawtoothSamples(7L)
+    val w = WavCodec.decode(WavCodec.encodeMono16(samples, 8000))
+    assert(w.sampleRate == 8000 && w.channels == 1 && w.bitsPerSample == 16)
+    assert(w.samples.toSeq == samples.toSeq)
+    // negative amplitudes survive the 16-bit little-endian round-trip
+    assert(samples.min < 0 && w.samples.min == samples.min)
+  }
+
+  test("WavCodec: 8-bit unsigned recentring and chunk walking") {
+    // hand-built 8-bit mono file with an extra (skippable) LIST chunk before
+    // data; 8-bit WAV stores unsigned bytes centred at 128
+    val bb = java.nio.ByteBuffer.allocate(70).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(62).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(4000).putInt(4000).putShort(1).putShort(8)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(6).put("INFOab".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(4)
+      .put(Array[Byte](0, 128.toByte, 255.toByte, 200.toByte))
+    val w = WavCodec.decode(bb.array())
+    assert(w.sampleRate == 4000 && w.bitsPerSample == 8)
+    assert(w.samples.toSeq == Seq(-128, 0, 127, 72))
+  }
+
+  test("WavCodec: non-PCM, truncated, and non-RIFF payloads are refused") {
+    intercept[IllegalArgumentException] {
+      WavCodec.decode("not audio at all".getBytes("UTF-8"))
+    }
+    val good = WavCodec.encodeMono16(Multimodal.sawtoothSamples(3L), 8000)
+    intercept[IllegalArgumentException] { WavCodec.decode(good.take(30)) } // truncated
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // fmt code 3 = IEEE float — refused, not faked
+    intercept[IllegalArgumentException] { WavCodec.decode(nonPcm) }
+  }
+
+  test("extractFeatures: real decoded-sample features, deterministic") {
+    val f = Multimodal.extractFeatures(spark, wavMedia).collect()
       .map(x => x.media_id -> x).toMap
-    assert(f(1L).byte_len == 11L)
-    assert(f(1L).features.size == 8)
-    assert(f(1L).features.forall(v => v >= 0.0 && v <= 1.0))
+    val samples1 = Multimodal.sawtoothSamples(1L)
+    assert(f(1L).byte_len == 44L + 2L * samples1.length)
+    val Seq(dur, rms, peak, zc) = f(1L).features.toSeq
+    assert(dur == samples1.length / 8000.0)
+    assert(peak == samples1.map(math.abs).max / 32767.0)
+    // a sawtooth spends its life mid-ramp: RMS near 1/√3, well off 0 and 1
+    assert(rms > 0.4 && rms < 0.7)
+    // exact integer crossing count, verified against the raw samples
+    val expectedZc = samples1.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    assert(zc == expectedZc.toDouble)
     // determinism: same bytes → same features
-    val again = Multimodal.extractFeatures(spark, media, dim = 8).collect()
+    val again = Multimodal.extractFeatures(spark, wavMedia).collect()
       .map(x => x.media_id -> x.features).toMap
     assert(again(1L) == f(1L).features)
   }
@@ -40,10 +87,14 @@ class MultimodalSpec extends SparkSpec {
     assert(byId.values.forall(_.length <= 4))
   }
 
-  test("resizeAll caps payload size") {
-    val r = Multimodal.resizeAll(spark, media, 2, 3).collect()
+  test("resizeAll: nearest-neighbour resample to the target frame count") {
+    val r = Multimodal.resizeAll(spark, wavMedia, 10, 10).collect()
       .map(row => row.getAs[Long]("media_id") -> row.getAs[Array[Byte]]("resized")).toMap
-    assert(r(2L).length == 6) // 100 bytes capped at w*h = 6
-    assert(r(1L).length == 6)
+    val out = WavCodec.decode(r(1L))
+    assert(out.frames == 100 && out.sampleRate == 8000 && out.bitsPerSample == 16)
+    // each output frame is a REAL source sample at the floor-mapped index
+    val src = Multimodal.sawtoothSamples(1L)
+    val expected = Array.tabulate(100)(i => src((i.toLong * src.length / 100).toInt))
+    assert(out.samples.toSeq == expected.toSeq)
   }
 }
