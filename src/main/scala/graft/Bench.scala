@@ -2,15 +2,36 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** One streaming leg's numbers; `frag` is the compact JSON the stdout line
+    * carries, `detail` the full object (incl. traces_out/windows_out) for
+    * the sidecar.
+    */
+  private final case class StreamStats(rowsIn: Int, tracesOut: Long, windowsOut: Long,
+      batches: Int, sec: Double, stage1Sec: Double, stage2Sec: Double) {
+    def rps: Double = if (sec > 0) rowsIn / sec else 0.0
+    def frag: String =
+      s"""{"rows_in":$rowsIn,"batches":$batches,"sec":${f2(sec)},""" +
+        s""""stage1_sec":${f2(stage1Sec)},"stage2_sec":${f2(stage2Sec)},""" +
+        s""""rows_per_sec":${f1(rps)}"""
+    def detail: String = frag +
+      s""","traces_out":$tracesOut,"windows_out":$windowsOut}"""
+  }
+
   /** Streaming micro-bench: the reference's three-topology chain (envelopes →
     * session-window traces → dependency links → 1-minute windows) driven
-    * through MemoryStream at sf0.01, so streaming-path regressions show up
+    * through MemoryStream, so streaming-path regressions show up
     * round-over-round. The two stages are separate streaming queries — the
     * stage boundary mirrors the reference's `zipkin-dependency` topic (and
     * Spark drops event-time lineage across the typed flatMap anyway).
-    * Returns a JSON object fragment.
+    * Runs twice per bench — sf0.01 and the timed dir — with the SAME batch
+    * count, so the two `rows_per_sec` values together show the per-batch
+    * fixed cost (state-store commits, ~250 ms floor documented in DESIGN.md)
+    * amortizing away: 10× the rows through the same 5 batches must yield
+    * ≫1× the throughput, or per-BATCH cost, not per-ROW cost, would be
+    * dominating — the claim 100 TB ingest rests on.
     */
-  private def streamingBench(spark: SparkSession, sfDir: String): String = {
+  private def streamingBench(spark: SparkSession, sfDir: String,
+      tag: String): StreamStats = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming._
     import spark.implicits._
@@ -23,8 +44,7 @@ object Bench {
       .map(sp => SpanEnvelope(new java.sql.Timestamp(sp.timestampAsLong / 1000), sp))
       .sortBy(_.ingest_ts.getTime)
     if (envs.isEmpty) // empty fixture is a reportable zero, not a bench crash
-      return """{"rows_in":0,"traces_out":0,"windows_out":0,"batches":0,""" +
-        """"sec":0,"stage1_sec":0,"stage2_sec":0,"rows_per_sec":0}"""
+      return StreamStats(0, 0, 0, 0, 0, 0, 0)
     // stateful micro-batches pay a per-(partition × batch) state-store commit;
     // 32 shuffle partitions for a 10k-row leg would measure commit overhead,
     // not pipeline throughput. Env knob so the floor is measurable directly
@@ -37,7 +57,7 @@ object Bench {
     val t0 = System.nanoTime()
     val in1 = MemoryStream[SpanEnvelope]
     val q1 = StreamingPipeline.sessionTraces(in1.toDS())
-      .writeStream.format("memory").queryName("bench_stream_traces")
+      .writeStream.format("memory").queryName(s"bench_stream_traces_$tag")
       .outputMode("append").start()
     envs.grouped(math.max(1, envs.length / 4)).foreach { chunk =>
       in1.addData(chunk.toIndexedSeq); q1.processAllAvailable()
@@ -47,7 +67,7 @@ object Bench {
       new java.sql.Timestamp(envs.last.ingest_ts.getTime + 3600000L),
       envs.last.span))
     q1.processAllAvailable()
-    val closed = spark.table("bench_stream_traces").as[ClosedTrace].collect()
+    val closed = spark.table(s"bench_stream_traces_$tag").as[ClosedTrace].collect()
       .sortBy(_.close_ts.getTime)
     val batches1 = q1.recentProgress.count(_.numInputRows > 0)
     q1.stop()
@@ -57,7 +77,7 @@ object Bench {
     val in2 = MemoryStream[ClosedTrace]
     val q2 = StreamingPipeline.dependencyWindowCounts(
         StreamingPipeline.dependencyLinkEvents(in2.toDS()))
-      .writeStream.format("memory").queryName("bench_stream_windows")
+      .writeStream.format("memory").queryName(s"bench_stream_windows_$tag")
       .outputMode("append").start()
     closed.grouped(math.max(1, closed.length / 4)).foreach { chunk =>
       in2.addData(chunk.toIndexedSeq); q2.processAllAvailable()
@@ -76,15 +96,11 @@ object Bench {
           kind = Some("SERVER"), name = Some("b"), local_endpoint = closerEp("wm_b"))),
       0L))
     q2.processAllAvailable()
-    val windowsOut = spark.table("bench_stream_windows").count()
+    val windowsOut = spark.table(s"bench_stream_windows_$tag").count()
     q2.stop()
     val tEnd = System.nanoTime()
-    val sec = (tEnd - t0) / 1e9
-    val rps = if (sec > 0) envs.length / sec else 0.0
-    s"""{"rows_in":${envs.length},"traces_out":${closed.length},""" +
-      s""""windows_out":$windowsOut,"batches":$batches1,""" +
-      s""""sec":${f3(sec)},"stage1_sec":${f3((t1 - t0) / 1e9)},""" +
-      s""""stage2_sec":${f3((tEnd - t1) / 1e9)},"rows_per_sec":${f1(rps)}}"""
+    StreamStats(envs.length, closed.length, windowsOut, batches1,
+      (tEnd - t0) / 1e9, (t1 - t0) / 1e9, (tEnd - t1) / 1e9)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -94,9 +110,9 @@ object Bench {
     * line — budget ≤ 1800 chars. (r1–r7's `parsed: null` had TWO causes:
     * full-precision doubles overflowing the window in early rounds, and —
     * once the line fit — sbt's logger stamping it with "[info] ", fixed in
-    * build.sbt via run/outputStrategy := StdoutOutput.) 3 decimals for the
-    * headline/streaming seconds, 2 for per-query wall, 1 for rates/CPU; the
-    * sidecar `target/bench_detail.json` keeps full precision.
+    * build.sbt via run/outputStrategy := StdoutOutput.) 2 decimals for
+    * seconds, 1 for rates/CPU; the sidecar `target/bench_detail.json` keeps
+    * full precision.
     */
   private def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
   private def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
@@ -109,6 +125,15 @@ object Bench {
   private def loadavgJson(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split("\\s+").take(3).mkString("[", ",", "]")
+    catch { case _: Throwable => "null" }
+
+  /** 1-minute load only, for the stdout line (the full triples go to the
+    * sidecar): with min-of-2 walls the load numbers are corroboration, not
+    * the primary contamination defence, and the line's byte budget is tight.
+    */
+  private def loadavg1(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").head
     catch { case _: Throwable => "null" }
 
   /** Cumulative process CPU nanos (-1 where the JVM doesn't expose it). */
@@ -159,28 +184,49 @@ object Bench {
       System.err.println(s"[bench] store pre-build failed: ${e.getMessage}")
       -1.0
     }
-    // collect the store-build's garbage OUTSIDE the timed region: GC time
-    // is attributed to whichever query triggers it, and the pre-build churns
-    // enough old-gen to noticeably inflate the first heavy queries' cpu_sec
-    System.gc()
-    val loadBefore = loadavgJson()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // drop caches built by the warmup/previous queries: several queries
-      // share cached lineages (e.g. the shingle index), and timing one
-      // against another's warm cache would flatter it
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val cpu0 = processCpuNanos()
-      // full materialization of every output column on the executors —
-      // a bare count() lets Catalyst prune unevaluated projections, which
-      // would time a row count instead of the query
-      val err = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: $e")
-        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+    def runSuite(): Seq[(String, Double, Double, Option[String])] = {
+      // collect the previous region's garbage OUTSIDE the timed queries: GC
+      // time is attributed to whichever query triggers it, and the store
+      // pre-build / previous pass churns enough old-gen to noticeably
+      // inflate the first heavy queries' cpu_sec
+      System.gc()
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // drop caches built by the warmup/previous queries: several queries
+        // share cached lineages (e.g. the shingle index), and timing one
+        // against another's warm cache would flatter it
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val cpu0 = processCpuNanos()
+        // full materialization of every output column on the executors —
+        // a bare count() lets Catalyst prune unevaluated projections, which
+        // would time a row count instead of the query
+        val err = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        }
+        val cpuSec = { val c = processCpuNanos(); if (c < 0 || cpu0 < 0) -1.0 else (c - cpu0) / 1e9 }
+        (name, (System.nanoTime() - t0) / 1e9, cpuSec, err)
       }
-      val cpuSec = { val c = processCpuNanos(); if (c < 0 || cpu0 < 0) -1.0 else (c - cpu0) / 1e9 }
-      (name, (System.nanoTime() - t0) / 1e9, cpuSec, err)
+    }
+    val loadBefore = loadavgJson()
+    val load1Before = loadavg1()
+    // TWO back-to-back passes; the line reports each query's MIN wall (and
+    // min cpu): transient co-load on the host inflates one pass, not both,
+    // so a contaminated window can no longer fake a regression in the
+    // headline (three of rounds 5–8 needed manual adjudication for exactly
+    // that). The min is the right statistic here — the suite is deterministic
+    // compute, where the floor IS the code's cost and everything above it is
+    // interference. The sidecar keeps both passes in full.
+    val passes = Seq(runSuite(), runSuite())
+    val results = passes.head.indices.map { i =>
+      val runs = passes.map(_(i))
+      val (name, _, _, _) = runs.head
+      val wall = runs.map(_._2).min
+      val cpus = runs.map(_._3)
+      val cpu = if (cpus.exists(_ < 0)) -1.0 else cpus.min
+      // a query that failed in EITHER pass is broken or flaky — surface it
+      (name, wall, cpu, runs.flatMap(_._4).headOption)
     }
     def jstr(s: String): String = Verify.jstr(s) // shared driver-JSON escaper
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f2(v) }
@@ -203,29 +249,50 @@ object Bench {
       s"\"" + k + "\":" + jstr(e.take(100))
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // streaming leg runs at sf0.01 regardless of the timed dir (it measures
-    // the pipeline, not the scale factor) and reports rows/s + batch count
+    // streaming leg 1 runs at sf0.01 regardless of the timed dir (the
+    // fixed-floor point); leg 2 re-runs the identical pipeline on the timed
+    // dir's rows (~10×) through the SAME batch count, so the pair of
+    // rows_per_sec values in the line demonstrates the per-batch floor
+    // amortizing (see streamingBench's doc)
     val streamDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
-    val (streamJson, streamErr) =
-      if (!streamDir.isDirectory) ("null", None)
-      else try { spark.catalog.clearCache(); (streamingBench(spark, streamDir.getAbsolutePath), None) }
+    var streamErr: Option[String] = None
+    def streamLeg(dir: java.io.File, tag: String): Option[StreamStats] =
+      if (!dir.isDirectory || streamErr.isDefined) None
+      else try { spark.catalog.clearCache(); Some(streamingBench(spark, dir.getAbsolutePath, tag)) }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming leg failed: $e")
-        ("null", Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
+        System.err.println(s"[bench] streaming leg $tag failed: $e")
+        streamErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        None
       }
+    val streamSmall = streamLeg(streamDir, "small")
+    val streamBig = // skip when the timed dir IS sf0.01 — it would duplicate leg 1
+      if (new java.io.File(sfDir).getCanonicalPath == streamDir.getCanonicalPath) None
+      else streamLeg(new java.io.File(sfDir), "big")
+    // compact "big" object: only what the amortization claim needs — the
+    // sidecar carries the rest
+    val bigFrag = streamBig.map(b =>
+      s""","big":{"rows":${b.rowsIn},"sec":${f2(b.sec)},"rps":${f1(b.rps)}}""").getOrElse("")
+    val streamJson = streamSmall.map(_.frag + bigFrag + "}").getOrElse("null")
     // key present only on failure — every byte of the stdout line counts
     // against the driver's tail window
     val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e.take(100))}""").getOrElse("")
     val loadAfter = loadavgJson()
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f2(storeWriteSec)},"load":[$loadBefore,$loadAfter],"streaming":$streamJson$streamErrJson,"sf":${jstr(sfDir)}}"""
-    // full-precision per-query wall+CPU detail goes to a sidecar file (the
-    // stdout line is the driver's parse target and must fit its tail window)
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streamJson$streamErrJson,"sf":${jstr(sfDir)}}"""
+    // full-precision per-query wall+CPU detail for BOTH passes goes to a
+    // sidecar file (the stdout line is the driver's parse target and must
+    // fit its tail window)
     try {
-      val detail = results.map { case (k, v, c, e) =>
-        s"\"$k\":{\"wall_sec\":$v,\"cpu_sec\":$c,\"error\":${e.map(jstr).getOrElse("null")}}"
+      val detail = results.zipWithIndex.map { case ((k, v, c, e), i) =>
+        val pj = passes.map(p => s"[${p(i)._2},${p(i)._3}]").mkString("[", ",", "]")
+        s"\"$k\":{\"wall_sec\":$v,\"cpu_sec\":$c,\"passes\":$pj,\"error\":${e.map(jstr).getOrElse("null")}}"
       }.mkString("{", ",", "}")
+      val streamDetail = (streamSmall, streamBig) match {
+        case (Some(s), Some(b)) => s"""{"small":${s.detail},"big":${b.detail}}"""
+        case (Some(s), None) => s"""{"small":${s.detail}}"""
+        case _ => "null"
+      }
       val w = new java.io.PrintWriter("target/bench_detail.json", "UTF-8")
-      try w.println(s"""{"queries":$detail,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamJson,"sf":${jstr(sfDir)}}""")
+      try w.println(s"""{"queries":$detail,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)}}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
