@@ -164,8 +164,10 @@ object Multimodal {
       val mono: Array[Int] =
         if (w.channels == 1) w.samples
         else Array.tabulate(w.frames)(f => (w.samples(2 * f) + w.samples(2 * f + 1)) / 2)
-      // widen 8-bit to 16-bit full scale so the output container is uniform
-      val scaled = if (w.bitsPerSample == 16) mono else mono.map(_ * 258)
+      // widen 8-bit to 16-bit so the output container is uniform: ×256, not
+      // ×258-to-full-scale — the 8-bit range is −128..127 and −128×258 =
+      // −33024 would overflow the signed 16-bit sample and wrap positive
+      val scaled = if (w.bitsPerSample == 16) mono else mono.map(_ * 256)
       val out = Array.tabulate(targetFrames)(i =>
         scaled((i.toLong * w.frames / targetFrames).toInt))
       encodeMono16(out, w.sampleRate)

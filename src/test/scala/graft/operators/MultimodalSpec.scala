@@ -47,6 +47,11 @@ class MultimodalSpec extends SparkSpec {
     val w = WavCodec.decode(bb.array())
     assert(w.sampleRate == 4000 && w.bitsPerSample == 8)
     assert(w.samples.toSeq == Seq(-128, 0, 127, 72))
+    // resampling the 8-bit file widens without sign overflow: the
+    // full-negative sample must stay full-negative, never wrap positive
+    val widened = WavCodec.decode(WavCodec.resample(bb.array(), 4))
+    assert(widened.bitsPerSample == 16)
+    assert(widened.samples.toSeq == Seq(-32768, 0, 32512, 18432))
   }
 
   test("WavCodec: non-PCM, truncated, and non-RIFF payloads are refused") {
