@@ -246,6 +246,13 @@ object StoreLayout {
     * swap's rename and are silently dropped. Only when leases exist at all
     * does this cost a (micro-batch-sized) distinct scan of the append's
     * partition column; untouched dates append freely.
+    *
+    * Honest residual: this is check-then-write, so a compactor acquiring
+    * the lease INSIDE the gap between this check and the append's commit
+    * can still orphan it — the lease shrinks the loss window from "the
+    * whole compaction" to that gap and makes every steady-state overlap
+    * fail fast, which is what a marker file on a filesystem can give;
+    * closing the gap entirely takes an atomic-commit table format.
     */
   private def assertDatesUnleased(withDate: DataFrame, partitionCol: String,
       path: String): Unit = {
