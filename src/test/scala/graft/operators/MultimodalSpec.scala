@@ -54,6 +54,39 @@ class MultimodalSpec extends SparkSpec {
     assert(widened.samples.toSeq == Seq(-32768, 0, 32512, 18432))
   }
 
+  test("WavCodec: 16-bit stereo decode, features, and mono mixdown") {
+    // hand-built stereo file: frames (L,R) = (1000,3000), (-2000,-4000),
+    // (32767,-32767) — interleaved little-endian
+    val frames = Array(1000, 3000, -2000, -4000, 32767, -32767)
+    val dataLen = frames.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(32000).putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    frames.foreach(s => bb.putShort(s.toShort))
+    val w = WavCodec.decode(bb.array())
+    assert(w.channels == 2 && w.frames == 3 && w.samples.toSeq == frames.toSeq)
+    val Seq(dur, _, peak, _) = WavCodec.features(w).toSeq
+    assert(dur == 3 / 8000.0) // duration counts FRAMES, not interleaved samples
+    assert(peak == 1.0)
+    // resample mixes channels per frame: (1000+3000)/2, (-2000-4000)/2,
+    // (32767-32767)/2 — then passes through at the same frame count
+    val mixed = WavCodec.decode(WavCodec.resample(bb.array(), 3))
+    assert(mixed.channels == 1 && mixed.samples.toSeq == Seq(2000, -3000, 0))
+  }
+
+  test("WavCodec property: random sample arrays survive encode → decode exactly") {
+    val rnd = new scala.util.Random(11)
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(400)
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768) // full signed 16-bit range
+      val w = WavCodec.decode(WavCodec.encodeMono16(samples, 8000))
+      assert(w.sampleRate == 8000 && w.channels == 1 && w.bitsPerSample == 16)
+      assert(w.samples.toSeq == samples.toSeq)
+    }
+  }
+
   test("WavCodec: non-PCM, truncated, and non-RIFF payloads are refused") {
     intercept[IllegalArgumentException] {
       WavCodec.decode("not audio at all".getBytes("UTF-8"))
