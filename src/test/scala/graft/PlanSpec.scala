@@ -142,6 +142,16 @@ class PlanSpec extends SparkSpec {
       s"expected bucket pruning on the isin probe:\n$plan")
   }
 
+  test("q_mm_features: WAV synth+decode plans as one stage, zero Exchange") {
+    // the codec runs inside partition-local typed maps — shuffling opaque
+    // media payloads (the dominant bytes at scale) would be the one way to
+    // make this operator slow; pin that the plan never does
+    val plan = SparkEntry.queries("q_mm_features")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"media decode must stay partition-local, no shuffle:\n$plan")
+  }
+
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
