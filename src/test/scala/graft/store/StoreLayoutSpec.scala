@@ -422,6 +422,30 @@ class StoreLayoutSpec extends SparkSpec {
     assert(noSideDirs(dir))
   }
 
+  test("a failed partition rewrite aborts cleanly: store intact, lease released") {
+    val dir = freshStore()
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us), trace("000000000000000b", day2Us))).toDF(), dir)
+    // a corrupt parquet file (e.g. a torn upload) lands in day 1: the
+    // rewrite's read job fails BEFORE any rename — the clean-abort path
+    val corrupt = new java.io.File(dir, "trace_date=2024-01-10/part-corrupt.parquet")
+    val out = new java.io.FileOutputStream(corrupt)
+    try out.write("this is not parquet".getBytes("UTF-8")) finally out.close()
+    val day1Before = partFiles(dir, "trace_date=2024-01-10")
+    intercept[Throwable] {
+      StoreLayout.compactTracePartitions(spark, dir, Seq(
+        java.time.LocalDate.parse("2024-01-10"), java.time.LocalDate.parse("2024-01-11")))
+    }
+    // the failed date is byte-identical (nothing renamed), its staging is
+    // deleted, and NO lease survives — writers may resume immediately
+    assert(partFiles(dir, "trace_date=2024-01-10") == day1Before)
+    assert(noSideDirs(dir), "clean abort must sweep its staging dir")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".compacting-")),
+      "no lease may survive a clean abort (or a sibling date's success)")
+    // the healthy sibling date is still a valid readable partition
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-11").count() >= 1)
+  }
+
   test("retention drops expired partitions only") {
     val dir = freshStore()
     val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
