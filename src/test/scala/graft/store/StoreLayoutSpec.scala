@@ -446,6 +446,39 @@ class StoreLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/trace_date=2024-01-11").count() >= 1)
   }
 
+  test("destructive crash state (aside dir + stale lease) heals in one pass") {
+    val dir = freshStore()
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us))).toDF(), dir) // dupe = work
+    // a run that died BETWEEN its two renames keeps its lease by design —
+    // so the realistic crash state is aside dir AND lease together
+    val live = new java.io.File(dir, "trace_date=2024-01-10")
+    assert(live.renameTo(new java.io.File(dir, ".old-trace_date=2024-01-10")))
+    val lease = new java.io.File(dir, ".compacting-trace_date=2024-01-10")
+    assert(lease.createNewFile())
+    assert(lease.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+    StoreLayout.compactTraces(spark, dir)
+    // fully healed: restored, compacted, lease released, side dirs gone
+    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
+    assert(!lease.exists())
+    assert(noSideDirs(dir))
+  }
+
+  test("a FRESH lease protects an in-flight swap's aside state from recovery") {
+    val dir = freshStore()
+    // mid-swap observable state of a LIVE concurrent compactor: live moved
+    // aside, lease fresh — a second pass must not "recover" under it
+    val live = new java.io.File(dir, "trace_date=2024-01-10")
+    val aside = new java.io.File(dir, ".old-trace_date=2024-01-10")
+    assert(live.renameTo(aside))
+    val lease = new java.io.File(dir, ".compacting-trace_date=2024-01-10")
+    assert(lease.createNewFile())
+    intercept[IllegalStateException] { StoreLayout.compactTraces(spark, dir) }
+    assert(aside.exists() && !live.exists(), "in-flight swap state must be untouched")
+    assert(lease.exists())
+    assert(lease.delete())
+  }
+
   test("retention drops expired partitions only") {
     val dir = freshStore()
     val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
