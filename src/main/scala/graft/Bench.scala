@@ -114,7 +114,6 @@ object Bench {
     * seconds, 1 for rates/CPU; the sidecar `target/bench_detail.json` keeps
     * full precision.
     */
-  private def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
   private def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
   private def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
   /** Host 1/5/15-min load averages as a JSON array — recorded before and
