@@ -201,9 +201,16 @@ object SparkEntry {
     * into two deterministic halves fed through the literal streaming-sink
     * delta-append body ([[graft.streaming.StreamingPipeline
     * .appendAutocompleteDelta]]) — two micro-batches plus a REPLAYED first
-    * batch (at-least-once re-append) — then physically collapsed by
-    * `compactSetStore`. q_store_autocomplete serves the identical
-    * q_a8_autocomplete answer through delta → replay → compact → collapse.
+    * batch (at-least-once re-append) — plus RETENTION FODDER: the first
+    * half's values re-tagged `exp…` and shifted ~300 days into the past, so
+    * they land in expired `seen_date` partitions (ST6 now covers the set
+    * stores — the reference keeps autocomplete in a windowed store,
+    * streams/TraceStorageTopology.java:143-149). The lifecycle then runs as
+    * maintenance would: `dropExpired` removes the expired partitions (had
+    * it failed, the `exp…` values would surface and break the oracle hash),
+    * `compactSetStore` generation-commits the rest. q_store_autocomplete
+    * serves the identical q_a8_autocomplete answer through
+    * delta → replay → expire → compact → collapse.
     */
   private def autocompleteStore(s: SparkSession, dir: String): String =
     ensureStore(s, "actags", dir) { path =>
@@ -211,9 +218,17 @@ object SparkEntry {
       val half = pmod(xxhash64(col("event_id")), lit(2))
       val b0 = EventSpans.spanFields(ev.where(half === 0))
       val b1 = EventSpans.spanFields(ev.where(half === 1))
+      val expired = b0
+        .withColumn("event_us", col("event_us") - lit(ExpiredShiftUs))
+        .withColumn("tags", map(lit("k"), concat(lit("exp"), col("tags")("k"))))
+      graft.streaming.StreamingPipeline.appendAutocompleteDelta(expired, Seq("k"), path)
       graft.streaming.StreamingPipeline.appendAutocompleteDelta(b0, Seq("k"), path)
       graft.streaming.StreamingPipeline.appendAutocompleteDelta(b1, Seq("k"), path)
       graft.streaming.StreamingPipeline.appendAutocompleteDelta(b0, Seq("k"), path)
+      val dropped = graft.store.StoreLayout.dropExpired(s, path, "seen_date",
+        java.time.LocalDate.parse("2024-01-01"))
+      require(dropped.nonEmpty,
+        "retention fixture: expected expired seen_date partitions to drop")
       graft.store.StoreLayout.compactSetStore(s, path, "tag_key", "values")
     }
 
@@ -496,9 +511,10 @@ object SparkEntry {
     // ——— the SAME autocomplete answer served through the incremental
     //     delta store (the reference's persistent autocomplete store,
     //     streams/TraceStorageTopology.java:143-149): two batch-local delta
-    //     appends + one replayed append, compactSetStore's physical
-    //     collapse, then the read-side collapse — the last store shape in
-    //     the shared-oracle family; the store must not change the answer ———
+    //     appends + one replayed append + expired fodder dropped by
+    //     seen_date retention (ST6), compactSetStore's generation commit,
+    //     then the read-side collapse — the last store shape in the
+    //     shared-oracle family; the lifecycle must not change the answer ———
     "q_store_autocomplete" -> ((s, dir) =>
       TraceQueries.autocompleteValues(
         graft.streaming.StreamingPipeline.readAutocompleteStore(

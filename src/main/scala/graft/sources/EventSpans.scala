@@ -135,6 +135,7 @@ object EventSpans {
       col("event_type").as("service"),
       col("event_type").as("name"),
       col("parent_type").as("remote_service"),
+      col("ts_us").as("event_us"),
       map_concat(
         when(col("event_type") === "error", map(lit("error"), lit("")))
           .otherwise(map()),

@@ -12,6 +12,43 @@ import org.apache.spark.sql.functions._
   *  - retention is a partition drop (the analog of segment expiry — traces
   *    1 d, names 7 d, dependencies 7 d by default), and
   *  - point lookups on key prune via min/max row-group stats.
+  *
+  * == Generation commit ==
+  *
+  * Compaction promotes its rewrite with a GENERATION POINTER, not a
+  * directory swap. Inside each partition directory:
+  *
+  * {{{
+  *   trace_date=2024-01-10/
+  *     part-*.parquet        // loose append files (visible to listings)
+  *     .gen-000001/          // a compacted generation (dot = hidden)
+  *       part-*.parquet
+  *       _absorbed           // names of the loose files merged into it
+  *     _current-000001       // pointer: highest number with a gen dir wins
+  * }}}
+  *
+  * The commit is two atomic renames-or-creates: staging dir → `.gen-N`
+  * (rename; loses to any concurrent N), then `_current-N` created with
+  * `overwrite = false`. Readers resolve the highest pointer whose gen dir
+  * exists and read that generation PLUS the loose files NOT named in its
+  * `_absorbed` manifest. Consequences, each pinned by StoreLayoutSpec:
+  *  - a reader interleaved at ANY point of a compaction sees a complete
+  *    partition — the old view until the pointer lands, the new view after;
+  *    there is no between-renames absence window because nothing live is
+  *    ever moved;
+  *  - an append racing a compaction is NEVER dropped: appends land as loose
+  *    files, the rewrite reads an explicit file snapshot, and only files in
+  *    the committed manifest are ever excluded or (one cycle later) deleted
+  *    — a file the rewrite didn't see stays served;
+  *  - a crash at any step leaves either the old state (stage orphan, gen
+  *    without pointer — swept by the next pass) or the fully-committed new
+  *    state (pointer landed; cleanup is deferred anyway) — never a
+  *    half-state, and never a double count: absorbed loose files are
+  *    manifest-excluded from reads the instant the pointer lands, whether
+  *    or not their deferred deletion ever ran.
+  * Old generations and absorbed loose files are removed by the NEXT pass
+  * (one-cycle grace), so a reader that resolved just before a flip keeps
+  * every file it listed for a full maintenance interval.
   */
 object StoreLayout {
 
@@ -26,9 +63,13 @@ object StoreLayout {
     * keys so each date lands in ≈ filesPerDate files. The default 1 suits
     * micro-batch appends; a bulk backfill of ~1 TB/day raises it so a day is
     * written (and later scanned) by many tasks.
+    *
+    * Appends never block on compaction and are never lost to one: a loose
+    * file outside the committed generation's manifest is always served (see
+    * the generation-commit contract in the class doc).
     */
-  def writeTraces(traces: DataFrame, path: String, filesPerDate: Int = 1): Unit = {
-    val withDate = traces.select(col("trace_id"), col("spans"), col("root_ts"))
+  def writeTraces(traces: DataFrame, path: String, filesPerDate: Int = 1): Unit =
+    traces.select(col("trace_id"), col("spans"), col("root_ts"))
       // UTC epoch-day arithmetic, NOT to_date(): partition assignment must
       // not depend on the writer session's timezone or readers in another
       // zone silently prune the wrong partitions. FLOOR division (SQL DIV
@@ -36,14 +77,11 @@ object StoreLayout {
       // 1969-12-31 date the read side's Math.floorDiv prunes by, or the row
       // becomes unreachable
       .withColumn("trace_date", expr(epochDayExpr("root_ts", 86400000000L)))
-    assertDatesUnleased(withDate, "trace_date", path)
-    withDate
       .repartition(col("trace_date"), pmod(xxhash64(col("trace_id")), lit(filesPerDate)))
       .write.partitionBy("trace_date").mode(SaveMode.Append).parquet(path)
-  }
 
   /** Range read with partition pruning: only `trace_date` partitions
-    * intersecting [endTs−lookback, endTs] (ms) are listed.
+    * intersecting [endTs−lookback, endTs] (ms) are resolved and listed.
     *
     * Callers that MERGE partial rows afterwards (fromStore) must over-read
     * by their partial-spread bound (session length + allowed lateness) and
@@ -52,19 +90,23 @@ object StoreLayout {
     * a trace whose merged root is inside it.
     */
   def readTraces(spark: SparkSession, path: String, endTs: Long, lookback: Long): DataFrame =
-    spark.read.parquet(path)
+    readPartitioned(spark, path, "trace_date",
+      Some(utcLocalDate(endTs - lookback)), Some(utcLocalDate(endTs)))
       .where(col("trace_date").between(utcDate(endTs - lookback), utcDate(endTs)))
       .where(col("root_ts").between((endTs - lookback) * 1000, endTs * 1000))
 
+  /** Epoch-ms → UTC date (reader-timezone independent). */
+  private def utcLocalDate(epochMs: Long): java.time.LocalDate =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(epochMs, 86400000L))
+
   /** Epoch-ms → UTC date literal (reader-timezone independent). */
-  private def utcDate(epochMs: Long) =
-    lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(epochMs, 86400000L)).toString).cast("date")
+  private def utcDate(epochMs: Long) = lit(utcLocalDate(epochMs).toString).cast("date")
 
   /** SQL text for the UTC date of an epoch column with `unitPerDay` ticks
     * per day, using FLOOR division so negatives agree with [[utcDate]]'s
     * Math.floorDiv on the read side (SQL DIV truncates toward zero).
     */
-  private def epochDayExpr(colName: String, unitPerDay: Long): String =
+  private[graft] def epochDayExpr(colName: String, unitPerDay: Long): String =
     s"date_add(DATE'1970-01-01', CAST(CASE WHEN $colName < 0 " +
       s"THEN ($colName - ${unitPerDay - 1}) DIV $unitPerDay " +
       s"ELSE $colName DIV $unitPerDay END AS INT))"
@@ -87,13 +129,9 @@ object StoreLayout {
     *    mergeRows) stays in place as the correctness backstop; compaction
     *    is an optimization, not a correctness requirement.
     *
-    * Delegates to [[compactTracePartitions]] over every present date — each
-    * partition is staged and swapped independently (checked renames,
-    * dot-prefixed side dirs invisible to readers), so this whole-store form
-    * is just "all dates at once"; production runs [[compactTracesBefore]] so
-    * only closed dates are rewritten. No counts are computed — that would
-    * cost two extra full-store scans; callers who want them can count the
-    * parquet dirs themselves.
+    * Delegates to [[compactTracePartitions]] over every present date; each
+    * partition commits independently via the generation pointer (class doc).
+    * Production runs [[compactTracesBefore]] so only closed dates rewrite.
     */
   def compactTraces(spark: SparkSession, path: String, filesPerDate: Int = 1): Unit =
     compactTracePartitions(spark, path, listPartitionDates(spark, path, "trace_date"),
@@ -101,8 +139,9 @@ object StoreLayout {
 
   /** Closed-date watermark variant: compact only `trace_date` partitions
     * strictly before `before` (the maintenance cadence at scale — open dates
-    * still receiving appends are left alone, so the single-writer contract
-    * only has to quiesce writers of already-closed dates).
+    * still receiving appends are left alone; open-date appends are safe
+    * anyway under the generation commit, the watermark just avoids wasted
+    * rewrites of partitions still growing).
     */
   def compactTracesBefore(spark: SparkSession, path: String,
       before: java.time.LocalDate, filesPerDate: Int = 1): Unit =
@@ -110,7 +149,7 @@ object StoreLayout {
       listPartitionDates(spark, path, "trace_date").filter(_.isBefore(before)), filesPerDate)
 
   /** Partition-scoped compaction: rewrite ONLY the listed `trace_date=`
-    * partitions, one checked stage-and-swap per partition — every other
+    * partitions, one generation commit per partition — every other
     * partition's files are physically untouched (StoreLayoutSpec pins this
     * by file name + length). Rows merge within (date, trace_id) — see the
     * class doc above — so a per-date rewrite is exactly the whole-store pass
@@ -123,16 +162,15 @@ object StoreLayout {
   def compactTracePartitions(spark: SparkSession, path: String,
       dates: Seq[java.time.LocalDate], filesPerDate: Int = 1): Unit = {
     import spark.implicits._
-    forEachPartitionDir(spark, path, "trace_date", dates) { (partDir, staging) =>
-      val merged = spark.read.parquet(partDir)
-        .select(col("trace_id"), col("spans"), col("root_ts")).as[Trace]
+    compactPartitions(spark, path, "trace_date", dates) { df =>
+      df.select(col("trace_id"), col("spans"), col("root_ts")).as[Trace]
         .groupByKey(_.trace_id)
         .mapGroups((id: String, it: Iterator[Trace]) =>
           graft.core.Traces.mergeRows(id, it.toSeq))
-      // same per-date file shape as writeTraces: ≈ filesPerDate files,
-      // id-hash-clustered (the partition value lives in the dir name, not
-      // the files, so the partition column is not re-written)
-      merged.toDF().repartition(filesPerDate, col("trace_id")).write.parquet(staging)
+        // same per-date file shape as writeTraces: ≈ filesPerDate files,
+        // id-hash-clustered (the partition value lives in the dir name, not
+        // the files, so the partition column is not re-written)
+        .toDF().repartition(filesPerDate, col("trace_id"))
     }
   }
 
@@ -158,24 +196,25 @@ object StoreLayout {
     * a window's date is a function of window_start_ms, so dedup + re-sum
     * never cross partitions and the per-date rewrite equals the whole-store
     * pass restricted. Untouched partitions' files stay physically identical.
+    *
+    * The window store is the one whose merge is NOT idempotent under
+    * re-reading absorbed inputs (a compacted row re-summed with its sources
+    * double-counts) — the `_absorbed` manifest exclusion is what makes the
+    * deferred-deletion grace safe for it (class doc).
     */
   def compactDependencyPartitions(spark: SparkSession, path: String,
       dates: Seq[java.time.LocalDate]): Unit =
-    forEachPartitionDir(spark, path, "window_date", dates) { (partDir, staging) =>
-      spark.read.parquet(partDir)
-        .dropDuplicates()
+    compactPartitions(spark, path, "window_date", dates) { df =>
+      df.dropDuplicates()
         .groupBy("window_start_ms", "parent", "child")
         .agg(sum("call_count").as("call_count"), sum("error_count").as("error_count"))
         .withColumn("batch_id", lit(-1L))
-        .coalesce(1).write.parquet(staging)
+        .coalesce(1)
     }
 
   /** Dates of the `col=` partition directories present under `path`
     * (non-date values are ignored rather than thrown on — foreign dirs are
-    * not this store's partitions). Dates surviving only as `.old-` aside
-    * dirs — a compaction run that crashed between its renames — are listed
-    * too, so the whole-store/watermark passes feed them to the recovery in
-    * [[forEachPartitionDir]] instead of skipping the date forever.
+    * not this store's partitions).
     */
   private def listPartitionDates(spark: SparkSession, path: String,
       partitionCol: String): Seq[java.time.LocalDate] = {
@@ -184,7 +223,6 @@ object StoreLayout {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
-      .map(n => if (n.startsWith(s".old-$partitionCol=")) n.stripPrefix(".old-") else n)
       .filter(_.startsWith(s"$partitionCol="))
       .flatMap { name =>
         try Some(java.time.LocalDate.parse(name.stripPrefix(s"$partitionCol=")))
@@ -193,11 +231,154 @@ object StoreLayout {
       .distinct
   }
 
+  // ───────────────────────── generation layout ─────────────────────────
+
+  private val GenPrefix = ".gen-"
+  private val PtrPrefix = "_current-"
+  private val StagePrefix = ".genstage-"
+  private val AbsorbedManifest = "_absorbed"
+
+  private def genName(n: Long) = f"$GenPrefix$n%06d"
+  private def ptrName(n: Long) = f"$PtrPrefix$n%06d"
+
+  private def parseNum(name: String, prefix: String): Option[Long] =
+    try Some(name.stripPrefix(prefix).toLong) catch { case _: Exception => None }
+
+  /** A loose data file: visible to Spark's listing (no `.`/`_` prefix). */
+  private def isVisibleFile(st: org.apache.hadoop.fs.FileStatus): Boolean =
+    st.isFile && !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_")
+
+  /** One partition directory resolved through its generation pointer:
+    * `current` is the highest pointer number whose gen dir actually exists
+    * (a pointer dangling after an interrupted race is ignored, never served),
+    * `absorbed` its manifest, `loose` the visible files NOT in it.
+    */
+  private final case class GenState(partDir: org.apache.hadoop.fs.Path,
+      gens: Seq[Long], pointers: Seq[Long], current: Option[Long],
+      absorbed: Set[String], loose: Seq[org.apache.hadoop.fs.Path]) {
+    def genDir: Option[org.apache.hadoop.fs.Path] =
+      current.map(n => new org.apache.hadoop.fs.Path(partDir, genName(n)))
+    /** Read inputs: the current generation (if any) plus unabsorbed loose. */
+    def inputs: Seq[org.apache.hadoop.fs.Path] = genDir.toSeq ++ loose
+  }
+
+  private def resolveGen(fs: org.apache.hadoop.fs.FileSystem,
+      partDir: org.apache.hadoop.fs.Path): GenState = {
+    val children = fs.listStatus(partDir).toSeq
+    val gens = children.filter(_.isDirectory)
+      .flatMap(st => parseNum(st.getPath.getName, GenPrefix))
+    val pointers = children.filter(_.isFile)
+      .flatMap(st => parseNum(st.getPath.getName, PtrPrefix))
+    val current = pointers.filter(gens.contains).sorted.lastOption
+    val absorbed = current.map { n =>
+      readManifest(fs, new org.apache.hadoop.fs.Path(partDir,
+        genName(n) + "/" + AbsorbedManifest))
+    }.getOrElse(Set.empty[String])
+    val loose = children.filter(isVisibleFile)
+      .map(_.getPath).filterNot(p => absorbed.contains(p.getName))
+    GenState(partDir, gens, pointers, current, absorbed, loose)
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Set[String] =
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, names: Seq[String]): Unit = {
+    val out = fs.create(p, false)
+    try out.write(names.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read a date-partitioned store through the generation layout, physically
+    * pruned to `[min, max]` (inclusive; None = unbounded). A store no
+    * compaction has touched takes the single-scan fast path — one discovery
+    * read with Catalyst partition pruning, exactly the plain layout. With
+    * compacted partitions, each one becomes an explicit (generation +
+    * unabsorbed loose) scan leg with its partition value attached, unioned
+    * with one discovery leg for the untouched dates — pruning then happens
+    * HERE, at resolution, before Spark ever lists a file. At 100 TB the
+    * per-compacted-date legs are the trade for atomic commits without a
+    * table format; a deployment beyond a few thousand live partitions per
+    * query graduates to a real table format (Iceberg/Delta), which is this
+    * same pointer idea with a manifest tree.
+    */
+  private[graft] def readPartitioned(spark: SparkSession, path: String,
+      partitionCol: String, min: Option[java.time.LocalDate],
+      max: Option[java.time.LocalDate]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inRange = (d: java.time.LocalDate) =>
+      min.forall(m => !d.isBefore(m)) && max.forall(m => !d.isAfter(m))
+    val parts: Seq[(java.time.LocalDate, org.apache.hadoop.fs.Path)] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith(s"$partitionCol=")) None
+        else try Some((java.time.LocalDate.parse(name.stripPrefix(s"$partitionCol=")),
+          st.getPath))
+        catch { case _: Exception => None }
+      }
+    val selected = parts.filter(p => inRange(p._1))
+    val resolved = selected.map { case (d, p) => (d, resolveGen(fs, p)) }
+    val (genParts, plainParts) = resolved.partition(_._2.current.isDefined)
+
+    if (selected.isEmpty && parts.nonEmpty) {
+      // range matches no partition, but a fully-converged store may hold its
+      // data only in (hidden) generation dirs — a discovery scan would fail
+      // schema inference, so build the empty result from a resolved schema
+      val any = resolveGen(fs, parts.head._2)
+      if (any.inputs.nonEmpty) {
+        val schema = spark.read.parquet(any.inputs.map(_.toString): _*).schema
+          .add(partitionCol, org.apache.spark.sql.types.DateType)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    }
+    if (genParts.isEmpty) {
+      // fast path: no generation anywhere in range — the plain layout's one
+      // discovery scan (also covers the empty-range case over a plain store)
+      spark.read.parquet(path)
+    } else {
+      val legs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      if (plainParts.exists(_._2.loose.nonEmpty)) {
+        // one discovery leg for every untouched date: normal partition
+        // discovery + an isin partition filter (pruned at planning time)
+        val dates = plainParts.map(_._1.toString)
+        legs += spark.read.parquet(path)
+          .where(col(partitionCol).isInCollection(
+            dates.map(java.sql.Date.valueOf)))
+      }
+      genParts.foreach { case (d, st) =>
+        legs += spark.read.parquet(st.inputs.map(_.toString): _*)
+          .withColumn(partitionCol, lit(d.toString).cast("date"))
+      }
+      legs.reduce(_ unionByName _)
+    }
+  }
+
+  /** Whole-range resolver read — the physical row view of a store (what a
+    * full scan serves), used by specs to assert compaction's row collapse.
+    */
+  private[graft] def readAll(spark: SparkSession, path: String,
+      partitionCol: String): DataFrame =
+    readPartitioned(spark, path, partitionCol, None, None)
+
   /** Compaction-lease TTL: a lease older than this is treated as abandoned
-    * by a crashed compactor and reclaimed by the next compaction pass (after
-    * the usual `.old-` crash recovery). Writers never reclaim — a stale
-    * lease means the partition may be mid-swap on disk, so appends stay
-    * refused (fail-fast) until a compaction pass heals and releases it.
+    * by a crashed compactor and reclaimed by the next compaction pass. The
+    * lease is an EFFICIENCY gate (fail fast before staging a rewrite another
+    * pass owns), not the correctness guarantee: even if two compactors both
+    * believe they hold it (a pass outliving the TTL), the generation commit
+    * arbitrates — the `.gen-N` rename and `_current-N` create are atomic and
+    * first-wins, the loser aborts with its staging deleted and no live file
+    * touched. So a misjudged-stale lease wastes one rewrite; it cannot
+    * corrupt, double-serve, or drop data.
     */
   private val LeaseTtlMs: Long = 30L * 60 * 1000
 
@@ -207,8 +388,11 @@ object StoreLayout {
   /** Atomically acquire a compaction lease (a dot-prefixed marker file,
     * invisible to Spark's listing). A FRESH existing lease means another
     * compactor owns the partition → fail fast; a STALE one (crashed run,
-    * see [[LeaseTtlMs]]) is reclaimed. `create(overwrite = false)` makes the
-    * final claim atomic — a concurrent acquirer loses with an exception.
+    * see [[LeaseTtlMs]]) is reclaimed by renaming it to a per-claimant
+    * tombstone first — rename is atomic, so of N claimants observing the
+    * same stale lease exactly one wins the reclaim; the rest fail without
+    * deleting the fresh lease the winner is about to create. The final
+    * claim is `create(overwrite = false)` — atomic, loser throws.
     */
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path): Unit = {
@@ -217,7 +401,12 @@ object StoreLayout {
       if (ageMs <= LeaseTtlMs)
         throw new IllegalStateException(
           s"compaction refused: $lease is held by a concurrent compactor (age ${ageMs}ms)")
-      fs.delete(lease, false) // stale — crashed owner; reclaim
+      val tomb = new org.apache.hadoop.fs.Path(lease.getParent,
+        lease.getName + ".reclaim-" + java.util.UUID.randomUUID)
+      if (!fs.rename(lease, tomb))
+        throw new IllegalStateException(
+          s"compaction refused: lost the race to reclaim stale $lease")
+      fs.delete(tomb, false)
     }
     try fs.create(lease, false).close()
     catch { case e: java.io.IOException =>
@@ -226,128 +415,50 @@ object StoreLayout {
     }
   }
 
-  /** Dates (as `yyyy-MM-dd` strings) currently under a compaction lease in
-    * `path` — one cheap directory listing, so the no-compaction-running
-    * common case costs writers nothing beyond it.
+  /** Per-partition generation-commit compaction pass. For each selected date
+    * that has data, under its lease:
+    *  1. deferred cleanup of the PREVIOUS committed pass (delete absorbed
+    *     loose files, generations and pointers other than current, stage
+    *     orphans, dangling pointers) — run first so readers got a full
+    *     maintenance interval of grace on everything the last flip retired;
+    *  2. snapshot the unabsorbed loose files EXPLICITLY (an append landing
+    *     after this listing is simply not part of the rewrite — it stays a
+    *     served loose file, which is why appends are never lost);
+    *  3. `merge` the current generation + snapshot, stage the result;
+    *  4. write the snapshot's names as the new generation's `_absorbed`
+    *     manifest INSIDE staging (atomic with the gen dir itself);
+    *  5. commit: rename staging → `.gen-N`, create `_current-N` — both
+    *     atomic, both first-wins (see [[LeaseTtlMs]] on why this, not the
+    *     lease, is the single-writer guarantee).
+    * Partitions rewrite independently (disjoint dirs, disjoint rows) on a
+    * bounded pool — a maintenance cycle over 30 closed dates runs them as
+    * concurrent small Spark jobs, not 30 serial job latencies.
     */
-  private def leasedDates(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      partitionCol: String): Set[String] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val prefix = s".compacting-$partitionCol="
-    if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root).iterator
-      .map(_.getPath.getName).filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix)).toSet
-  }
-
-  /** Fail-fast half of the single-writer contract: refuse an append whose
-    * rows touch a partition currently under a compaction lease — without the
-    * check the append's files land in the retired `.old-` copy after the
-    * swap's rename and are silently dropped. Only when leases exist at all
-    * does this cost a (micro-batch-sized) distinct scan of the append's
-    * partition column; untouched dates append freely.
-    *
-    * Honest residual: this is check-then-write, so a compactor acquiring
-    * the lease INSIDE the gap between this check and the append's commit
-    * can still orphan it — the lease shrinks the loss window from "the
-    * whole compaction" to that gap and makes every steady-state overlap
-    * fail fast, which is what a marker file on a filesystem can give;
-    * closing the gap entirely takes an atomic-commit table format.
-    */
-  private def assertDatesUnleased(withDate: DataFrame, partitionCol: String,
-      path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      withDate.sparkSession.sparkContext.hadoopConfiguration)
-    val leased = leasedDates(fs, path, partitionCol)
-    if (leased.nonEmpty) {
-      val hit = withDate.select(partitionCol).distinct().collect()
-        .map(_.get(0).toString).toSet.intersect(leased)
-      if (hit.nonEmpty) throw new IllegalStateException(
-        s"append refused: $partitionCol partitions under compaction in $path: " +
-          s"${hit.toSeq.sorted.mkString(", ")} — retry after the lease is released")
-    }
-  }
-
-  /** Fail-fast check for UNpartitioned (whole-dir) stores: refuse an append
-    * while `<path>.compacting` (the lease [[compactSetStore]] holds over its
-    * stage-and-swap) exists.
-    */
-  def assertNotCompacting(spark: SparkSession, path: String): Unit = {
-    val lease = new org.apache.hadoop.fs.Path(path + ".compacting")
-    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(lease)) throw new IllegalStateException(
-      s"append refused: $path is under compaction ($lease present) — " +
-        "retry after the lease is released")
-  }
-
-  /** Per-partition stage-and-swap: `write(liveDir, stagingDir)` stages the
-    * rewrite of one partition, then the swap promotes it with checked
-    * renames. Staging/aside dirs are DOT-prefixED siblings inside the store
-    * (`.compact-…`, `.old-…`): Spark's file listing ignores dot-prefixed
-    * names, so a reader never sees a half-written rewrite as a partition.
-    * A crash mid-swap leaves the data recoverable in one of the side dirs,
-    * invisible to queries, instead of deleted.
-    *
-    * Single-writer contract — now CHECKED, not trust-me: each selected
-    * partition is leased (`.compacting-<part>` marker) for the duration;
-    * [[writeTraces]]/[[writeDependencyWindows]] appends touching a leased
-    * date fail fast instead of silently landing in the retired copy, and a
-    * second compactor of the same date fails fast in [[acquireLease]].
-    * Untouched dates append freely.
-    *
-    * READER caveat (unchanged by the lease): between the swap's two renames
-    * a partition is briefly ABSENT — a query listing files in that window
-    * silently serves an answer without that date, and concurrent
-    * per-partition swaps widen the exposure to several dates. Acceptable for
-    * a maintenance pass over CLOSED dates on mostly-historical queries; a
-    * deployment that cannot tolerate it quiesces readers too, or replaces
-    * the directory swap with a table format whose commit is atomic
-    * (Iceberg/Delta-style metadata pointer flip).
-    */
-  private def forEachPartitionDir(spark: SparkSession, path: String,
+  private[graft] def compactPartitions(spark: SparkSession, path: String,
       partitionCol: String, dates: Seq[java.time.LocalDate])
-      (write: (String, String) => Unit): Unit = {
+      (merge: DataFrame => DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val selected = dates.distinct.map(d => s"$partitionCol=$d")
-    // stale-staging sweep: a crash before any rename leaves `.compact-<part>`
-    // behind; re-selecting the date cleans it, but a date never re-selected
-    // (e.g. dropped by retention) would leak the staging dir forever. Sweep
-    // this store's unselected, UNleased `.compact-` orphans here — a leased
-    // one belongs to a live concurrent compactor (or to a crash the lease
-    // TTL will hand back to a later pass, which then re-stages over it).
+    // stale reclaim-tombstone sweep (a claimant that crashed mid-reclaim)
     val root = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith(s".compact-$partitionCol=")) {
-        val part = n.stripPrefix(".compact-")
-        if (!selected.contains(part) && !fs.exists(leasePath(path, part)))
-          fs.delete(st.getPath, true)
-      }
+      if (st.isFile && st.getPath.getName.contains(".reclaim-") &&
+        System.currentTimeMillis() - st.getModificationTime > LeaseTtlMs)
+        fs.delete(st.getPath, false)
     }
-    // lease every date that has data (live or crashed-aside) BEFORE any
-    // work: a concurrent compactor of any selected date aborts the whole
-    // pass here, with nothing staged and the already-acquired leases
-    // released (store untouched)
+    // lease every date that has data BEFORE any work: a concurrent compactor
+    // of any selected date aborts the whole pass here, with nothing staged
+    // and the already-acquired leases released (store untouched)
     val acquired = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     val present = try {
       dates.distinct.filter { d =>
         val partName = s"$partitionCol=$d"
-        val live = new org.apache.hadoop.fs.Path(path, partName)
-        val old = new org.apache.hadoop.fs.Path(path, s".old-$partName")
-        val hasData = fs.exists(live) || fs.exists(old)
+        val partDir = new org.apache.hadoop.fs.Path(path, partName)
+        val hasData = fs.exists(partDir)
         if (hasData) {
           val lp = leasePath(path, partName)
           acquireLease(fs, lp)
           acquired += lp
-          // crash recovery: a run that died between its two renames left the
-          // partition's ONLY copy in the aside dir (invisible to readers) —
-          // restore it (under the fresh lease) so the pass self-heals instead
-          // of skipping the date forever; a stale staged copy is re-staged
-          // over below
-          if (!fs.exists(live) && fs.exists(old))
-            require(fs.rename(old, live),
-              s"compaction recovery: could not restore $old to $live")
         }
         hasData
       }
@@ -356,28 +467,21 @@ object StoreLayout {
       throw e
     }
     if (present.isEmpty) return
-    // partitions rewrite independently (disjoint dirs, disjoint rows), so a
-    // maintenance cycle over many closed dates runs them CONCURRENTLY — a
-    // bounded pool of Spark jobs per store, not one serial job per date
-    // (30 closed dates would otherwise pay 30 sequential job latencies; job
-    // submission is thread-safe and each job is small by construction)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, present.size))
     try {
       val futures = present.map { d =>
         val partName = s"$partitionCol=$d"
-        val live = new org.apache.hadoop.fs.Path(path, partName)
         pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = leasedSwap(fs, live,
-            staging = new org.apache.hadoop.fs.Path(path, s".compact-$partName"),
-            old = new org.apache.hadoop.fs.Path(path, s".old-$partName"),
-            lease = leasePath(path, partName))(
-            staging => write(live.toString, staging))
+          def call(): Unit = try {
+            compactOnePartition(spark, fs,
+              new org.apache.hadoop.fs.Path(path, partName), merge)
+          } finally fs.delete(leasePath(path, partName), false)
         })
       }
       // surface the FIRST failure with its own cause; cancel the queued
-      // rest — and (finally, below) WAIT for in-flight swaps to finish
-      // before propagating, so no orphaned thread keeps renaming inside a
+      // rest — and (finally, below) WAIT for in-flight commits to finish
+      // before propagating, so no orphaned thread keeps committing inside a
       // store whose caller already observed failure (and may delete and
       // rebuild it). Cancelled-before-start dates still hold their leases:
       // release them, their partitions were never touched.
@@ -395,39 +499,84 @@ object StoreLayout {
       if (firstFailure != null) throw firstFailure
     } finally {
       pool.shutdown()
-      // never proceed with a swap thread still live (ADVICE r8): loop the
-      // wait — the caller observing a failure may delete and rebuild the
-      // store, and an orphaned thread mid-rename would corrupt it
+      // never proceed with a commit thread still live: the caller observing
+      // a failure may delete and rebuild the store, and an orphaned thread
+      // mid-commit would corrupt it
       while (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS))
-        System.err.println(s"[compaction] still waiting on in-flight partition swaps in $path")
+        System.err.println(s"[compaction] still waiting on in-flight partition commits in $path")
     }
   }
 
-  /** [[swapDirs]] plus lease lifecycle: release the lease on success AND on
-    * a clean abort (failure before any rename — the live partition is
-    * untouched, so writers may resume); KEEP it after a destructive failure
-    * (live already moved aside) so appends stay refused until the next
-    * compaction pass recovers the partition and reclaims the stale lease.
+  /** One partition's cleanup + rewrite + generation commit (steps 1-5 of
+    * [[compactPartitions]]'s contract). Runs under the partition's lease.
     */
-  private def leasedSwap(fs: org.apache.hadoop.fs.FileSystem,
-      live: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
-      old: org.apache.hadoop.fs.Path, lease: org.apache.hadoop.fs.Path)
-      (write: String => Unit): Unit = {
-    var destructive = false
+  private def compactOnePartition(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, partDir: org.apache.hadoop.fs.Path,
+      merge: DataFrame => DataFrame): Unit = {
+    val before = resolveGen(fs, partDir)
+    // 1. deferred cleanup of the last committed pass (one-cycle grace over)
+    fs.listStatus(partDir).foreach { st =>
+      val n = st.getPath.getName
+      val retiredGen = st.isDirectory &&
+        parseNum(n, GenPrefix).exists(g => !before.current.contains(g))
+      val stageOrphan = st.isDirectory && n.startsWith(StagePrefix)
+      val retiredPtr = st.isFile &&
+        parseNum(n, PtrPrefix).exists(p => !before.current.contains(p))
+      val absorbedLoose = isVisibleFile(st) && before.absorbed.contains(n)
+      if (retiredGen || stageOrphan || retiredPtr || absorbedLoose)
+        fs.delete(st.getPath, st.isDirectory)
+    }
+    // 2. explicit snapshot (resolveGen already excluded absorbed names)
+    val snapshot = before.loose
+    if (snapshot.isEmpty) return // converged: current gen only, nothing new
+    val inputs = before.genDir.toSeq ++ snapshot
+    val next = (before.gens ++ before.pointers ++ Seq(0L)).max + 1
+    val stage = new org.apache.hadoop.fs.Path(partDir,
+      StagePrefix + java.util.UUID.randomUUID)
     try {
-      fs.delete(staging, true)
-      fs.delete(old, true)
-      write(staging.toString)
-      if (!fs.rename(live, old))
-        throw new IllegalStateException(s"compaction: could not move $live aside to $old")
-      destructive = true
-      require(fs.rename(staging, live),
-        s"compaction: could not promote $staging — previous store preserved at $old")
-      fs.delete(old, true)
-      fs.delete(lease, false)
+      // 3. stage the rewrite
+      merge(spark.read.parquet(inputs.map(_.toString): _*)).write.parquet(stage.toString)
+      // 4. manifest, atomic with the gen dir it rides in
+      writeManifest(fs, new org.apache.hadoop.fs.Path(stage, AbsorbedManifest),
+        snapshot.map(_.getName))
+      // 5. commit
+      commitGeneration(fs, partDir, stage, next)
     } catch { case e: Throwable =>
-      if (!destructive) { fs.delete(staging, true); fs.delete(lease, false) }
+      fs.delete(stage, true)
       throw e
+    }
+  }
+
+  /** The atomic generation commit: staging → `.gen-N` (rename, first-wins),
+    * then `_current-N` (create overwrite=false, first-wins). A loser at
+    * either step deletes its staging and throws — no live file was touched.
+    * After the pointer lands the new generation is the served view; the
+    * retired one stays on disk until the next pass's deferred cleanup.
+    */
+  private[store] def commitGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      partDir: org.apache.hadoop.fs.Path, stage: org.apache.hadoop.fs.Path,
+      next: Long): Unit = {
+    val gen = new org.apache.hadoop.fs.Path(partDir, genName(next))
+    if (!fs.rename(stage, gen))
+      throw new IllegalStateException(
+        s"compaction: lost the generation-commit race for $gen — staging discarded")
+    // rename onto an EXISTING directory doesn't fail on HDFS/local — it moves
+    // the source INSIDE it. Detect that (our stage name can't otherwise occur
+    // inside a generation: staged content is part files + _absorbed), back out
+    // only the subtree we injected, and lose the race — the winner's committed
+    // generation must never be touched
+    val injected = new org.apache.hadoop.fs.Path(gen, stage.getName)
+    if (fs.exists(injected)) {
+      fs.delete(injected, true)
+      throw new IllegalStateException(
+        s"compaction: lost the generation-commit race for $gen — staging discarded")
+    }
+    val ptr = new org.apache.hadoop.fs.Path(partDir, ptrName(next))
+    try fs.create(ptr, false).close()
+    catch { case e: java.io.IOException =>
+      fs.delete(gen, true)
+      throw new IllegalStateException(
+        s"compaction: lost the pointer race for $ptr — generation discarded", e)
     }
   }
 
@@ -440,42 +589,38 @@ object StoreLayout {
     df.groupBy(keyCol)
       .agg(sort_array(array_distinct(flatten(collect_list(col(setCol))))).as(setCol))
 
-  /** Compact a (key, set) delta store (e.g. the incremental autocomplete
-    * sink's appends) to one row per key — set union is idempotent, so
-    * unlike the counter store no batch-id bookkeeping is needed.
+  /** Compact a date-partitioned (key, set) delta store (e.g. the incremental
+    * autocomplete sink's appends) to one row per key per date — set union is
+    * idempotent, so unlike the counter store no batch-id bookkeeping is
+    * needed. The per-DATE collapse keeps retention a partition drop (the
+    * reference's autocomplete store is a windowed store with exactly this
+    * lifecycle, streams/TraceStorageTopology.java:143-149); the read side
+    * re-collapses across retained dates.
     */
   def compactSetStore(spark: SparkSession, path: String, keyCol: String,
-      setCol: String): Unit = {
-    val collapsed = collapseSetDeltas(spark.read.parquet(path), keyCol, setCol)
-    swapRewrite(spark, path)(staging => collapsed.write.parquet(staging))
-  }
+      setCol: String): Unit =
+    compactSetStorePartitions(spark, path, keyCol, setCol,
+      listPartitionDates(spark, path, "seen_date"))
 
-  /** Stage-and-swap rewrite of a whole store directory: write to
-    * `path.compact`, move the live store aside to `path.old`, promote
-    * staging, drop the old copy. Every rename result is checked and a crash
-    * mid-swap leaves the data recoverable in one of the side dirs instead of
-    * deleted.
-    *
-    * Single-writer contract — CHECKED via the `<path>.compacting` lease held
-    * for the duration: a delta append between the two renames would land its
-    * files in the retired copy and be silently dropped even though the
-    * sink's checkpoint records the batch as written, so
-    * [[assertNotCompacting]] (called by the append paths, e.g.
-    * `StreamingPipeline.appendAutocompleteDelta`) refuses it while the lease
-    * exists, and a second concurrent compactor fails fast in
-    * [[acquireLease]]. Readers see the same brief-absence window as the
-    * per-partition swap (see [[forEachPartitionDir]]); a table format with
-    * atomic commit replaces this directory swap on a deployment that cannot
-    * tolerate it.
+  /** Closed-date watermark variant of [[compactSetStore]]. */
+  def compactSetStoreBefore(spark: SparkSession, path: String, keyCol: String,
+      setCol: String, before: java.time.LocalDate): Unit =
+    compactSetStorePartitions(spark, path, keyCol, setCol,
+      listPartitionDates(spark, path, "seen_date").filter(_.isBefore(before)))
+
+  /** Partition-scoped set-store compaction (the name/autocomplete twin of
+    * [[compactTracePartitions]]).
     */
-  private def swapRewrite(spark: SparkSession, path: String)(write: String => Unit): Unit = {
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lease = new org.apache.hadoop.fs.Path(path + ".compacting")
-    acquireLease(fs, lease)
-    leasedSwap(fs, live, new org.apache.hadoop.fs.Path(path + ".compact"),
-      new org.apache.hadoop.fs.Path(path + ".old"), lease)(write)
-  }
+  def compactSetStorePartitions(spark: SparkSession, path: String, keyCol: String,
+      setCol: String, dates: Seq[java.time.LocalDate]): Unit =
+    compactPartitions(spark, path, "seen_date", dates)(df =>
+      collapseSetDeltas(df.select(col(keyCol), col(setCol)), keyCol, setCol).coalesce(1))
+
+  /** Read a date-partitioned set-delta store through the generation layout
+    * (full range — the serving shape collapses across all retained dates).
+    */
+  def readSetStore(spark: SparkSession, path: String): DataFrame =
+    readAll(spark, path, "seen_date").drop("seen_date")
 
   /** Dependency-window store partitioned by window date. Unlike
     * [[writeTraces]] there is no `filesPerDate` knob: window rows are tiny
@@ -489,15 +634,12 @@ object StoreLayout {
     * backfill over different data passes a fresh id so its rows count even
     * when the partial sums happen to be value-identical.
     */
-  def writeDependencyWindows(windows: DataFrame, path: String, batchId: Long = 0L): Unit = {
-    val withDate = windows
+  def writeDependencyWindows(windows: DataFrame, path: String, batchId: Long = 0L): Unit =
+    windows
       .withColumn("batch_id", lit(batchId))
       .withColumn("window_date", expr(epochDayExpr("window_start_ms", 86400000L)))
-    assertDatesUnleased(withDate, "window_date", path)
-    withDate
       .repartition(col("window_date"))
       .write.partitionBy("window_date").mode(SaveMode.Append).parquet(path)
-  }
 
   /** Range read with window_date pruning, then FULL-ROW dedup: the
     * reference's window store is keyed (a redelivered final overwrites,
@@ -513,7 +655,8 @@ object StoreLayout {
     */
   def readDependencyWindows(spark: SparkSession, path: String, endTs: Long,
       lookback: Long): DataFrame =
-    spark.read.parquet(path)
+    readPartitioned(spark, path, "window_date",
+      Some(utcLocalDate(endTs - lookback)), Some(utcLocalDate(endTs)))
       .where(col("window_date").between(utcDate(endTs - lookback), utcDate(endTs)))
       .where(col("window_start_ms").between(endTs - lookback, endTs))
       .dropDuplicates()
@@ -562,7 +705,9 @@ object StoreLayout {
   }
 
   /** Retention = drop expired date partitions (cheap metadata+delete op, the
-    * reference's store-retention analog, ST6). Returns dropped partition names.
+    * reference's store-retention analog, ST6 — the recursive delete takes a
+    * partition's generations and pointers with it). Returns dropped
+    * partition names.
     */
   def dropExpired(spark: SparkSession, path: String, partitionCol: String,
       olderThan: java.time.LocalDate): Seq[String] = {

@@ -196,7 +196,8 @@ object StreamingPipeline {
       col("span.local_endpoint.service_name").as("service"),
       col("span.name").as("name"),
       col("span.remote_endpoint.service_name").as("remote_service"),
-      col("span.tags").as("tags"))
+      col("span.tags").as("tags"),
+      unix_micros(col("ingest_ts")).as("event_us"))
 
   /** A7/A8 streaming name stores (Update mode: sets grow monotonically,
     * mirroring the reference's upsert processors; the aggregation itself is
@@ -276,6 +277,13 @@ object StreamingPipeline {
     * [[readAutocompleteStore]] collapses deltas per key at read time;
     * at-least-once re-appends and cross-batch repeats collapse in the same
     * array_distinct.
+    *
+    * Deltas are partitioned by `seen_date` (the UTC date of the span's
+    * ingest time), so the reference's windowed-store lifecycle applies to
+    * this store family too (streams/TraceStorageTopology.java:143-149 keeps
+    * autocomplete in a 7-day window store): retention is
+    * `StoreLayout.dropExpired(path, "seen_date", cutoff)` and compaction is
+    * the same per-partition generation commit as the trace store.
     */
   def autocompleteTagsToStoreIncremental(envelopes: Dataset[SpanEnvelope],
       keys: Seq[String], path: String,
@@ -290,25 +298,37 @@ object StreamingPipeline {
 
   /** One delta-append body shared by the streaming sink's foreachBatch and
     * batch seeding/backfill (SparkEntry's q_store_autocomplete gate): the
-    * batch's OWN (tag_key, sorted set) aggregate appended as a delta row —
-    * sharing it means the gate proves the literal sink write path. Fails
-    * fast while `compactSetStore` holds the store's `.compacting` lease —
-    * an append racing the swap would land in the retired copy and be
-    * silently dropped (the checked single-writer contract, SURVEY §4).
+    * batch's OWN per-(seen_date, tag_key) sorted-set aggregate appended as
+    * delta rows — sharing it means the gate proves the literal sink write
+    * path. Requires an `event_us` column on `spanFields` (µs span ingest
+    * time) for the `seen_date` partition assignment. Never blocked, never
+    * lost: a delta file a concurrent compaction didn't snapshot stays
+    * served outside the committed generation's manifest
+    * (StoreLayout's generation-commit contract).
     */
   def appendAutocompleteDelta(spanFields: DataFrame, keys: Seq[String],
-      path: String): Unit = {
-    graft.store.StoreLayout.assertNotCompacting(spanFields.sparkSession, path)
-    graft.operators.SpanPipeline.autocompleteTagsRelational(spanFields, keys)
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
-  }
+      path: String): Unit =
+    spanFields
+      .select(explode(map_entries(col("tags"))).as("kv"), col("event_us"))
+      .select(col("kv.key").as("tag_key"), col("kv.value").as("tag_value"),
+        col("event_us"))
+      .where(col("tag_key").isin(keys: _*) && col("tag_value").isNotNull)
+      .withColumn("seen_date",
+        expr(graft.store.StoreLayout.epochDayExpr("event_us", 86400000000L)))
+      .groupBy("seen_date", "tag_key")
+      .agg(sort_array(collect_set("tag_value")).as("values"))
+      .repartition(col("seen_date"))
+      .write.partitionBy("seen_date")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
 
   /** Read-side collapse of [[autocompleteTagsToStoreIncremental]]'s delta
     * rows back to the (tag_key, sorted value set) serving shape the query
-    * surface expects — one hash aggregation, prunable by tag_key at scan.
+    * surface expects — one hash aggregation, prunable by tag_key at scan;
+    * retained `seen_date` partitions resolve through the generation layout
+    * and collapse together (the sets union across dates).
     */
   def readAutocompleteStore(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     graft.store.StoreLayout.collapseSetDeltas(
-      spark.read.parquet(path), "tag_key", "values")
+      graft.store.StoreLayout.readSetStore(spark, path), "tag_key", "values")
 }

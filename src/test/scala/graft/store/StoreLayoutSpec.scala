@@ -23,6 +23,33 @@ class StoreLayoutSpec extends SparkSpec {
     dir
   }
 
+  /** The store's physical row view through the production resolver (what a
+    * full scan serves — compacted generations + unabsorbed loose files).
+    */
+  private def physicalRows(dir: String): Long =
+    StoreLayout.readAll(spark, dir, "trace_date").count()
+
+  private def partFiles(dir: String, part: String): Seq[(String, Long)] =
+    new java.io.File(dir, part).listFiles().filter(_.isFile)
+      .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
+
+  /** Loose (visible) data files of a partition — what a plain listing sees. */
+  private def looseFiles(dir: String, part: String): Seq[String] =
+    new java.io.File(dir, part).listFiles().filter(_.isFile).map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).sorted.toSeq
+
+  private def genDirs(dir: String, part: String): Seq[String] =
+    new java.io.File(dir, part).listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith(".gen-")).sorted.toSeq
+
+  private def pointers(dir: String, part: String): Seq[String] =
+    new java.io.File(dir, part).listFiles().filter(_.isFile).map(_.getName)
+      .filter(_.startsWith("_current-")).sorted.toSeq
+
+  private def noStageOrphans(dir: String): Boolean =
+    !new java.io.File(dir).listFiles().filter(_.isDirectory).exists(p =>
+      Option(p.listFiles()).exists(_.exists(_.getName.startsWith(".genstage-"))))
+
   test("traces land in date partitions and range reads prune them") {
     val dir = freshStore()
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
@@ -101,23 +128,30 @@ class StoreLayoutSpec extends SparkSpec {
         Seq(graft.model.Span(trace_id = "000000000000000a", id = "000000000000000b",
           parent_id = Some("000000000000000a"), timestamp = Some(day1Us + 5))),
         day1Us + 5))).toDF(), dir)
-    val beforeAnswer = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
+    def answer() = graft.operators.TraceQueries.fromStore(
+      StoreLayout.readAll(spark, dir, "trace_date"))
       .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts)).sortBy(_._1)
+    val beforeAnswer = answer()
 
-    assert(spark.read.parquet(dir).count() == 4, "seeded with dupes+partials")
+    assert(physicalRows(dir) == 4, "seeded with dupes+partials")
     StoreLayout.compactTraces(spark, dir)
-    // physically one row per trace now, already canonical — and the
-    // production read path (merge-on-read) still returns the same answer
-    val afterRaw = spark.read.parquet(dir)
-    assert(afterRaw.count() == 2, "one canonical row per (date, trace)")
-    val afterAnswer = graft.operators.TraceQueries.fromStore(afterRaw)
-      .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts)).sortBy(_._1)
-    assert(afterAnswer.toSeq == beforeAnswer.toSeq)
-    // partition layout preserved (rows never cross dates), side dirs gone
-    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
-    assert(dirs.toSeq == Seq("trace_date=2024-01-10", "trace_date=2024-01-11"))
-    assert(!new java.io.File(dir + ".compact").exists())
-    assert(!new java.io.File(dir + ".old").exists())
+    // the committed generation serves one canonical row per (date, trace);
+    // the absorbed loose files stay on disk for one cycle of grace but are
+    // manifest-excluded from every read
+    assert(physicalRows(dir) == 2, "one canonical row per (date, trace)")
+    assert(genDirs(dir, "trace_date=2024-01-10").size == 1)
+    assert(pointers(dir, "trace_date=2024-01-10") == Seq("_current-000001"))
+    assert(looseFiles(dir, "trace_date=2024-01-10").nonEmpty,
+      "absorbed loose files keep their one-cycle grace")
+    assert(answer().toSeq == beforeAnswer.toSeq)
+    // the NEXT pass runs the deferred cleanup and converges: absorbed loose
+    // deleted, single generation + pointer remain, nothing new staged
+    StoreLayout.compactTraces(spark, dir)
+    assert(looseFiles(dir, "trace_date=2024-01-10").isEmpty, "grace expired: loose absorbed files cleaned")
+    assert(genDirs(dir, "trace_date=2024-01-10") == Seq(".gen-000001"))
+    assert(pointers(dir, "trace_date=2024-01-10") == Seq("_current-000001"))
+    assert(physicalRows(dir) == 2)
+    assert(answer().toSeq == beforeAnswer.toSeq)
   }
 
   test("window store: re-appended finals don't double dependency counts") {
@@ -129,7 +163,8 @@ class StoreLayoutSpec extends SparkSpec {
     ).toDF("window_start_ms", "parent", "child", "call_count", "error_count")
     StoreLayout.writeDependencyWindows(windows, dir, batchId = 7L)
     StoreLayout.writeDependencyWindows(windows, dir, batchId = 7L) // retried micro-batch
-    assert(spark.read.parquet(dir).count() == 4, "appends really duplicated rows")
+    assert(StoreLayout.readAll(spark, dir, "window_date").count() == 4,
+      "appends really duplicated rows")
     def served() = graft.operators.TraceQueries.dependencies(
       StoreLayout.readDependencyWindows(spark, dir, day1Ms + 120000L, 3600000L),
       endTs = day1Ms + 120000L, lookback = 3600000L).collect()
@@ -141,12 +176,14 @@ class StoreLayoutSpec extends SparkSpec {
     StoreLayout.writeDependencyWindows(windows, dir, batchId = 8L)
     assert(served() == Seq(("api", "db", 10L, 2L)))
     // compaction: replayed finals collapse physically, partial sums merge —
-    // 6 stored rows (2 windows × 3 appends) → 2, same served answer
+    // 6 stored rows (2 windows × 3 appends) → 2. The window merge is NOT
+    // idempotent (re-summing a compacted row with its sources would double
+    // count), so this also pins that the absorbed loose files — still on
+    // disk in their grace cycle — are manifest-excluded from the read
     StoreLayout.compactDependencyWindows(spark, dir)
-    assert(spark.read.parquet(dir).count() == 2)
+    assert(looseFiles(dir, "window_date=2024-01-10").nonEmpty, "grace: absorbed files still on disk")
+    assert(StoreLayout.readAll(spark, dir, "window_date").count() == 2)
     assert(served() == Seq(("api", "db", 10L, 2L)))
-    assert(!new java.io.File(dir + ".compact").exists())
-    assert(!new java.io.File(dir + ".old").exists())
   }
 
   test("compaction property: random partials+replays never change the served answer") {
@@ -176,7 +213,8 @@ class StoreLayoutSpec extends SparkSpec {
     }
     StoreLayout.writeTraces(spark.createDataset(rows).toDF(), dir)
 
-    def fingerprint() = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
+    def fingerprint() = graft.operators.TraceQueries.fromStore(
+      StoreLayout.readAll(spark, dir, "trace_date"))
       .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts))
       .sortBy(_._1).toSeq
     val before = fingerprint()
@@ -184,16 +222,8 @@ class StoreLayoutSpec extends SparkSpec {
     assert(fingerprint() == before)
     // physically exactly one row per (date, trace) now
     val expected = rows.map(r => (r.root_ts / 86400000000L, r.trace_id)).distinct.size
-    assert(spark.read.parquet(dir).count() == expected)
+    assert(physicalRows(dir) == expected)
   }
-
-  private def partFiles(dir: String, part: String): Seq[(String, Long)] =
-    new java.io.File(dir, part).listFiles().filter(_.isFile)
-      .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
-
-  private def noSideDirs(dir: String): Boolean =
-    !new java.io.File(dir).listFiles().exists(f =>
-      f.getName.startsWith(".compact-") || f.getName.startsWith(".old-"))
 
   test("partition-scoped compaction leaves unselected partitions physically untouched") {
     val dir = freshStore()
@@ -201,7 +231,8 @@ class StoreLayoutSpec extends SparkSpec {
     StoreLayout.writeTraces(spark.createDataset(Seq(
       trace("000000000000000a", day1Us), trace("000000000000000b", day2Us))).toDF(), dir)
     val day2Before = partFiles(dir, "trace_date=2024-01-11")
-    def answer() = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
+    def answer() = graft.operators.TraceQueries.fromStore(
+      StoreLayout.readAll(spark, dir, "trace_date"))
       .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts)).sortBy(_._1).toSeq
     val before = answer()
 
@@ -209,11 +240,14 @@ class StoreLayoutSpec extends SparkSpec {
       Seq(java.time.LocalDate.parse("2024-01-10")))
     // the unselected date's files: identical names AND lengths — not rewritten
     assert(partFiles(dir, "trace_date=2024-01-11") == day2Before)
-    // the selected date collapsed to one canonical row; day 2 keeps its dupes
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-11").count() == 2)
+    assert(genDirs(dir, "trace_date=2024-01-11").isEmpty)
+    // the selected date serves one canonical row; day 2 keeps its dupes
+    val perDate = StoreLayout.readAll(spark, dir, "trace_date")
+      .groupBy("trace_date").count().collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toMap
+    assert(perDate == Map("2024-01-10" -> 1L, "2024-01-11" -> 2L))
     assert(answer() == before)
-    assert(noSideDirs(dir), "staging/aside dirs must not survive the swap")
+    assert(noStageOrphans(dir), "staging dirs must not survive the commit")
   }
 
   test("watermark compaction rewrites only closed window dates; answer unchanged") {
@@ -237,9 +271,10 @@ class StoreLayoutSpec extends SparkSpec {
     StoreLayout.compactDependencyWindowsBefore(spark, dir,
       java.time.LocalDate.parse("2024-01-11"))
     assert(partFiles(dir, "window_date=2024-01-11") == day2Before)
-    assert(spark.read.parquet(dir + "/window_date=2024-01-10").count() == 1)
+    assert(StoreLayout.readAll(spark, dir, "window_date")
+      .where("window_date = DATE'2024-01-10'").count() == 1)
     assert(served() == before)
-    assert(noSideDirs(dir))
+    assert(noStageOrphans(dir))
   }
 
   test("retention + scoped compaction: expired dates gone, served answer unchanged") {
@@ -262,9 +297,10 @@ class StoreLayoutSpec extends SparkSpec {
     assert(dropped == Seq("trace_date=2024-01-01"))
     StoreLayout.compactTracesBefore(spark, dir, java.time.LocalDate.parse("2024-01-11"))
     assert(!new java.io.File(dir, "trace_date=2024-01-01").exists())
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
+    assert(StoreLayout.readAll(spark, dir, "trace_date")
+      .where("trace_date = DATE'2024-01-10'").count() == 1)
     assert(answer() == before)
-    assert(noSideDirs(dir))
+    assert(noStageOrphans(dir))
   }
 
   test("scoped compaction property: any date subset preserves answers and untouched files") {
@@ -281,15 +317,18 @@ class StoreLayoutSpec extends SparkSpec {
       parts ++ parts.filter(_ => rnd.nextBoolean())
     }
     StoreLayout.writeTraces(spark.createDataset(rows).toDF(), dir)
-    def fingerprint() = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
+    def fingerprint() = graft.operators.TraceQueries.fromStore(
+      StoreLayout.readAll(spark, dir, "trace_date"))
       .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted, t.root_ts))
       .sortBy(_._1).toSeq
     val before = fingerprint()
     val allDates = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .map(f => java.time.LocalDate.parse(f.getName.stripPrefix("trace_date="))).sorted
     // three successive randomly-chosen subsets (some dates compacted twice,
-    // some never): the answer must be invariant at every intermediate state,
-    // and every unselected date's files must stay physically identical
+    // some never): the answer must be invariant at every intermediate state
+    // — including re-compaction of an already-committed generation and the
+    // deferred cleanup it triggers — and every unselected date's files must
+    // stay physically identical
     (1 to 3).foreach { _ =>
       val subset = allDates.filter(_ => rnd.nextBoolean()).toSeq
       val untouchedBefore = allDates.filterNot(subset.contains)
@@ -299,56 +338,125 @@ class StoreLayoutSpec extends SparkSpec {
         assert(partFiles(dir, s"trace_date=$d") == files, s"$d was rewritten unselected")
       }
       assert(fingerprint() == before)
-      assert(noSideDirs(dir))
+      assert(noStageOrphans(dir))
     }
   }
 
-  test("scoped compaction self-heals a crash that left the partition in its aside dir") {
+  test("generation commit: readers see a complete partition at every crash point") {
     val dir = freshStore()
     StoreLayout.writeTraces(spark.createDataset(Seq(
-      trace("000000000000000a", day1Us))).toDF(), dir) // dupe so compaction has work
-    // simulate a run that died between its two renames: the live partition
-    // moved aside, nothing promoted — readers see no 2024-01-10 data at all
-    val live = new java.io.File(dir, "trace_date=2024-01-10")
-    val aside = new java.io.File(dir, ".old-trace_date=2024-01-10")
-    assert(live.renameTo(aside))
-    assert(spark.read.parquet(dir).where("trace_date = DATE'2024-01-10'").count() == 0)
+      trace("000000000000000a", day1Us))).toDF(), dir) // dupe = work to do
+    val part = new java.io.File(dir, "trace_date=2024-01-10")
+    def answer() = graft.operators.TraceQueries.fromStore(
+      StoreLayout.readAll(spark, dir, "trace_date"))
+      .collect().map(t => (t.trace_id, t.spans.map(_.id).sorted)).sortBy(_._1).toSeq
+    val expected = answer()
 
-    // the WHOLE-STORE form must find the crashed date (listed only via its
-    // aside dir), restore it, and compact it like any other partition
-    StoreLayout.compactTraces(spark, dir)
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
-    val served = graft.operators.TraceQueries.fromStore(spark.read.parquet(dir))
-      .collect().map(_.trace_id).sorted
-    assert(served.toSeq == Seq("000000000000000a", "000000000000000b"))
-    assert(noSideDirs(dir))
+    // crash state A — staging orphan (died before the gen rename): invisible
+    val orphan = new java.io.File(part, ".genstage-dead-run")
+    assert(orphan.mkdir())
+    assert(new java.io.File(orphan, "part-junk.parquet").createNewFile())
+    assert(answer() == expected)
+
+    // crash state B — generation renamed but pointer never landed: a gen dir
+    // with no pointer is not served; readers still see the loose files
+    val loose = part.listFiles().filter(_.isFile).map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    val gen7 = new java.io.File(part, ".gen-000007")
+    spark.createDataset(Seq(trace("000000000000000a", day1Us))).toDF()
+      .select("trace_id", "spans", "root_ts").coalesce(1).write.parquet(gen7.toString)
+    val mf = new java.io.FileOutputStream(new java.io.File(gen7, "_absorbed"))
+    try mf.write(loose.sorted.mkString("\n").getBytes("UTF-8")) finally mf.close()
+    assert(answer() == expected)
+    assert(physicalRows(dir) == 3, "gen without pointer must not be served")
+
+    // crash state C — pointer landed, cleanup never ran (THE committed
+    // state): the generation + manifest-exclusion serve the new view even
+    // though every absorbed loose file is still on disk
+    assert(new java.io.File(part, "_current-000007").createNewFile())
+    assert(answer() == expected)
+    assert(physicalRows(dir) == 2, "absorbed loose files must be excluded")
+
+    // a dangling pointer (gen dir lost to a cleanup race) is skipped, never
+    // served as an empty partition
+    assert(new java.io.File(part, "_current-000008").createNewFile())
+    assert(answer() == expected)
+    assert(physicalRows(dir) == 2)
+
+    // the next pass heals everything: orphan stage swept, dangling pointer
+    // dropped, absorbed loose deleted — and the answer never moved
+    StoreLayout.compactTracePartitions(spark, dir,
+      Seq(java.time.LocalDate.parse("2024-01-10")))
+    assert(!orphan.exists())
+    assert(pointers(dir, "trace_date=2024-01-10") == Seq("_current-000007"))
+    assert(genDirs(dir, "trace_date=2024-01-10") == Seq(".gen-000007"))
+    assert(looseFiles(dir, "trace_date=2024-01-10").isEmpty)
+    assert(answer() == expected)
   }
 
-  test("append into a leased date fails fast; untouched dates append freely") {
+  test("an append racing a compaction is never silently dropped") {
     val dir = freshStore()
-    // what a compactor holds while staging/swapping 2024-01-10
-    val lease = new java.io.File(dir, ".compacting-trace_date=2024-01-10")
-    assert(lease.createNewFile())
-    val e = intercept[IllegalStateException] {
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us))).toDF(), dir) // dupe = work to do
+    val before = graft.operators.TraceQueries.fromStore(
+      StoreLayout.readAll(spark, dir, "trace_date"))
+      .collect().map(_.trace_id).sorted.toSeq
+    // the merge hook runs AFTER the pass snapshots its input files — an
+    // append landing here is exactly the race: its file exists while the
+    // rewrite stages, commits, and records its manifest
+    StoreLayout.compactPartitions(spark, dir, "trace_date",
+      Seq(java.time.LocalDate.parse("2024-01-10"))) { df =>
       StoreLayout.writeTraces(spark.createDataset(Seq(
         trace("00000000000000aa", day1Us))).toDF(), dir)
+      df
     }
-    assert(e.getMessage.contains("2024-01-10"))
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1,
-      "refused append must not have landed anything")
-    // a batch touching only the UNleased date goes through
-    StoreLayout.writeTraces(spark.createDataset(Seq(
-      trace("00000000000000bb", day2Us))).toDF(), dir)
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-11").count() == 2)
-    assert(lease.delete())
-    // window-store twin of the same contract
-    val wdir = Files.createTempDirectory("graft-deplease").toString + "/deps"
-    val day1Ms = day1Us / 1000
-    val w = Seq((day1Ms, "api", "db", 1L, 0L))
-      .toDF("window_start_ms", "parent", "child", "call_count", "error_count")
-    StoreLayout.writeDependencyWindows(w, wdir)
-    assert(new java.io.File(wdir, ".compacting-window_date=2024-01-10").createNewFile())
-    intercept[IllegalStateException] { StoreLayout.writeDependencyWindows(w, wdir, 1L) }
+    val after = graft.operators.TraceQueries.fromStore(
+      StoreLayout.readAll(spark, dir, "trace_date"))
+      .collect().map(_.trace_id).sorted.toSeq
+    assert(after == (before :+ "00000000000000aa").sorted,
+      "the racing append must be served alongside the committed generation")
+    // and it survives the NEXT pass too (absorbed into the next generation)
+    StoreLayout.compactTracePartitions(spark, dir,
+      Seq(java.time.LocalDate.parse("2024-01-10")))
+    val healed = graft.operators.TraceQueries.fromStore(
+      StoreLayout.readAll(spark, dir, "trace_date"))
+      .collect().map(_.trace_id).sorted.toSeq
+    assert(healed == after)
+  }
+
+  test("generation-commit race: the loser aborts without touching live state") {
+    val dir = freshStore()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(dir, "trace_date=2024-01-10")
+    // the winner's generation is already committed
+    val won = new java.io.File(dir, "trace_date=2024-01-10/.gen-000002")
+    assert(won.mkdir())
+    assert(new java.io.File(won, "part-winner.parquet").createNewFile())
+    assert(new java.io.File(dir, "trace_date=2024-01-10/_current-000002").createNewFile())
+    // the loser staged concurrently and tries to commit the same number
+    val stage = new org.apache.hadoop.fs.Path(part, ".genstage-loser")
+    fs.mkdirs(stage)
+    val e = intercept[IllegalStateException] {
+      StoreLayout.commitGeneration(fs, part, stage, 2L)
+    }
+    assert(e.getMessage.contains("generation-commit race"))
+    assert(won.exists() && new java.io.File(won, "part-winner.parquet").exists(),
+      "the winner's committed generation must be untouched")
+    // Hadoop rename onto an existing dir MOVES the source inside it rather
+    // than failing — the loser must back out exactly the subtree it injected
+    assert(!new java.io.File(won, ".genstage-loser").exists(),
+      "the loser's stage must not linger inside the winner's generation")
+    // pointer race: the rename wins (gen 3 free) but the pointer is taken —
+    // the loser must discard its own generation, never the winner's pointer
+    fs.mkdirs(stage) // the first attempt consumed (moved) the staging dir
+    assert(new java.io.File(dir, "trace_date=2024-01-10/_current-000003").createNewFile())
+    val e2 = intercept[IllegalStateException] {
+      StoreLayout.commitGeneration(fs, part, stage, 3L)
+    }
+    assert(e2.getMessage.contains("pointer race"))
+    assert(!new java.io.File(dir, "trace_date=2024-01-10/.gen-000003").exists(),
+      "the loser's renamed generation must be discarded")
   }
 
   test("second concurrent compactor of a leased date fails fast, store untouched") {
@@ -361,65 +469,66 @@ class StoreLayoutSpec extends SparkSpec {
       StoreLayout.compactTracePartitions(spark, dir,
         Seq(java.time.LocalDate.parse("2024-01-10")))
     }
-    // nothing staged or swapped: the dupes are still there, lease still held
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 2)
+    // nothing staged or committed: the dupes are still there, lease still held
+    assert(physicalRows(dir) == 3)
+    assert(genDirs(dir, "trace_date=2024-01-10").isEmpty)
     assert(lease.exists())
-    assert(!new java.io.File(dir, ".compact-trace_date=2024-01-10").exists())
     assert(lease.delete())
   }
 
-  test("stale lease from a crashed compactor is reclaimed and released") {
+  test("stale lease from a crashed compactor is reclaimed atomically and released") {
     val dir = freshStore()
     StoreLayout.writeTraces(spark.createDataset(Seq(
       trace("000000000000000a", day1Us))).toDF(), dir)
     val lease = new java.io.File(dir, ".compacting-trace_date=2024-01-10")
     assert(lease.createNewFile())
-    // older than the 30-min TTL → abandoned by a crashed run
+    // older than the 30-min TTL → abandoned by a crashed run. The reclaim
+    // path renames it to a per-claimant tombstone before creating the fresh
+    // lease (rename is atomic: of N racing claimants exactly one wins)
     assert(lease.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
     StoreLayout.compactTracePartitions(spark, dir,
       Seq(java.time.LocalDate.parse("2024-01-10")))
-    assert(!lease.exists(), "reclaimed lease must be released after the swap")
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
+    assert(!lease.exists(), "reclaimed lease must be released after the commit")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".reclaim-")),
+      "reclaim tombstone must not linger")
+    assert(StoreLayout.readAll(spark, dir, "trace_date")
+      .where("trace_date = DATE'2024-01-10'").count() == 1)
   }
 
-  test("set-store delta append fails fast under the compaction lease") {
-    val dir = Files.createTempDirectory("graft-setlease").toString + "/auto"
-    val fields = Seq(("svc", "get", null: String, Map("k" -> "v1")))
-      .toDF("service", "name", "remote_service", "tags")
+  test("set store: date-partitioned deltas with retention, replay, and compaction") {
+    val dir = Files.createTempDirectory("graft-setstore").toString + "/auto"
+    val fields = Seq(
+      ("svc", "get", null: String, Map("k" -> "v1"), day1Us),
+      ("svc", "get", null: String, Map("k" -> "v2"), day2Us)
+    ).toDF("service", "name", "remote_service", "tags", "event_us")
+    val expired = Seq(
+      ("svc", "get", null: String, Map("k" -> "old"), day1Us - 300L * 86400 * 1000000L)
+    ).toDF("service", "name", "remote_service", "tags", "event_us")
+    graft.streaming.StreamingPipeline.appendAutocompleteDelta(expired, Seq("k"), dir)
     graft.streaming.StreamingPipeline.appendAutocompleteDelta(fields, Seq("k"), dir)
-    val lease = new java.io.File(dir + ".compacting")
-    assert(lease.createNewFile())
-    intercept[IllegalStateException] {
-      graft.streaming.StreamingPipeline.appendAutocompleteDelta(fields, Seq("k"), dir)
-    }
-    assert(lease.delete())
-    // with the lease gone both the append and the compactor run; the
-    // compactor acquires and RELEASES its own lease
-    graft.streaming.StreamingPipeline.appendAutocompleteDelta(fields, Seq("k"), dir)
+    graft.streaming.StreamingPipeline.appendAutocompleteDelta(fields, Seq("k"), dir) // replay
+    // deltas land in per-date partitions (the reference's windowed
+    // autocomplete store lifecycle, TraceStorageTopology.java:143-149)
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(parts == Seq("seen_date=2023-03-16", "seen_date=2024-01-10", "seen_date=2024-01-11"))
+    def served() = graft.streaming.StreamingPipeline.readAutocompleteStore(spark, dir)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    assert(served() == Seq(("k", Seq("old", "v1", "v2"))))
+    // ST6 retention is now a partition drop for the set-store family too
+    val dropped = StoreLayout.dropExpired(spark, dir, "seen_date",
+      java.time.LocalDate.parse("2024-01-01"))
+    assert(dropped == Seq("seen_date=2023-03-16"))
+    assert(served() == Seq(("k", Seq("v1", "v2"))))
+    // generation-commit compaction collapses the replayed deltas per date;
+    // the serving answer never moves, and a second pass converges
     StoreLayout.compactSetStore(spark, dir, "tag_key", "values")
-    assert(!lease.exists())
-    val served = graft.streaming.StreamingPipeline.readAutocompleteStore(spark, dir)
-      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
-    assert(served.toSeq == Seq(("k", Seq("v1"))))
-  }
-
-  test("unleased .compact- staging orphan of an unselected date is swept") {
-    val dir = freshStore()
-    StoreLayout.writeTraces(spark.createDataset(Seq(
-      trace("000000000000000b", day2Us))).toDF(), dir) // day-2 dupe = work
-    // a run that crashed on 2024-01-10 BEFORE any rename: live intact,
-    // partial staging left behind, lease long gone (released or pre-lease)
-    val orphan = new java.io.File(dir, ".compact-trace_date=2024-01-10")
-    assert(orphan.mkdir())
-    assert(new java.io.File(orphan, "part-junk.parquet").createNewFile())
-    val day1Before = partFiles(dir, "trace_date=2024-01-10")
-    // a pass that does NOT select 2024-01-10 still sweeps the orphan
-    StoreLayout.compactTracePartitions(spark, dir,
-      Seq(java.time.LocalDate.parse("2024-01-11")))
-    assert(!orphan.exists(), "stale staging dir must not linger")
-    assert(partFiles(dir, "trace_date=2024-01-10") == day1Before)
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-11").count() == 1)
-    assert(noSideDirs(dir))
+    assert(served() == Seq(("k", Seq("v1", "v2"))))
+    assert(StoreLayout.readAll(spark, dir, "seen_date").count() == 2,
+      "one collapsed row per (seen_date, key)")
+    StoreLayout.compactSetStore(spark, dir, "tag_key", "values")
+    assert(served() == Seq(("k", Seq("v1", "v2"))))
+    assert(looseFiles(dir, "seen_date=2024-01-10").isEmpty, "converged after grace")
   }
 
   test("a failed partition rewrite aborts cleanly: store intact, lease released") {
@@ -427,7 +536,7 @@ class StoreLayoutSpec extends SparkSpec {
     StoreLayout.writeTraces(spark.createDataset(Seq(
       trace("000000000000000a", day1Us), trace("000000000000000b", day2Us))).toDF(), dir)
     // a corrupt parquet file (e.g. a torn upload) lands in day 1: the
-    // rewrite's read job fails BEFORE any rename — the clean-abort path
+    // rewrite's read job fails BEFORE any commit — the clean-abort path
     val corrupt = new java.io.File(dir, "trace_date=2024-01-10/part-corrupt.parquet")
     val out = new java.io.FileOutputStream(corrupt)
     try out.write("this is not parquet".getBytes("UTF-8")) finally out.close()
@@ -436,47 +545,16 @@ class StoreLayoutSpec extends SparkSpec {
       StoreLayout.compactTracePartitions(spark, dir, Seq(
         java.time.LocalDate.parse("2024-01-10"), java.time.LocalDate.parse("2024-01-11")))
     }
-    // the failed date is byte-identical (nothing renamed), its staging is
-    // deleted, and NO lease survives — writers may resume immediately
+    // the failed date is byte-identical (nothing committed), its staging is
+    // deleted, and NO lease survives — writers were never blocked anyway
     assert(partFiles(dir, "trace_date=2024-01-10") == day1Before)
-    assert(noSideDirs(dir), "clean abort must sweep its staging dir")
+    assert(genDirs(dir, "trace_date=2024-01-10").isEmpty)
+    assert(noStageOrphans(dir), "clean abort must sweep its staging dir")
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".compacting-")),
       "no lease may survive a clean abort (or a sibling date's success)")
     // the healthy sibling date is still a valid readable partition
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-11").count() >= 1)
-  }
-
-  test("destructive crash state (aside dir + stale lease) heals in one pass") {
-    val dir = freshStore()
-    StoreLayout.writeTraces(spark.createDataset(Seq(
-      trace("000000000000000a", day1Us))).toDF(), dir) // dupe = work
-    // a run that died BETWEEN its two renames keeps its lease by design —
-    // so the realistic crash state is aside dir AND lease together
-    val live = new java.io.File(dir, "trace_date=2024-01-10")
-    assert(live.renameTo(new java.io.File(dir, ".old-trace_date=2024-01-10")))
-    val lease = new java.io.File(dir, ".compacting-trace_date=2024-01-10")
-    assert(lease.createNewFile())
-    assert(lease.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
-    StoreLayout.compactTraces(spark, dir)
-    // fully healed: restored, compacted, lease released, side dirs gone
-    assert(spark.read.parquet(dir + "/trace_date=2024-01-10").count() == 1)
-    assert(!lease.exists())
-    assert(noSideDirs(dir))
-  }
-
-  test("a FRESH lease protects an in-flight swap's aside state from recovery") {
-    val dir = freshStore()
-    // mid-swap observable state of a LIVE concurrent compactor: live moved
-    // aside, lease fresh — a second pass must not "recover" under it
-    val live = new java.io.File(dir, "trace_date=2024-01-10")
-    val aside = new java.io.File(dir, ".old-trace_date=2024-01-10")
-    assert(live.renameTo(aside))
-    val lease = new java.io.File(dir, ".compacting-trace_date=2024-01-10")
-    assert(lease.createNewFile())
-    intercept[IllegalStateException] { StoreLayout.compactTraces(spark, dir) }
-    assert(aside.exists() && !live.exists(), "in-flight swap state must be untouched")
-    assert(lease.exists())
-    assert(lease.delete())
+    assert(StoreLayout.readAll(spark, dir, "trace_date")
+      .where("trace_date = DATE'2024-01-11'").count() >= 1)
   }
 
   test("retention drops expired partitions only") {
