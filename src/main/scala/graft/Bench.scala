@@ -264,8 +264,13 @@ object Bench {
         None
       }
     val streamSmall = streamLeg(streamDir, "small")
-    val streamBig = // skip when the timed dir IS sf0.01 — it would duplicate leg 1
-      if (new java.io.File(sfDir).getCanonicalPath == streamDir.getCanonicalPath) None
+    // skip the big leg when the timed dir IS sf0.01 (it would duplicate leg
+    // 1) or when leg 1 never ran (sf0.01 absent): the line and sidecar
+    // report "big" only alongside "small", so running it alone would spend
+    // bench time on stats that are then discarded
+    val streamBig =
+      if (streamSmall.isEmpty ||
+        new java.io.File(sfDir).getCanonicalPath == streamDir.getCanonicalPath) None
       else streamLeg(new java.io.File(sfDir), "big")
     // compact "big" object: only what the amortization claim needs — the
     // sidecar carries the rest

@@ -70,9 +70,15 @@ object Multimodal {
       var data: Option[(Int, Int)] = None // (offset, length)
       while (off + 8 <= bytes.length) {
         val id = tag(bytes, off)
-        val size = u32(bytes, off + 4).toInt
-        require(size >= 0 && off + 8 + size <= bytes.length,
-          s"chunk '$id' overruns the file (size $size at offset $off)")
+        // bounds check in LONG: a crafted/corrupt 32-bit size near 2^31
+        // narrowed to Int wraps negative (or wraps the off+8+size sum) and
+        // would pass an Int-arithmetic check, turning the promised
+        // IllegalArgumentException into an ArrayIndexOutOfBounds deep in the
+        // sample loop — or a wrapped offset walking the buffer
+        val sizeL = u32(bytes, off + 4)
+        require(sizeL <= bytes.length - (off + 8L),
+          s"chunk '$id' overruns the file (size $sizeL at offset $off)")
+        val size = sizeL.toInt // safe: ≤ bytes.length < 2^31
         id match {
           case "fmt " =>
             require(size >= 16, s"fmt chunk too short ($size bytes)")
@@ -161,6 +167,10 @@ object Multimodal {
     def resample(bytes: Array[Byte], targetFrames: Int): Array[Byte] = {
       val w = decode(bytes)
       require(targetFrames > 0, s"invalid target frame count $targetFrames")
+      // a structurally valid zero-frame WAV (empty data chunk) has no sample
+      // to map any output index to — dead-letter it like decode's contract,
+      // instead of an ArrayIndexOutOfBounds deep in the tabulate
+      require(w.frames > 0, "cannot resample a zero-frame WAV")
       val mono: Array[Int] =
         if (w.channels == 1) w.samples
         else Array.tabulate(w.frames)(f => (w.samples(2 * f) + w.samples(2 * f + 1)) / 2)

@@ -96,6 +96,26 @@ class MultimodalSpec extends SparkSpec {
     val nonPcm = good.clone()
     nonPcm(20) = 3 // fmt code 3 = IEEE float — refused, not faked
     intercept[IllegalArgumentException] { WavCodec.decode(nonPcm) }
+    // a crafted chunk size near 2^31: Int arithmetic would wrap the
+    // off+8+size bound negative and "pass", crashing later with an index
+    // error instead of the malformed-input refusal
+    val crafted = good.clone()
+    crafted(40) = 0xf8.toByte; crafted(41) = 0xff.toByte
+    crafted(42) = 0xff.toByte; crafted(43) = 0x7f.toByte // data size = 0x7ffffff8
+    val e = intercept[IllegalArgumentException] { WavCodec.decode(crafted) }
+    assert(e.getMessage.contains("overruns"))
+  }
+
+  test("WavCodec: zero-frame WAV decodes but refuses to resample") {
+    val empty = WavCodec.encodeMono16(Array.empty[Int], 8000)
+    val w = WavCodec.decode(empty) // structurally valid: header + empty data
+    assert(w.frames == 0)
+    assert(WavCodec.features(w).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+    // no sample exists to map any output index to — dead-letter, don't crash
+    val e = intercept[IllegalArgumentException] {
+      WavCodec.resample(empty, targetFrames = 4)
+    }
+    assert(e.getMessage.contains("zero-frame"))
   }
 
   test("extractFeatures: real decoded-sample features, deterministic") {
