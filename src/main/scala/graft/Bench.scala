@@ -9,11 +9,13 @@ object Bench {
   private final case class StreamStats(rowsIn: Int, tracesOut: Long, windowsOut: Long,
       batches: Int, sec: Double, stage1Sec: Double, stage2Sec: Double) {
     def rps: Double = if (sec > 0) rowsIn / sec else 0.0
+    // per-stage seconds live in the sidecar only: every stdout-line byte
+    // counts against the driver's 2KB tail window (see the length guard)
     def frag: String =
       s"""{"rows_in":$rowsIn,"batches":$batches,"sec":${f2(sec)},""" +
-        s""""stage1_sec":${f2(stage1Sec)},"stage2_sec":${f2(stage2Sec)},""" +
         s""""rows_per_sec":${f1(rps)}"""
     def detail: String = frag +
+      s""","stage1_sec":${f2(stage1Sec)},"stage2_sec":${f2(stage2Sec)}""" +
       s""","traces_out":$tracesOut,"windows_out":$windowsOut}"""
   }
 
@@ -281,7 +283,17 @@ object Bench {
     // against the driver's tail window
     val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e.take(100))}""").getOrElse("")
     val loadAfter = loadavgJson()
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streamJson$streamErrJson,"sf":${jstr(sfDir)}}"""
+    def mkLine(qjson: String): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streamJson$streamErrJson,"sf":${jstr(sfDir)}}"""
+    // per-query precision degrades to 1 decimal before the line risks the
+    // driver's 2KB tail window (slow contaminated runs widen every number;
+    // the sidecar always carries full precision)
+    val line = {
+      val full = mkLine(qs)
+      if (full.length <= 1800) full
+      else mkLine(results.map { case (k, v, _, _) => s"\"" + k + "\":" + f1(v) }
+        .mkString("{", ",", "}"))
+    }
     // full-precision per-query wall+CPU detail for BOTH passes goes to a
     // sidecar file (the stdout line is the driver's parse target and must
     // fit its tail window)

@@ -906,6 +906,19 @@ object SparkEntry {
           round(element_at(col("features"), 4), 6).as("f3"))
     }),
 
+    // ——— multimodal: binary columns + REAL binary-PPM (P6) decode — the
+    // WAV leg's methodology on the image modality. The media table
+    // synthesizes one integer-exact gradient PPM per doc id
+    // (Multimodal.gradientPixels documents the closed form); the oracle
+    // recomputes dimensions/byte length/channel sums/max luminance/edge
+    // count from that closed form in SQL, so a hash match proves encode →
+    // header parse → pixel decode → feature math is pixel-exact end to
+    // end. Every feature is integer-valued (float-exact in any engine) ———
+    "q_mm_image" -> ((s, dir) => {
+      val media = Multimodal.ppmFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractImageFeatures(s, media)
+    }),
+
     // ——— multimodal: deterministic frame sampling fan-out ———
     "q_mm_frames" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(t(s, dir, "documents"))
@@ -1346,6 +1359,43 @@ object SparkEntry {
         |  round(max(abs(v)) / 32767.0, 6) AS f2,
         |  round(count(CASE WHEN (pv < 0) <> (v < 0) THEN 1 END) * 1.0, 6) AS f3
         |FROM d GROUP BY doc_id, n""".stripMargin,
+
+    // the closed-form twin of Multimodal.gradientPixels + PpmCodec.features:
+    // w = id%16+4, h = id%12+4, pixel (x,y) channels r/g/b per the gradient
+    // formulas; byte_len = header ("P6\n" + digits + " " + digits + "\n255\n"
+    // = 9 + digit counts) + 3wh. The horizontal-edge predicate recomputes the
+    // NEXT pixel's luminance from the closed form at x+1 rather than a
+    // window lag — same integers either way, no per-row ordering needed.
+    // All features are integers, so no round() shapes to align.
+    "q_mm_image" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, i % w AS x, i // w AS y
+        |  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM p)
+        |), c AS (
+        |  SELECT doc_id, w, h, x,
+        |    (3 * x + 7 * y + doc_id) % 256 AS r,
+        |    (5 * x + 11 * y + 2 * doc_id) % 256 AS g,
+        |    (x * y + 13 * doc_id) % 256 AS b,
+        |    (3 * x + 7 * y + doc_id) % 256
+        |      + (5 * x + 11 * y + 2 * doc_id) % 256
+        |      + (x * y + 13 * doc_id) % 256 AS lum,
+        |    (3 * (x + 1) + 7 * y + doc_id) % 256
+        |      + (5 * (x + 1) + 11 * y + 2 * doc_id) % 256
+        |      + ((x + 1) * y + 13 * doc_id) % 256 AS lum_next
+        |  FROM px
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+        |    + 3 * w * h AS BIGINT) AS byte_len,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(max(lum) AS BIGINT) AS max_lum,
+        |  CAST(count(CASE WHEN x < w - 1 AND abs(lum_next - lum) > 96 THEN 1 END)
+        |    AS BIGINT) AS edge_count
+        |FROM c GROUP BY doc_id, w, h""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT doc_id AS media_id,

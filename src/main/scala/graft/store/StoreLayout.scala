@@ -300,14 +300,16 @@ object StoreLayout {
     * pruned to `[min, max]` (inclusive; None = unbounded). A store no
     * compaction has touched takes the single-scan fast path — one discovery
     * read with Catalyst partition pruning, exactly the plain layout. With
-    * compacted partitions, each one becomes an explicit (generation +
-    * unabsorbed loose) scan leg with its partition value attached, unioned
-    * with one discovery leg for the untouched dates — pruning then happens
-    * HERE, at resolution, before Spark ever lists a file. At 100 TB the
-    * per-compacted-date legs are the trade for atomic commits without a
-    * table format; a deployment beyond a few thousand live partitions per
-    * query graduates to a real table format (Iceberg/Delta), which is this
-    * same pointer idea with a manifest tree.
+    * compacted partitions the read is TWO legs regardless of how many
+    * partitions resolve: one discovery leg for the untouched dates, and ONE
+    * explicit-file leg covering every compacted partition's (generation +
+    * unabsorbed loose) inputs, its partition value recovered from the
+    * file path's `col=value` segment — pruning happens HERE, at resolution,
+    * before Spark ever lists a file, and the plan stays O(1) in partition
+    * count (a per-partition union leg would make a year-long range plan 365
+    * relations and dominate small-query latency). A deployment beyond this
+    * graduates to a real table format (Iceberg/Delta), which is this same
+    * pointer idea with a manifest tree.
     */
   private[graft] def readPartitioned(spark: SparkSession, path: String,
       partitionCol: String, min: Option[java.time.LocalDate],
@@ -355,10 +357,18 @@ object StoreLayout {
           .where(col(partitionCol).isInCollection(
             dates.map(java.sql.Date.valueOf)))
       }
-      genParts.foreach { case (d, st) =>
-        legs += spark.read.parquet(st.inputs.map(_.toString): _*)
-          .withColumn(partitionCol, lit(d.toString).cast("date"))
-      }
+      // one leg for ALL compacted partitions: their generation dirs + loose
+      // files share a schema, and every input lives under its partition's
+      // `col=value` directory, so the partition value is recoverable from
+      // the scan's file path (greedy .* anchors on the LAST occurrence, so
+      // a store rooted under a look-alike dir name cannot confuse it). The
+      // derivation is a codegen'd projection — no shuffle, no per-leg plan
+      val genInputs = genParts.flatMap(_._2.inputs)
+      legs += spark.read.parquet(genInputs.map(_.toString): _*)
+        .withColumn(partitionCol, to_date(regexp_extract(
+          col("_metadata.file_path"),
+          ".*/" + java.util.regex.Pattern.quote(partitionCol) +
+            "=([0-9]{4}-[0-9]{2}-[0-9]{2})/", 1)))
       legs.reduce(_ unionByName _)
     }
   }

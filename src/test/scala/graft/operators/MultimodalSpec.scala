@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import graft.operators.Multimodal.WavCodec
+import graft.operators.Multimodal.{PpmCodec, WavCodec}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -116,6 +116,85 @@ class MultimodalSpec extends SparkSpec {
       WavCodec.resample(empty, targetFrames = 4)
     }
     assert(e.getMessage.contains("zero-frame"))
+  }
+
+  test("PpmCodec: encode → decode round-trips dimensions and every pixel") {
+    val rgb = Multimodal.gradientPixels(42L, 7, 5)
+    val bytes = PpmCodec.encode(7, 5, rgb)
+    assert(new String(bytes.take(3), "US-ASCII") == "P6\n")
+    val p = PpmCodec.decode(bytes)
+    assert(p.width == 7 && p.height == 5)
+    assert(p.rgb.toSeq == rgb.toSeq)
+  }
+
+  test("PpmCodec: header comments and arbitrary whitespace tokenize per spec") {
+    val rgb = Array.tabulate(2 * 2 * 3)(i => i * 10)
+    val canonical = PpmCodec.encode(2, 2, rgb)
+    val pixels = canonical.drop("P6\n2 2\n255\n".length)
+    val weird = ("P6 # a comment right after the magic\n" +
+      "# full-line comment\n  2\t\r\n# another\n2\n255\n").getBytes("US-ASCII") ++ pixels
+    val p = PpmCodec.decode(weird)
+    assert(p.width == 2 && p.height == 2 && p.rgb.toSeq == rgb.toSeq)
+  }
+
+  test("PpmCodec: ASCII PPM, bad maxval, truncation, and crafted dims are refused") {
+    val good = PpmCodec.encode(3, 3, Multimodal.gradientPixels(1L, 3, 3))
+    // P3 (ASCII) is a different format — refused, not parsed leniently
+    val p3 = good.clone(); p3(1) = '3'
+    intercept[IllegalArgumentException] { PpmCodec.decode(p3) }
+    // 16-bit maxval would change the sample layout — refused, not faked
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode("P6\n3 3\n65535\n".getBytes("US-ASCII") ++ good.drop(11))
+    }
+    intercept[IllegalArgumentException] { PpmCodec.decode(good.take(15)) } // truncated pixels
+    intercept[IllegalArgumentException] { PpmCodec.decode(good.take(4)) } // truncated header
+    // crafted dimensions whose product overflows Int must refuse, not wrap
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode("P6\n65536 65536\n255\nxxx".getBytes("US-ASCII"))
+    }
+  }
+
+  test("PpmCodec: integer features match a hand-computed 2x1 case") {
+    // pixels: (10,20,30) then (200,10,5) — lums 60 and 215, one edge at >96
+    val bytes = PpmCodec.encode(2, 1, Array(10, 20, 30, 200, 10, 5))
+    val f = PpmCodec.features(PpmCodec.decode(bytes))
+    assert(f.toSeq == Seq(210L, 30L, 35L, 215L, 1L))
+    // threshold is exclusive: a diff of exactly 96 is not an edge
+    val flat = PpmCodec.encode(2, 1, Array(0, 0, 0, 96, 0, 0))
+    assert(PpmCodec.features(PpmCodec.decode(flat)).last == 0L)
+  }
+
+  test("PpmCodec: nearest-neighbour resize maps source pixels exactly") {
+    val rgb = Multimodal.gradientPixels(9L, 8, 6)
+    val resized = PpmCodec.decode(PpmCodec.resize(PpmCodec.encode(8, 6, rgb), 4, 3))
+    assert(resized.width == 4 && resized.height == 3)
+    // every output pixel equals its ⌊x·srcW/dstW⌋,⌊y·srcH/dstH⌋ source
+    for (y <- 0 until 3; x <- 0 until 4; ch <- 0 until 3) {
+      val so = ((y * 6 / 3) * 8 + (x * 8 / 4)) * 3 + ch
+      assert(resized.rgb((y * 4 + x) * 3 + ch) == rgb(so))
+    }
+    // upscale repeats source pixels, never interpolates new values
+    val up = PpmCodec.decode(PpmCodec.resize(PpmCodec.encode(8, 6, rgb), 16, 6))
+    assert(up.rgb((0 * 16 + 1) * 3) == rgb(0), "2x upscale: pixel 1 repeats source 0")
+  }
+
+  test("extractImageFeatures: decoded-pixel features over the media table, no shuffle") {
+    val docs = spark.range(1, 40).toDF("doc_id")
+    val media = Multimodal.ppmFromDocuments(spark, docs)
+    val feats = Multimodal.extractImageFeatures(spark, media)
+    val rows = feats.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(rows.size == 39)
+    // spot-check id 5 against an independent in-test recompute
+    val (w, h) = ((5L % 16 + 4).toInt, (5L % 12 + 4).toInt)
+    val f = PpmCodec.features(PpmCodec.Ppm(w, h, Multimodal.gradientPixels(5L, w, h)))
+    val r5 = rows(5L)
+    assert(r5.getAs[Int]("width") == w && r5.getAs[Int]("height") == h)
+    assert(Seq("sum_r", "sum_g", "sum_b", "max_lum", "edge_count")
+      .map(r5.getAs[Long]) == f.toSeq)
+    assert(r5.getAs[Long]("byte_len") == s"P6\n$w $h\n255\n".length + 3L * w * h)
+    // the whole pipeline is narrow: synth → decode → features, zero Exchange
+    assert(!feats.queryExecution.executedPlan.toString.contains("Exchange"),
+      "image feature extraction must not shuffle")
   }
 
   test("extractFeatures: real decoded-sample features, deterministic") {
