@@ -238,7 +238,7 @@ object Dedup {
     * the price of transiently boxed rows (~100 MB at the default 2 M-edge
     * cap); the retained state is primitive arrays only (~40 B per edge:
     * 2 × 8 B edge ends + sorted node table + int parents). Above the cap:
-    * distributed min-label propagation
+    * distributed large-star/small-star contraction
     * ([[connectedComponentsDistributed]]).
     */
   def connectedComponents(pairs: DataFrame,
@@ -296,37 +296,67 @@ object Dedup {
     spark.createDataset(labels).toDF("doc_id", "canonical_id")
   }
 
-  /** Distributed fallback: min-label propagation to fixpoint — one keyed
-    * shuffle per round, no driver-side graph state; near-dup components are
-    * small cliques so convergence is O(diameter) ≈ 1-3 rounds (large-star/
-    * small-star rewriting would bound rounds logarithmically if ever needed).
+  /** Distributed fallback: alternating large-star/small-star edge rewriting
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — two keyed shuffles per round, no driver-side graph state,
+    * and convergence in O(log n) rounds INDEPENDENT of component diameter.
+    * Plain min-label propagation (the previous implementation) is
+    * O(diameter): fine for near-dup cliques, but an adversarially-chained
+    * corpus — a long run of pairwise-similar documents forming one path —
+    * made it exceed any fixed round cap and return partial labels. The
+    * star rounds contract such a path logarithmically instead.
+    *
+    * Each round rewrites the edge set; the fixpoint is per-component stars
+    * rooted at the component minimum, from which labels read off directly.
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u): every neighbor v < u, and u itself, re-attach to
+    *    m = min of those neighbors.
+    * Both preserve connectivity and never raise a node's minimum reachable
+    * label; edges are kept (lo, hi)-normalized and distinct so the set
+    * shrinks toward the star form, detected via an xor-of-hashes checksum.
     */
-  def connectedComponentsDistributed(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("canonical_id", col("doc_id")).cache()
-    // convergence via a label-set checksum: labels only ever decrease, so
-    // the xor-of-hashes fingerprint is stable iff no label moved — one agg
-    // job over the (cached) next round, no extra join+count per round
+  def connectedComponentsDistributed(pairs: DataFrame, maxIterations: Int = 30): DataFrame = {
+    val allNodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct().cache()
     def checksum(df: DataFrame): Long =
-      df.agg(coalesce(expr("bit_xor(xxhash64(doc_id, canonical_id))"), lit(0L)))
+      df.agg(coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L)))
         .first().getLong(0) // coalesce: bit_xor over zero rows is NULL
-    var chk = checksum(labels)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = nb.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      nb.join(mins, "u").where(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v: normalized
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val byMax = e.select(col("hi").as("u"), col("lo").as("v")) // v < u
+      val mins = byMax.groupBy("u").agg(min("v").as("m")) // m < u
+      byMax.join(mins, "u")
+        .select(col("m").as("lo"), col("v").as("hi")) // m ≤ v
+        .union(mins.select(col("m").as("lo"), col("u").as("hi"))) // m < u
+        .where(col("lo") =!= col("hi"))
+        .distinct()
+    }
+    // each round MUST truncate lineage, not just cache: largeStar references
+    // its input twice and smallStar three times, so the logical plan grows
+    // exponentially in round count — by round ~10 analysis itself OOMs the
+    // driver. localCheckpoint (eager) resets the plan to the materialized
+    // rows each round; superseded round RDDs are released by the context
+    // cleaner once unreferenced
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct().localCheckpoint()
+    var chk = checksum(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // each node adopts the min label among itself and its neighbors
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("canonical_id"))
-      val next = labels.union(viaNeighbors)
-        .groupBy("doc_id").agg(min("canonical_id").as("canonical_id"))
-        .cache()
+      val next = smallStar(largeStar(edges)).localCheckpoint()
       val nextChk = checksum(next)
-      labels.unpersist()
-      labels = next
+      edges = next
       converged = nextChk == chk
       chk = nextChk
       i += 1
@@ -335,14 +365,18 @@ object Dedup {
       // silent partial labels would split one real cluster into several and
       // quietly keep extra duplicates downstream — make the cap audible
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connected components did NOT converge after $maxIterations rounds " +
-          "(component diameter exceeds the cap); labels are partial — " +
-          "rerun with a higher maxIterations")
-    // labels is fully materialized by its convergence checksum; the edge
-    // cache only serves the (already finished) propagation rounds. The
-    // returned labels stay cached — they are the component labels the caller
-    // is about to consume — and recompute from lineage if ever evicted.
-    edges.unpersist(false)
+        s"connected components did NOT converge after $maxIterations rounds; " +
+          "labels are partial — rerun with a higher maxIterations")
+    // at the star fixpoint every non-minimum node has exactly one edge, to
+    // its component minimum; the groupBy-min also makes a NON-converged
+    // edge set read off deterministically (partial but single-labeled)
+    val roots = edges.groupBy(col("hi").as("doc_id")).agg(min("lo").as("root"))
+    val labels = allNodes.join(roots, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("canonical_id"))
+      .cache()
+    labels.count() // materialize before releasing the caches labels read from
+    allNodes.unpersist(false)
     labels
   }
 

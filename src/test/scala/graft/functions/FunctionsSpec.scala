@@ -212,6 +212,41 @@ class FunctionsSpec extends SparkSpec {
     assert(run(Dedup.connectedComponents(pairs, driverSideEdgeLimit = 2)) == expected)
   }
 
+  test("connectedComponents property: star contraction ≡ union-find on random " +
+      "and adversarially-deep graphs") {
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    def check(edges: Seq[(Long, Long)], what: String): Unit = {
+      val pairs = edges.toDF("doc_a", "doc_b")
+      // ground truth: the exhaustively-spec'd driver union-find
+      val truth = run(Dedup.connectedComponents(pairs, driverSideEdgeLimit = 10_000_000))
+      assert(run(Dedup.connectedComponentsDistributed(pairs)) == truth, what)
+    }
+    // a 220-deep PATH: min-label propagation converged in O(diameter) and
+    // returned PARTIAL labels past its round cap; star contraction must
+    // finish in O(log n) rounds and label all 221 nodes with node 0
+    check((0L until 220L).map(i => (i, i + 1)), "path graph depth 220")
+    // path written in descending order + shuffled edge directions
+    check((0L until 150L).map(i => (150L - i, 149L - i)), "reversed path")
+    // random graphs across densities: isolated pairs, sparse forests, and
+    // dense near-cliques, with self-loops and duplicate edges mixed in
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 40
+      val m = n * (trial match { case 1 => 1; case 2 => 2; case _ => 4 })
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b || rnd.nextBoolean() } // keep some loops
+      check(edges, s"random graph n=$n m=${edges.size} trial=$trial")
+    }
+    // long chains of small cliques — the realistic adversarial corpus shape:
+    // pairwise-similar runs chained end to end
+    val chained = (0L until 40L).flatMap { c =>
+      val base = c * 3
+      Seq((base, base + 1), (base + 1, base + 2), (base + 2, base + 3))
+    }.filter(_._2 <= 120L)
+    check(chained, "chained cliques")
+  }
+
   test("SimHashSig expression ≡ the exploded vote pipeline") {
     val texts = Seq((0L, "a b c d e a b c"), (1L, "  x   y\nz  "), (2L, "one"),
       (3L, "the quick brown fox the quick brown fox"), (4L, ""))
