@@ -355,4 +355,119 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(tags == Map("env" -> Set("prod", "dev"))) // allowlist filters "ignored"
     } finally { q1.stop(); q2.stop() }
   }
+
+  // ——— checkpoint-rollback replay rig: snapshot a query's checkpoint after
+  // batch k, run batch k+1 for real, then restore the snapshot and restart —
+  // the ENGINE now believes k+1 never committed and re-runs it through the
+  // actual foreachBatch machinery (same batch id, same data). This is the
+  // real at-least-once redelivery ST7 claims survive, not a hand-simulated
+  // double append.
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+  private def deleteDir(dir: String): Unit =
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+
+  test("set-store sink survives an engine-level micro-batch replay (ST7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay-set")
+    val store = s"$tmp/inc"; val chk = s"$tmp/chk"; val snap = s"$tmp/snap"
+    val input = MemoryStream[SpanEnvelope]
+    def start() = StreamingPipeline.autocompleteTagsToStoreIncremental(
+      input.toDS(), Seq("env"), store, chk)
+    var q = start()
+    try {
+      input.addData(SpanEnvelope(new Timestamp(1000L),
+        spanA.copy(tags = Map("env" -> "prod"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    copyDir(chk, snap)
+    q = start()
+    try {
+      input.addData(SpanEnvelope(new Timestamp(2000L),
+        spanB.copy(tags = Map("env" -> "dev"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def served() = StreamingPipeline.readAutocompleteStore(spark, store)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val answer = served()
+    assert(answer == Map("env" -> Seq("dev", "prod")))
+    val physBefore = spark.read.parquet(store).count()
+    // roll the checkpoint back and restart with NO new data: the engine must
+    // re-run the second batch through the real sink
+    deleteDir(chk); copyDir(snap, chk)
+    q = start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(store).count() > physBefore,
+      "the restarted query must have replayed the uncommitted batch's append")
+    assert(served() == answer, "replayed deltas must collapse in the set union")
+    // compaction then collapses the replay physically; the answer never moves
+    graft.store.StoreLayout.compactSetStore(spark, store, "tag_key", "values")
+    assert(served() == answer)
+  }
+
+  test("dependency-window sink: a replayed micro-batch repeats its epoch id " +
+      "and the read-side collapse drops exactly the retry (ST7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay-deps")
+    val store = s"$tmp/deps"; val chk = s"$tmp/chk"; val snap = s"$tmp/snap"
+    val t0 = 1704844800000L // 2024-01-10T00:00Z — a real store date
+    val input = MemoryStream[LinkEvent]
+    def start() = StreamingPipeline.dependencyWindowsToStore(
+      StreamingPipeline.dependencyWindowCounts(input.toDS()), store, chk)
+    // batch 0: one link in minute 0 — its window stays open (watermark 0)
+    var q = start()
+    try {
+      input.addData(LinkEvent(new Timestamp(t0), "api", "db", 1L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    copyDir(chk, snap)
+    // batch 1+: a link ten minutes on advances the watermark past minute 0,
+    // so the engine emits that window's FINAL and the sink appends it with
+    // its epoch id
+    q = start()
+    try {
+      input.addData(LinkEvent(new Timestamp(t0 + 600000L), "api", "cache", 1L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val raw = () => spark.read.parquet(store)
+      .select("window_start_ms", "parent", "child", "call_count", "error_count", "batch_id")
+    val rowsBefore = raw().count()
+    assert(rowsBefore >= 1, "the watermark advance must have flushed a final")
+    def served() = graft.operators.TraceQueries.dependencies(
+      graft.store.StoreLayout.readDependencyWindows(spark, store, t0 + 3600000L, 7200000L),
+      endTs = t0 + 3600000L, lookback = 7200000L).collect()
+      .map(r => (r.getAs[String]("parent"), r.getAs[String]("child"),
+        r.getAs[Long]("call_count"))).toSet
+    val answer = served()
+    assert(answer == Set(("api", "db", 1L)))
+    // rollback + restart: the engine re-runs the emitting batch for real.
+    // The restart uses a FRESH source instance replaying the same log — a
+    // MemoryStream object tracks its committed offset in-process and would
+    // refuse the rolled-back commit ("offsets committed out of order"),
+    // whereas a real source (Kafka) keeps that state in the checkpoint we
+    // just rolled back; same addData structure → same offsets
+    deleteDir(chk); copyDir(snap, chk)
+    val input2 = MemoryStream[LinkEvent]
+    input2.addData(LinkEvent(new Timestamp(t0), "api", "db", 1L, 0L))
+    input2.addData(LinkEvent(new Timestamp(t0 + 600000L), "api", "cache", 1L, 0L))
+    q = StreamingPipeline.dependencyWindowsToStore(
+      StreamingPipeline.dependencyWindowCounts(input2.toDS()), store, chk)
+    try q.processAllAvailable() finally q.stop()
+    assert(raw().count() > rowsBefore, "the replay must have re-appended the final")
+    // the replayed final carries the SAME epoch id — the full row (batch_id
+    // included) is an exact duplicate, which is precisely what the read-side
+    // dropDuplicates collapses; a fresh id would (correctly) double-count
+    assert(raw().distinct().count() == rowsBefore,
+      "replayed finals must duplicate their originals exactly, epoch id included")
+    assert(served() == answer)
+  }
 }
