@@ -114,8 +114,17 @@ class StoreLayoutSpec extends SparkSpec {
         Seq(Span(trace_id = "000000000000000c", id = "000000000000000c")), -1L))).toDF(), dir)
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.toSeq == Seq("trace_date=1969-12-31"))
-    val read = StoreLayout.readTraces(spark, dir, endTs = 0L, lookback = 3600000L)
-    assert(read.collect().map(_.getAs[String]("trace_id")).toSeq == Seq("000000000000000c"))
+    def read() = StoreLayout.readTraces(spark, dir, endTs = 0L, lookback = 3600000L)
+      .collect().map(_.getAs[String]("trace_id")).toSeq
+    assert(read() == Seq("000000000000000c"))
+    // the generation resolver recovers the pre-epoch date from the file
+    // path too: compact (write a dupe first so there is work) and re-read
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      Trace("000000000000000c",
+        Seq(Span(trace_id = "000000000000000c", id = "000000000000000c")), -1L))).toDF(), dir)
+    StoreLayout.compactTraces(spark, dir)
+    assert(genDirs(dir, "trace_date=1969-12-31").size == 1)
+    assert(read() == Seq("000000000000000c"))
   }
 
   test("compaction collapses re-appends and partials; query answer unchanged") {
