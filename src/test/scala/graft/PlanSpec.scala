@@ -122,6 +122,25 @@ class PlanSpec extends SparkSpec {
       s"tag_key filter must reach the delta-store scan as a pushed filter:\n$plan")
   }
 
+  test("generation resolver plans O(1) scan legs, not one per compacted partition") {
+    // q_store_autocomplete's store: ~30 seen_date partitions, ALL compacted
+    // into generations. One union leg per partition made plan cost linear in
+    // partition count (31 partitions → 2.4 s for a sub-second query; a year
+    // of dates → 365 relations) — the resolver must keep the read at ≤ 2
+    // legs: one explicit-file scan over every generation + unabsorbed loose
+    // file, plus (only when untouched dates exist) one discovery leg
+    SparkEntry.queries("q_store_autocomplete")(spark, dir) // builds the store
+    val storeDir = SparkEntry.storePath("actags", dir)
+    val genParts = new java.io.File(storeDir).listFiles()
+      .count(f => f.isDirectory && f.listFiles().exists(_.getName.startsWith(".gen-")))
+    assert(genParts > 10, s"fixture should have many compacted partitions ($genParts)")
+    val read = graft.store.StoreLayout.readSetStore(spark, storeDir)
+    read.collect()
+    val scans = collectScans(read.queryExecution.executedPlan)
+    assert(scans.size <= 2,
+      s"resolver planned ${scans.size} scan legs over $genParts compacted partitions")
+  }
+
   test("q_store_get_trace: bucketed probe — zero Exchange, one bucket scanned") {
     val df = SparkEntry.queries("q_store_get_trace")(spark, dir) // builds the store
     df.collect()
