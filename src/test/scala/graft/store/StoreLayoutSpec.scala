@@ -566,6 +566,47 @@ class StoreLayoutSpec extends SparkSpec {
       .where("trace_date = DATE'2024-01-11'").count() >= 1)
   }
 
+  test("concurrent readers during live compaction passes always see a complete answer") {
+    // the enumerated crash-state test pins each commit point statically;
+    // this one races REAL readers against real generation commits: a reader
+    // thread resolves and merges the store in a tight loop while the main
+    // thread appends dupes and compacts, repeatedly. Under the old
+    // two-rename swap this flaked with missing-partition answers; under the
+    // pointer commit every read must see all traces exactly once
+    val dir = freshStore()
+    val expected = Seq("000000000000000a", "000000000000000b")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get() && bad.get() == null) {
+        val got = graft.operators.TraceQueries.fromStore(
+          StoreLayout.readAll(spark, dir, "trace_date"))
+          .collect().map(_.trace_id).sorted.toSeq
+        if (got != expected) bad.compareAndSet(null, s"read saw $got")
+        reads.incrementAndGet()
+      }
+    })
+    reader.start()
+    try {
+      // several full lifecycle turns while the reader spins: re-append a
+      // duplicate (work for the pass), compact (commit a new generation +
+      // retire the old), repeat — cleanup of pass N's retirees runs inside
+      // pass N+1, so readers cross staging, commit, AND deferred deletion
+      for (_ <- 1 to 4) {
+        StoreLayout.writeTraces(spark.createDataset(Seq(
+          trace("000000000000000a", day1Us))).toDF(), dir)
+        StoreLayout.compactTraces(spark, dir)
+        if (bad.get() != null) throw new AssertionError(bad.get())
+      }
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(bad.get() == null, s"incomplete read observed: ${bad.get()}")
+    assert(reads.get() > 0, "the reader thread must have actually raced the passes")
+  }
+
   test("retention drops expired partitions only") {
     val dir = freshStore()
     val dropped = StoreLayout.dropExpired(spark, dir, "trace_date",
