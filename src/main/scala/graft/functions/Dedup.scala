@@ -343,18 +343,25 @@ object Dedup {
     // each round MUST truncate lineage, not just cache: largeStar references
     // its input twice and smallStar three times, so the logical plan grows
     // exponentially in round count — by round ~10 analysis itself OOMs the
-    // driver. localCheckpoint (eager) resets the plan to the materialized
-    // rows each round; superseded round RDDs are released by the context
-    // cleaner once unreferenced
-    var edges = pairs
+    // driver. Checkpointing (eager) resets the plan to the materialized rows
+    // each round; superseded round RDDs are released by the context cleaner
+    // once unreferenced. A session with a checkpoint dir configured gets
+    // RELIABLE checkpoints — localCheckpoint pins round state to executor
+    // local storage, where one lost executor on a big cluster kills the
+    // whole iteration; reliable is the right default at 1000-executor scale,
+    // local the right default for a single-JVM session
+    val sc = pairs.sparkSession.sparkContext
+    def truncate(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var edges = truncate(pairs
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
-      .where(col("lo") =!= col("hi")).distinct().localCheckpoint()
+      .where(col("lo") =!= col("hi")).distinct())
     var chk = checksum(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = truncate(smallStar(largeStar(edges)))
       val nextChk = checksum(next)
       edges = next
       converged = nextChk == chk

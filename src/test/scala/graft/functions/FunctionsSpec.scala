@@ -245,6 +245,13 @@ class FunctionsSpec extends SparkSpec {
       Seq((base, base + 1), (base + 1, base + 2), (base + 2, base + 3))
     }.filter(_._2 <= 120L)
     check(chained, "chained cliques")
+    // with a checkpoint dir configured the rounds take RELIABLE checkpoints
+    // (the 1000-executor posture — local round state dies with one executor)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    check((0L until 100L).map(i => (i, i + 1)), "path under reliable checkpointing")
+    assert(new java.io.File(ckpt.toString).listFiles().nonEmpty,
+      "reliable checkpoints must actually land in the configured dir")
   }
 
   test("SimHashSig expression ≡ the exploded vote pipeline") {
