@@ -94,13 +94,23 @@ object SpanPipeline {
 
   /** Autocomplete tag values for the configured keys (SURVEY §2.4 A8;
     * TraceStorageTopology.java:207-228, keys config KafkaStorage.java:61).
+    *
+    * `extraGroups` are (name, expression-over-spanFields) pairs carried
+    * through the explode and ADDED to the grouping key — the incremental
+    * delta sink groups by its `seen_date` partition column through this same
+    * expression, so the Update-mode store, the batch query surface, and the
+    * delta-append write side can never drift apart.
     */
-  def autocompleteTagsRelational(spanFields: DataFrame, keys: Seq[String]): DataFrame =
+  def autocompleteTagsRelational(spanFields: DataFrame, keys: Seq[String],
+      extraGroups: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame =
     spanFields
-      .select(explode(map_entries(col("tags"))).as("kv"))
-      .select(col("kv.key").as("tag_key"), col("kv.value").as("tag_value"))
+      .select(explode(map_entries(col("tags"))).as("kv") +:
+        extraGroups.map { case (n, c) => c.as(n) }: _*)
+      .select(col("kv.key").as("tag_key") +: col("kv.value").as("tag_value") +:
+        extraGroups.map(g => col(g._1)): _*)
       .where(col("tag_key").isin(keys: _*) && col("tag_value").isNotNull)
-      .groupBy("tag_key").agg(sort_array(collect_set("tag_value")).as("values"))
+      .groupBy((extraGroups.map(_._1) :+ "tag_key").map(col): _*)
+      .agg(sort_array(collect_set("tag_value")).as("values"))
 
   def autocompleteTags(spans: Dataset[Span], keys: Seq[String]): DataFrame =
     autocompleteTagsRelational(projected(spans), keys)

@@ -236,6 +236,7 @@ object StoreLayout {
   private val GenPrefix = ".gen-"
   private val PtrPrefix = "_current-"
   private val StagePrefix = ".genstage-"
+  private val TokenPrefix = "_writer-"
   private val AbsorbedManifest = "_absorbed"
 
   private def genName(n: Long) = f"$GenPrefix$n%06d"
@@ -261,6 +262,33 @@ object StoreLayout {
     /** Read inputs: the current generation (if any) plus unabsorbed loose. */
     def inputs: Seq[org.apache.hadoop.fs.Path] = genDir.toSeq ++ loose
   }
+
+  /** Resolve many partitions concurrently: each [[resolveGen]] is 1-2 small
+    * filesystem round-trips (a listStatus, plus a manifest read when
+    * compacted), and a long range over an object-store-backed FileSystem
+    * pays ~50-100 ms per round-trip — a year of dates resolved serially
+    * would add tens of seconds of driver latency before Spark even plans
+    * the scan. A bounded pool keeps resolution O(partitions / 16).
+    */
+  private def resolveAll(fs: org.apache.hadoop.fs.FileSystem,
+      parts: Seq[(java.time.LocalDate, org.apache.hadoop.fs.Path)])
+      : Seq[(java.time.LocalDate, GenState)] =
+    if (parts.sizeIs <= 1) parts.map { case (d, p) => (d, resolveGen(fs, p)) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, parts.size))
+      try {
+        val futures = parts.map { case (d, p) =>
+          (d, pool.submit(new java.util.concurrent.Callable[GenState] {
+            def call(): GenState = resolveGen(fs, p)
+          }))
+        }
+        futures.map { case (d, f) =>
+          (d, try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+        }
+      } finally pool.shutdown()
+    }
 
   private def resolveGen(fs: org.apache.hadoop.fs.FileSystem,
       partDir: org.apache.hadoop.fs.Path): GenState = {
@@ -328,20 +356,23 @@ object StoreLayout {
         catch { case _: Exception => None }
       }
     val selected = parts.filter(p => inRange(p._1))
-    val resolved = selected.map { case (d, p) => (d, resolveGen(fs, p)) }
+    val resolved = resolveAll(fs, selected)
     val (genParts, plainParts) = resolved.partition(_._2.current.isDefined)
 
     if (selected.isEmpty && parts.nonEmpty) {
       // range matches no partition, but a fully-converged store may hold its
       // data only in (hidden) generation dirs — a discovery scan would fail
-      // schema inference, so build the empty result from a resolved schema
-      val any = resolveGen(fs, parts.head._2)
-      if (any.inputs.nonEmpty) {
-        val schema = spark.read.parquet(any.inputs.map(_.toString): _*).schema
-          .add(partitionCol, org.apache.spark.sql.types.DateType)
-        return spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      }
+      // schema inference, so build the empty result from a resolved schema.
+      // Probe partitions until one yields inputs: the first may be an empty
+      // husk (e.g. only a dangling pointer left by an interrupted race)
+      // while the rest of the store holds the schema
+      parts.view.map(p => resolveGen(fs, p._2)).find(_.inputs.nonEmpty)
+        .foreach { any =>
+          val schema = spark.read.parquet(any.inputs.map(_.toString): _*).schema
+            .add(partitionCol, org.apache.spark.sql.types.DateType)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
     }
     if (genParts.isEmpty) {
       // fast path: no generation anywhere in range — the plain layout's one
@@ -536,6 +567,21 @@ object StoreLayout {
       if (retiredGen || stageOrphan || retiredPtr || absorbedLoose)
         fs.delete(st.getPath, st.isDirectory)
     }
+    // in-gen sweep: a commit loser that crashed between its rename-into-an-
+    // existing-gen and its back-out delete leaves its whole staging subtree
+    // INSIDE the current generation — and a crash between the token check
+    // and the token delete leaves a stray `_writer-*` file. Neither is ever
+    // served (dot-dirs and underscore files are invisible to parquet
+    // listings), but a converged partition never retires its current gen, so
+    // without this sweep the trapped rewrite would leak storage indefinitely
+    before.genDir.filter(fs.exists).foreach { g =>
+      fs.listStatus(g).foreach { st =>
+        val n = st.getPath.getName
+        if ((st.isDirectory && n.startsWith(StagePrefix)) ||
+          (st.isFile && n.startsWith(TokenPrefix)))
+          fs.delete(st.getPath, st.isDirectory)
+      }
+    }
     // 2. explicit snapshot (resolveGen already excluded absorbed names)
     val snapshot = before.loose
     if (snapshot.isEmpty) return // converged: current gen only, nothing new
@@ -562,28 +608,41 @@ object StoreLayout {
     * either step deletes its staging and throws — no live file was touched.
     * After the pointer lands the new generation is the served view; the
     * retired one stays on disk until the next pass's deferred cleanup.
+    *
+    * Rename-win detection is by OWNER TOKEN, not by probing for the injected
+    * subtree: a rename onto an EXISTING directory doesn't fail on HDFS/local
+    * — it moves the source INSIDE it — and a concurrent pass's deferred
+    * cleanup may sweep that injected subtree before we probe for it, which
+    * would make a probing loser think it won and later delete the WINNER's
+    * generation on the pointer race. The token is a unique `_writer-*` file
+    * created inside staging before the rename: it sits at the gen ROOT iff
+    * our rename created the gen dir, and no concurrent actor ever writes
+    * into a committed generation, so the check cannot be spoofed or raced.
     */
   private[store] def commitGeneration(fs: org.apache.hadoop.fs.FileSystem,
       partDir: org.apache.hadoop.fs.Path, stage: org.apache.hadoop.fs.Path,
       next: Long): Unit = {
+    val token = TokenPrefix + java.util.UUID.randomUUID
+    fs.create(new org.apache.hadoop.fs.Path(stage, token), false).close()
     val gen = new org.apache.hadoop.fs.Path(partDir, genName(next))
     if (!fs.rename(stage, gen))
       throw new IllegalStateException(
         s"compaction: lost the generation-commit race for $gen — staging discarded")
-    // rename onto an EXISTING directory doesn't fail on HDFS/local — it moves
-    // the source INSIDE it. Detect that (our stage name can't otherwise occur
-    // inside a generation: staged content is part files + _absorbed), back out
-    // only the subtree we injected, and lose the race — the winner's committed
-    // generation must never be touched
-    val injected = new org.apache.hadoop.fs.Path(gen, stage.getName)
-    if (fs.exists(injected)) {
-      fs.delete(injected, true)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(gen, token))) {
+      // moved inside the winner's gen: back out exactly the subtree we
+      // injected (a crash before this delete leaves it for the in-gen sweep
+      // of a later pass) — the winner's own files are never touched
+      fs.delete(new org.apache.hadoop.fs.Path(gen, stage.getName), true)
       throw new IllegalStateException(
         s"compaction: lost the generation-commit race for $gen — staging discarded")
     }
+    fs.delete(new org.apache.hadoop.fs.Path(gen, token), false)
     val ptr = new org.apache.hadoop.fs.Path(partDir, ptrName(next))
     try fs.create(ptr, false).close()
     catch { case e: java.io.IOException =>
+      // the token check above proved this gen is OURS — deleting it cannot
+      // touch another writer's committed state (the existing pointer must be
+      // a dangling leftover, which resolveGen already never serves)
       fs.delete(gen, true)
       throw new IllegalStateException(
         s"compaction: lost the pointer race for $ptr — generation discarded", e)

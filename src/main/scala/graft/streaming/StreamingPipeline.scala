@@ -298,25 +298,25 @@ object StreamingPipeline {
 
   /** One delta-append body shared by the streaming sink's foreachBatch and
     * batch seeding/backfill (SparkEntry's q_store_autocomplete gate): the
-    * batch's OWN per-(seen_date, tag_key) sorted-set aggregate appended as
-    * delta rows — sharing it means the gate proves the literal sink write
-    * path. Requires an `event_us` column on `spanFields` (µs span ingest
-    * time) for the `seen_date` partition assignment. Never blocked, never
-    * lost: a delta file a concurrent compaction didn't snapshot stays
-    * served outside the committed generation's manifest
+    * batch's OWN per-(seen_date, tag_key) sorted-set aggregate — the SAME
+    * relational builder as the Update-mode store and the batch query
+    * surface, with `seen_date` as an extra grouping key, so the three paths
+    * cannot drift — appended as delta rows. Requires an `event_us` column on
+    * `spanFields` (µs span ingest time) for the `seen_date` partition
+    * assignment; rows with a NULL ingest time are excluded (the F5 null-key
+    * guard: a null date would land in the default-partition directory, which
+    * the generation resolver never serves post-compaction and retention
+    * never expires — silent data in limbo is worse than an explicit drop).
+    * Never blocked, never lost: a delta file a concurrent compaction didn't
+    * snapshot stays served outside the committed generation's manifest
     * (StoreLayout's generation-commit contract).
     */
   def appendAutocompleteDelta(spanFields: DataFrame, keys: Seq[String],
       path: String): Unit =
-    spanFields
-      .select(explode(map_entries(col("tags"))).as("kv"), col("event_us"))
-      .select(col("kv.key").as("tag_key"), col("kv.value").as("tag_value"),
-        col("event_us"))
-      .where(col("tag_key").isin(keys: _*) && col("tag_value").isNotNull)
-      .withColumn("seen_date",
-        expr(graft.store.StoreLayout.epochDayExpr("event_us", 86400000000L)))
-      .groupBy("seen_date", "tag_key")
-      .agg(sort_array(collect_set("tag_value")).as("values"))
+    graft.operators.SpanPipeline.autocompleteTagsRelational(
+      spanFields.where(col("event_us").isNotNull), keys,
+      extraGroups = Seq("seen_date" ->
+        expr(graft.store.StoreLayout.epochDayExpr("event_us", 86400000000L))))
       .repartition(col("seen_date"))
       .write.partitionBy("seen_date")
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)

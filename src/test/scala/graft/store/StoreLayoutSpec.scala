@@ -468,6 +468,56 @@ class StoreLayoutSpec extends SparkSpec {
       "the loser's renamed generation must be discarded")
   }
 
+  test("a loser's staging subtree trapped inside the current generation is swept") {
+    val dir = freshStore()
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us))).toDF(), dir) // dupe = work to do
+    val date = Seq(java.time.LocalDate.parse("2024-01-10"))
+    StoreLayout.compactTracePartitions(spark, dir, date)
+    val gen = new java.io.File(dir, "trace_date=2024-01-10")
+      .listFiles().filter(_.isDirectory).find(_.getName.startsWith(".gen-")).get
+    // simulate a commit loser that crashed between its rename-into-this-gen
+    // and its back-out delete (trapped subtree), plus one that crashed
+    // between the token check and the token delete (stray owner token)
+    val trapped = new java.io.File(gen, ".genstage-crashed-loser")
+    assert(trapped.mkdir())
+    assert(new java.io.File(trapped, "part-dup.parquet").createNewFile())
+    assert(new java.io.File(gen, "_writer-stray-token").createNewFile())
+    val before = physicalRows(dir)
+    // neither is served (hidden from parquet listings)…
+    assert(physicalRows(dir) == before)
+    // …and the next pass reclaims both, even though this partition is
+    // CONVERGED (no new loose files → no rewrite, so without the in-gen
+    // sweep the trapped rewrite would never be retired with its gen)
+    StoreLayout.compactTracePartitions(spark, dir, date)
+    assert(!trapped.exists(), "trapped staging subtree must be swept")
+    assert(!new java.io.File(gen, "_writer-stray-token").exists(),
+      "stray owner token must be swept")
+    assert(gen.exists(), "the current generation itself must survive the sweep")
+    assert(physicalRows(dir) == before)
+  }
+
+  test("empty-range read resolves schema past an empty-husk first partition") {
+    val dir = freshStore()
+    StoreLayout.compactTraces(spark, dir) // data now only in hidden gen dirs
+    StoreLayout.compactTraces(spark, dir) // second pass: absorbed loose deleted
+    // first partition (lexicographically) becomes a husk: only a dangling
+    // pointer survives a simulated cleanup race
+    val husk = new java.io.File(dir, "trace_date=2024-01-10")
+    husk.listFiles().foreach { f =>
+      if (f.isDirectory) { f.listFiles().foreach(_.delete()); f.delete() }
+      else if (!f.getName.startsWith("_current-")) f.delete()
+    }
+    // a range matching no partition must return empty, not crash on schema
+    // inference — the probe has to skip the husk and take the schema from a
+    // partition that still has inputs
+    val none = StoreLayout.readPartitioned(spark, dir, "trace_date",
+      Some(java.time.LocalDate.parse("2030-01-01")),
+      Some(java.time.LocalDate.parse("2030-01-02")))
+    assert(none.count() == 0)
+    assert(none.columns.contains("trace_id") && none.columns.contains("trace_date"))
+  }
+
   test("second concurrent compactor of a leased date fails fast, store untouched") {
     val dir = freshStore()
     StoreLayout.writeTraces(spark.createDataset(Seq(
@@ -507,8 +557,12 @@ class StoreLayoutSpec extends SparkSpec {
   test("set store: date-partitioned deltas with retention, replay, and compaction") {
     val dir = Files.createTempDirectory("graft-setstore").toString + "/auto"
     val fields = Seq(
-      ("svc", "get", null: String, Map("k" -> "v1"), day1Us),
-      ("svc", "get", null: String, Map("k" -> "v2"), day2Us)
+      ("svc", "get", null: String, Map("k" -> "v1"), Some(day1Us): Option[Long]),
+      ("svc", "get", null: String, Map("k" -> "v2"), Some(day2Us)),
+      // a NULL ingest time cannot be date-partitioned: without the guard it
+      // would land in seen_date=__HIVE_DEFAULT_PARTITION__, served only
+      // until the first compaction and never expired — the guard drops it
+      ("svc", "get", null: String, Map("k" -> "limbo"), None)
     ).toDF("service", "name", "remote_service", "tags", "event_us")
     val expired = Seq(
       ("svc", "get", null: String, Map("k" -> "old"), day1Us - 300L * 86400 * 1000000L)
@@ -520,7 +574,8 @@ class StoreLayoutSpec extends SparkSpec {
     // autocomplete store lifecycle, TraceStorageTopology.java:143-149)
     val parts = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .map(_.getName).sorted.toSeq
-    assert(parts == Seq("seen_date=2023-03-16", "seen_date=2024-01-10", "seen_date=2024-01-11"))
+    assert(parts == Seq("seen_date=2023-03-16", "seen_date=2024-01-10", "seen_date=2024-01-11"),
+      "no default-partition dir: the null-ingest-time row must be dropped, not parked")
     def served() = graft.streaming.StreamingPipeline.readAutocompleteStore(spark, dir)
       .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq
     assert(served() == Seq(("k", Seq("old", "v1", "v2"))))
