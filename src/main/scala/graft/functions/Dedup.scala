@@ -343,16 +343,41 @@ object Dedup {
     // each round MUST truncate lineage, not just cache: largeStar references
     // its input twice and smallStar three times, so the logical plan grows
     // exponentially in round count — by round ~10 analysis itself OOMs the
-    // driver. Checkpointing (eager) resets the plan to the materialized rows
-    // each round; superseded round RDDs are released by the context cleaner
-    // once unreferenced. A session with a checkpoint dir configured gets
-    // RELIABLE checkpoints — localCheckpoint pins round state to executor
-    // local storage, where one lost executor on a big cluster kills the
-    // whole iteration; reliable is the right default at 1000-executor scale,
-    // local the right default for a single-JVM session
+    // driver. A session with a checkpoint dir configured gets RELIABLE round
+    // snapshots (parquet write + read-back under that dir) — localCheckpoint
+    // pins round state to executor local storage, where one lost executor on
+    // a big cluster kills the whole iteration; reliable is the right default
+    // at 1000-executor scale, local the right default for a single-JVM
+    // session. Parquet snapshots rather than RDD .checkpoint() because the
+    // files are then OURS to reclaim: the context cleaner only deletes RDD
+    // checkpoint files when spark.cleaner.referenceTracking.cleanCheckpoints
+    // is on (default OFF), so .checkpoint() would leak ~maxIterations full
+    // edge-set snapshots per call. Each superseded round is deleted as soon
+    // as its successor is materialized (≤2 snapshots live at any moment);
+    // only the final labels snapshot outlives the call — the returned
+    // DataFrame reads from it — under `<checkpointDir>/graft-cc-<uuid>`,
+    // safe to delete once consumers have materialized.
     val sc = pairs.sparkSession.sparkContext
+    val session = pairs.sparkSession
+    val reliableDir = sc.getCheckpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d, "graft-cc-" + java.util.UUID.randomUUID))
+    val ckptFs = reliableDir.map(_.getFileSystem(sc.hadoopConfiguration))
+    var lastSnap: Option[org.apache.hadoop.fs.Path] = None
+    var snapCount = 0
+    def snapshot(df: DataFrame, name: String): DataFrame = {
+      val snap = new org.apache.hadoop.fs.Path(reliableDir.get, name)
+      df.write.parquet(snap.toString)
+      val out = session.read.parquet(snap.toString)
+      lastSnap.foreach(ckptFs.get.delete(_, true)) // superseded: reclaim now
+      lastSnap = Some(snap)
+      out
+    }
     def truncate(df: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (reliableDir.isDefined) {
+        val out = snapshot(df, f"round-$snapCount%03d")
+        snapCount += 1
+        out
+      } else df.localCheckpoint()
     var edges = truncate(pairs
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
@@ -378,11 +403,19 @@ object Dedup {
     // its component minimum; the groupBy-min also makes a NON-converged
     // edge set read off deterministically (partial but single-labeled)
     val roots = edges.groupBy(col("hi").as("doc_id")).agg(min("lo").as("root"))
-    val labels = allNodes.join(roots, Seq("doc_id"), "left_outer")
+    val labelsRaw = allNodes.join(roots, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("canonical_id"))
-      .cache()
-    labels.count() // materialize before releasing the caches labels read from
+    val labels =
+      if (reliableDir.isDefined)
+        // the labels snapshot also retires the last edge round — after this
+        // the call dir holds ONLY the (node-sized) labels the caller reads
+        snapshot(labelsRaw, "labels")
+      else {
+        val l = labelsRaw.cache()
+        l.count() // materialize before releasing the caches labels read from
+        l
+      }
     allNodes.unpersist(false)
     labels
   }

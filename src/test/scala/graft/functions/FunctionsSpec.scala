@@ -250,8 +250,21 @@ class FunctionsSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
     check((0L until 100L).map(i => (i, i + 1)), "path under reliable checkpointing")
-    assert(new java.io.File(ckpt.toString).listFiles().nonEmpty,
-      "reliable checkpoints must actually land in the configured dir")
+    // setCheckpointDir nests a session-unique subdir — resolve through the
+    // context, where the call dirs actually land
+    val callDirs = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+      .listFiles().filter(_.getName.startsWith("graft-cc-"))
+    assert(callDirs.nonEmpty,
+      "reliable round snapshots must actually land in the configured dir")
+    // every superseded edge-round snapshot is reclaimed eagerly — a ~30-round
+    // run leaving ~30 full edge sets per call would grow checkpoint storage
+    // without bound on a long-lived session; only the node-sized labels
+    // snapshot (what the returned DataFrame reads) may outlive the call
+    callDirs.foreach { d =>
+      assert(d.listFiles().map(_.getName).toSeq == Seq("labels"),
+        s"call dir ${d.getName} must hold only the labels snapshot")
+    }
   }
 
   test("SimHashSig expression ≡ the exploded vote pipeline") {
