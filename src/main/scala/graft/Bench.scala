@@ -283,17 +283,22 @@ object Bench {
     // against the driver's tail window
     val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e.take(100))}""").getOrElse("")
     val loadAfter = loadavgJson()
-    def mkLine(qjson: String): String =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpus_q,"errors":$errs,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streamJson$streamErrJson,"sf":${jstr(sfDir)}}"""
-    // per-query precision degrades to 1 decimal before the line risks the
-    // driver's 2KB tail window (slow contaminated runs widen every number;
-    // the sidecar always carries full precision)
-    val line = {
-      val full = mkLine(qs)
-      if (full.length <= 1800) full
-      else mkLine(results.map { case (k, v, _, _) => s"\"" + k + "\":" + f1(v) }
-        .mkString("{", ",", "}"))
-    }
+    def mkLine(qjson: String, cpuJson: String = cpus_q, errJson: String = errs): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpuJson,"errors":$errJson,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streamJson$streamErrJson,"sf":${jstr(sfDir)}}"""
+    // degrade ladder, CHECKED at each tier (a long line is worthless — the
+    // driver keeps only the last ~2KB of stdout, and an overflow loses the
+    // whole result exactly when it carries failure diagnostics): full
+    // precision → 1-decimal queries → drop the per-query/cpu maps (sidecar
+    // + stderr keep them) with error KEYS only → error count alone
+    val line = Seq(
+      () => mkLine(qs),
+      () => mkLine(results.map { case (k, v, _, _) => s"\"" + k + "\":" + f1(v) }
+        .mkString("{", ",", "}")),
+      () => mkLine("{}", "[]", results.collect {
+        case (k, _, _, Some(_)) => s"\"" + k + "\":\"\"" }.mkString("{", ",", "}")),
+      () => mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}""")
+    ).view.map(_()).find(_.length <= 1800)
+      .getOrElse(mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}"""))
     // full-precision per-query wall+CPU detail for BOTH passes goes to a
     // sidecar file (the stdout line is the driver's parse target and must
     // fit its tail window)
