@@ -232,6 +232,70 @@ object SparkEntry {
       graft.store.StoreLayout.compactSetStore(s, path, "tag_key", "values")
     }
 
+  /** The autocomplete set store built THROUGH the real Structured Streaming
+    * engine — not the batch-local delta-append [[autocompleteStore]] uses.
+    * The same events (as [[graft.streaming.SpanEnvelope]]s, ingest time =
+    * span time) are fed through [[graft.streaming.StreamingPipeline
+    * .autocompleteTagsToStoreIncremental]]'s actual `writeStream.foreachBatch`
+    * sink in three MemoryStream micro-batches, with a checkpoint-rollback
+    * RESTART between the last two: the checkpoint is snapshotted before the
+    * final batch, rolled back after stop, and a restarted query re-runs that
+    * batch through the real sink — the engine's own at-least-once replay
+    * (ST7), not a simulated double-append. `compactSetStore` then collapses
+    * the replay physically. Serving the q_a8 answer from this store
+    * oracle-gates ST1 (event-time envelopes), ST4 (append-mode emission) and
+    * ST7 end to end (reference: streams/TraceStorageTopology.java:207-228).
+    *
+    * MemoryStream is driver-fed BY DESIGN (it is the engine's in-process
+    * test source), so the bounded collect here is fixture plumbing, not a
+    * data path — a deployment feeds the identical sink from Kafka.
+    */
+  private def streamAutocompleteStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "sactags", dir) { path =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sactags")
+      val chk = s"$tmp/chk"; val snap = s"$tmp/snap"
+      val envs = EventSpans.spans(s, events(s, dir))
+        .collect()
+        .map(sp => graft.streaming.SpanEnvelope(
+          new java.sql.Timestamp(sp.timestampAsLong / 1000), sp))
+        .sortBy(_.ingest_ts.getTime)
+      val input = MemoryStream[graft.streaming.SpanEnvelope]
+      def start() = graft.streaming.StreamingPipeline
+        .autocompleteTagsToStoreIncremental(input.toDS(), Seq("k"), path, chk)
+      val chunks = envs.grouped(math.max(1, (envs.length + 2) / 3)).toSeq
+      var q = start()
+      try {
+        chunks.init.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        copyDir(chk, snap) // snapshot BEFORE the engine commits the last batch
+        input.addData(chunks.last.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      deleteDir(chk); copyDir(snap, chk)
+      // restart from the rolled-back checkpoint with NO new data: the engine
+      // itself re-runs the final micro-batch through the foreachBatch sink
+      q = start()
+      try q.processAllAvailable() finally q.stop()
+      deleteDir(tmp.toString)
+      graft.store.StoreLayout.compactSetStore(s, path, "tag_key", "values")
+    }
+
+  private def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def deleteDir(dir: String): Unit =
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+
   /** Force-build the serving stores for `dir` (idempotent per JVM). */
   def prepareStores(s: SparkSession, dir: String): Unit = {
     traceStore(s, dir)
@@ -240,6 +304,7 @@ object SparkEntry {
     compactedTraceStore(s, dir)
     compactedDependencyStore(s, dir)
     autocompleteStore(s, dir)
+    streamAutocompleteStore(s, dir)
   }
 
   /** Shared exploded-span projection of the getTrace/getTraceMany surfaces —
@@ -519,6 +584,17 @@ object SparkEntry {
       TraceQueries.autocompleteValues(
         graft.streaming.StreamingPipeline.readAutocompleteStore(
           s, autocompleteStore(s, dir)), "k")),
+
+    // ——— the SAME answer again, but the store was built by the REAL
+    //     Structured Streaming engine: MemoryStream micro-batches through
+    //     autocompleteTagsToStoreIncremental's writeStream.foreachBatch sink,
+    //     a checkpoint-rollback restart replaying the final batch (the
+    //     engine's own at-least-once, ST7), then compaction. ST1/ST4/ST7 are
+    //     oracle-gated here, not just spec-tested ———
+    "q_stream_store_autocomplete" -> ((s, dir) =>
+      TraceQueries.autocompleteValues(
+        graft.streaming.StreamingPipeline.readAutocompleteStore(
+          s, streamAutocompleteStore(s, dir)), "k")),
 
     // ——— J4/A9/A6: getTraceMany through a store with at-least-once
     //     redelivery — duplicate store rows MUST collapse at read via
@@ -1098,6 +1174,9 @@ object SparkEntry {
     // delta-append → replay → compact → collapse round-trip must not change
     // the autocomplete answer
     "q_store_autocomplete" -> AutocompleteOracle,
+    // identical again: the streaming-engine-built store must serve the same
+    // answer — the engine's replay and the store lifecycle both collapse
+    "q_stream_store_autocomplete" -> AutocompleteOracle,
 
     // roundtrip_ok is the in-engine full-schema comparison (original spans
     // vs the re-parsed JSON, fingerprinted over every field); the oracle

@@ -470,4 +470,15 @@ class StreamingPipelineSpec extends SparkSpec {
       "replayed finals must duplicate their originals exactly, epoch id included")
     assert(served() == answer)
   }
+
+  test("q_stream_store_autocomplete: the engine-built store serves exactly " +
+      "the in-memory q_a8 answer (ST1/ST4/ST7 behind one oracle)") {
+    val dir = "/root/testdata/sf0.001"
+    def values(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+      .collect().map(_.getString(0)).toSeq
+    val streamed = values("q_stream_store_autocomplete")
+    assert(streamed.nonEmpty)
+    assert(streamed == values("q_a8_autocomplete"),
+      "streaming-engine-built store drifted from the relational answer")
+  }
 }
