@@ -995,9 +995,22 @@ object SparkEntry {
       Multimodal.extractImageFeatures(s, media)
     }),
 
-    // ——— multimodal: deterministic frame sampling fan-out ———
+    // ——— multimodal: binary columns + REAL YUV4MPEG2 decode — the WAV/PPM
+    // methodology on the video modality, per-frame. The media table
+    // synthesizes one integer-exact multi-frame C444 y4m per doc id
+    // (Multimodal.videoPlanes documents the closed form); the oracle
+    // recomputes dims/byte length/per-plane sums/max luma/inter-frame
+    // motion from that closed form in SQL, so a hash match proves encode →
+    // stream-header parse → FRAME walk → plane decode → feature math is
+    // byte-exact across every frame. All features integer-valued ———
+    "q_mm_video" -> ((s, dir) => {
+      val media = Multimodal.y4mFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractVideoFeatures(s, media)
+    }),
+
+    // ——— multimodal: frame sampling fan-out over REAL decoded y4m frames ———
     "q_mm_frames" -> ((s, dir) => {
-      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      val media = Multimodal.y4mFromDocuments(s, t(s, dir, "documents"))
       Multimodal.sampleFrames(s, media, maxFrames = 4).toDF()
         .groupBy("media_id").agg(count(lit(1)).as("n_frames_out"))
     })
@@ -1476,11 +1489,48 @@ object SparkEntry {
         |    AS BIGINT) AS edge_count
         |FROM c GROUP BY doc_id, w, h""".stripMargin,
 
+    // the closed-form twin of Multimodal.videoPlanes + Y4mCodec.frameFeatures:
+    // w = id%8+4, h = id%6+4, nf = id%12+2; frame f's planes per the gradient
+    // formulas. byte_len = stream header ("YUV4MPEG2 W" + digits + " H" +
+    // digits + " F25:1 Ip A1:1 C444\n" = 33 + digit counts) + nf frames of
+    // ("FRAME\n" = 6 + 3wh). Motion recomputes frame f−1's luma from the
+    // closed form at the same pixel rather than a window lag — same integers
+    // either way, no per-row ordering needed. All features are integers, so
+    // no round() shapes to align.
+    "q_mm_video" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h,
+        |         doc_id % 12 + 2 AS nf
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, w, h, nf, unnest(range(nf)) AS f FROM p
+        |), px AS (
+        |  SELECT doc_id, w, h, nf, f, i % w AS x, i // w AS y
+        |  FROM (SELECT doc_id, w, h, nf, f, unnest(range(w * h)) AS i FROM fr)
+        |), c AS (
+        |  SELECT doc_id, w, h, nf, f,
+        |    (3 * x + 7 * y + 11 * f + doc_id) % 256 AS yv,
+        |    (5 * x + 11 * y + 13 * f + 2 * doc_id) % 256 AS uv,
+        |    (x * y + 17 * f + 13 * doc_id) % 256 AS vv,
+        |    CASE WHEN f > 0 THEN abs((3 * x + 7 * y + 11 * f + doc_id) % 256
+        |      - (3 * x + 7 * y + 11 * (f - 1) + doc_id) % 256) ELSE 0 END AS dy
+        |  FROM px
+        |)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+        |    + nf * (6 + 3 * w * h) AS BIGINT) AS byte_len,
+        |  CAST(sum(yv) AS BIGINT) AS sum_y, CAST(sum(uv) AS BIGINT) AS sum_u,
+        |  CAST(sum(vv) AS BIGINT) AS sum_v, CAST(max(yv) AS BIGINT) AS max_y,
+        |  CAST(sum(dy) AS BIGINT) AS motion
+        |FROM c GROUP BY doc_id, w, h, nf, f""".stripMargin,
+
+    // real decoded frame count nf = id%12+2, strided to ≤4 sampled frames
     "q_mm_frames" ->
       """SELECT doc_id AS media_id,
         |  least(4, CAST(ceil(n * 1.0 / greatest(1, n // 4)) AS BIGINT)) AS n_frames_out
-        |FROM (SELECT doc_id, n_chars % 16 + 1 AS n
-        |      FROM documents WHERE text IS NOT NULL)""".stripMargin
+        |FROM (SELECT doc_id, doc_id % 12 + 2 AS n FROM documents)""".stripMargin
   )
 
   /** Shared CTE chain for the clusters/apply oracles: UNCAPPED shingle

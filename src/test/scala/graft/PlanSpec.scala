@@ -171,6 +171,15 @@ class PlanSpec extends SparkSpec {
       s"media decode must stay partition-local, no shuffle:\n$plan")
   }
 
+  test("q_mm_video: y4m synth+decode+frame fan-out plans zero Exchange") {
+    // same property for the video leg: the per-frame UDTF fan-out multiplies
+    // ROWS, never shuffles the decoded payloads
+    val plan = SparkEntry.queries("q_mm_video")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"video decode must stay partition-local, no shuffle:\n$plan")
+  }
+
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -10,16 +10,17 @@ class MultimodalSpec extends SparkSpec {
 
   private lazy val docs = Seq(
     (1L, "hello world", "en", "src", 11L),
-    (2L, "a" * 100, "en", "src", 100L)
+    (2L, "a" * 100, "en", "src", 100L),
+    (11L, "stride fodder", "en", "src", 13L) // nf = 11 % 12 + 2 = 13 → stride 3
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
-  private lazy val media = Multimodal.fromDocuments(docs)
+  private lazy val media = Multimodal.y4mFromDocuments(spark, docs)
   private lazy val wavMedia = Multimodal.wavFromDocuments(spark, docs)
 
   test("media schema: binary content + typed metadata") {
     assert(media.schema("content").dataType.typeName == "binary")
     val m = media.where($"media_id" === 1).select("meta.format", "meta.n_frames").head()
-    assert(m.getString(0) == "fake/rgb8" && m.getInt(1) == 12) // 11 % 16 + 1
+    assert(m.getString(0) == "video/y4m" && m.getInt(1) == 3) // 1 % 12 + 2
     assert(wavMedia.schema("content").dataType.typeName == "binary")
     assert(wavMedia.where($"media_id" === 1).select("meta.format").head().getString(0)
       == "audio/wav")
@@ -216,12 +217,66 @@ class MultimodalSpec extends SparkSpec {
     assert(again(1L) == f(1L).features)
   }
 
-  test("sampleFrames: bounded deterministic fan-out") {
+  test("sampleFrames: bounded deterministic fan-out over real decoded frames") {
     val frames = Multimodal.sampleFrames(spark, media, maxFrames = 4).collect()
     val byId = frames.groupBy(_.media_id)
-    assert(byId(1L).length == 4) // n_frames = 12 → stride 3 → 4 frames
-    assert(byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 3, 6, 9))
+    assert(byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2)) // nf 3, stride 1
+    assert(byId(11L).length == 4) // n_frames = 13 → stride 3 → 4 frames
+    assert(byId(11L).map(_.frame_idx).sorted.toSeq == Seq(0, 3, 6, 9))
     assert(byId.values.forall(_.length <= 4))
+    // each sampled payload is a REAL standalone y4m holding exactly the
+    // source video's frame at that index — decodable by the same codec
+    val v11 = Multimodal.Y4mCodec.decode(
+      media.where($"media_id" === 11).select("content").head().getAs[Array[Byte]](0))
+    byId(11L).foreach { fr =>
+      val one = Multimodal.Y4mCodec.decode(fr.frame_bytes)
+      assert(one.width == v11.width && one.height == v11.height)
+      assert(one.frames.length == 1)
+      assert(one.frames(0).toSeq == v11.frames(fr.frame_idx).toSeq)
+    }
+  }
+
+  test("Y4mCodec: encode → decode round-trips dims and every plane sample") {
+    val frames = Array.tabulate(5)(Multimodal.videoPlanes(9L, 7, 5, _))
+    val v = Multimodal.Y4mCodec.decode(Multimodal.Y4mCodec.encode(7, 5, frames))
+    assert(v.width == 7 && v.height == 5 && v.frames.length == 5)
+    frames.indices.foreach(f => assert(v.frames(f).toSeq == frames(f).toSeq))
+  }
+
+  test("Y4mCodec: non-C444, truncated, and poisoned streams dead-letter") {
+    val good = Multimodal.Y4mCodec.encode(4, 4, Array(Multimodal.videoPlanes(1L, 4, 4, 0)))
+    // default colourspace (no C tag) must be refused, not guessed as 4:2:0
+    val no444 = "YUV4MPEG2 W4 H4 F25:1\n".getBytes("US-ASCII") ++ good.drop(
+      good.indexOf('\n'.toByte) + 1)
+    intercept[IllegalArgumentException](Multimodal.Y4mCodec.decode(no444))
+    // truncated mid-frame: the byte count promised by W/H overruns the file
+    intercept[IllegalArgumentException](
+      Multimodal.Y4mCodec.decode(good.dropRight(5)))
+    // a second frame without its FRAME marker
+    intercept[IllegalArgumentException](
+      Multimodal.Y4mCodec.decode(good ++ Array.fill[Byte](48)(0)))
+    // unterminated header line
+    intercept[IllegalArgumentException](
+      Multimodal.Y4mCodec.decode("YUV4MPEG2 W4 H4 C444".getBytes("US-ASCII")))
+    // not y4m at all (a WAV asset routed to the video stage)
+    intercept[IllegalArgumentException](Multimodal.Y4mCodec.decode(
+      WavCodec.encodeMono16(Array(1, 2, 3), 8000)))
+  }
+
+  test("extractVideoFeatures: per-frame integer features off real decoded planes") {
+    val rows = Multimodal.extractVideoFeatures(spark, media)
+      .where($"media_id" === 1).orderBy("frame_idx").collect()
+    assert(rows.length == 3) // nf = 1 % 12 + 2
+    val planes = Array.tabulate(3)(Multimodal.videoPlanes(1L, 5, 5, _))
+    val r1 = rows(1)
+    assert(r1.getAs[Int]("width") == 5 && r1.getAs[Int]("height") == 5)
+    assert(r1.getAs[Long]("sum_y") == planes(1).take(25).map(_.toLong).sum)
+    assert(r1.getAs[Long]("sum_u") == planes(1).slice(25, 50).map(_.toLong).sum)
+    assert(r1.getAs[Long]("sum_v") == planes(1).slice(50, 75).map(_.toLong).sum)
+    assert(r1.getAs[Long]("max_y") == planes(1).take(25).max.toLong)
+    assert(r1.getAs[Long]("motion") ==
+      (0 until 25).map(i => math.abs(planes(1)(i) - planes(0)(i)).toLong).sum)
+    assert(rows(0).getAs[Long]("motion") == 0L) // first frame has no predecessor
   }
 
   test("resizeAll: nearest-neighbour resample to the target frame count") {
