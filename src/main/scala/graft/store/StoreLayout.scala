@@ -77,7 +77,15 @@ object StoreLayout {
       // 1969-12-31 date the read side's Math.floorDiv prunes by, or the row
       // becomes unreachable
       .withColumn("trace_date", expr(epochDayExpr("root_ts", 86400000000L)))
-      .repartition(col("trace_date"), pmod(xxhash64(col("trace_id")), lit(filesPerDate)))
+      // EXPLICIT partition count: a bare repartition(exprs) is an AQE
+      // coalescible shuffle (REPARTITION_BY_COL), and a small batch would be
+      // coalesced into one task — one file per date no matter what
+      // filesPerDate asked for. Pinning N keeps each (date, bucket) key in
+      // its own task (modulo hash collisions — the "≈" in the contract).
+      .repartition(
+        math.max(traces.sparkSession.sessionState.conf.numShufflePartitions,
+          filesPerDate),
+        col("trace_date"), pmod(xxhash64(col("trace_id")), lit(filesPerDate)))
       .write.partitionBy("trace_date").mode(SaveMode.Append).parquet(path)
 
   /** Range read with partition pruning: only `trace_date` partitions
@@ -160,18 +168,25 @@ object StoreLayout {
     * directory are skipped.
     */
   def compactTracePartitions(spark: SparkSession, path: String,
-      dates: Seq[java.time.LocalDate], filesPerDate: Int = 1): Unit = {
+      dates: Seq[java.time.LocalDate], filesPerDate: Int = 1): Unit =
+    compactPartitions(spark, path, "trace_date", dates)(
+      traceMergeFn(spark, filesPerDate))
+
+  /** The per-partition trace rewrite [[compactTracePartitions]] stages —
+    * exposed separately so specs can wrap the REAL merge with fault/race
+    * injection instead of re-implementing it.
+    */
+  private[graft] def traceMergeFn(spark: SparkSession,
+      filesPerDate: Int): DataFrame => DataFrame = { df =>
     import spark.implicits._
-    compactPartitions(spark, path, "trace_date", dates) { df =>
-      df.select(col("trace_id"), col("spans"), col("root_ts")).as[Trace]
-        .groupByKey(_.trace_id)
-        .mapGroups((id: String, it: Iterator[Trace]) =>
-          graft.core.Traces.mergeRows(id, it.toSeq))
-        // same per-date file shape as writeTraces: ≈ filesPerDate files,
-        // id-hash-clustered (the partition value lives in the dir name, not
-        // the files, so the partition column is not re-written)
-        .toDF().repartition(filesPerDate, col("trace_id"))
-    }
+    df.select(col("trace_id"), col("spans"), col("root_ts")).as[Trace]
+      .groupByKey(_.trace_id)
+      .mapGroups((id: String, it: Iterator[Trace]) =>
+        graft.core.Traces.mergeRows(id, it.toSeq))
+      // same per-date file shape as writeTraces: ≈ filesPerDate files,
+      // id-hash-clustered (the partition value lives in the dir name, not
+      // the files, so the partition column is not re-written)
+      .toDF().repartition(filesPerDate, col("trace_id"))
   }
 
   /** Compact the dependency-window store: drop replayed finals (full-row
@@ -419,9 +434,14 @@ object StoreLayout {
     * arbitrates — the `.gen-N` rename and `_current-N` create are atomic and
     * first-wins, the loser aborts with its staging deleted and no live file
     * touched. So a misjudged-stale lease wastes one rewrite; it cannot
-    * corrupt, double-serve, or drop data.
+    * corrupt, double-serve, or drop data. A live pass HEARTBEATS its leases
+    * (mtime touch every TTL/3, [[compactPartitions]]), so a rewrite slower
+    * than the TTL — routine for a multi-hour partition at 100 TB — never
+    * looks stale in the first place; only a genuinely dead compactor stops
+    * touching and ages out. Var, not val: specs inject a short TTL to pin
+    * the heartbeat/reclaim boundary without multi-hour sleeps.
     */
-  private val LeaseTtlMs: Long = 30L * 60 * 1000
+  @volatile private[graft] var LeaseTtlMs: Long = 30L * 60 * 1000
 
   private def leasePath(path: String, partName: String) =
     new org.apache.hadoop.fs.Path(path, s".compacting-$partName")
@@ -508,6 +528,22 @@ object StoreLayout {
       throw e
     }
     if (present.isEmpty) return
+    // heartbeat: touch every still-held lease at TTL/3 so a slow rewrite
+    // (not a dead one) never ages past the reclaim threshold. Touching only
+    // existing files — released leases (partition done, `fs.delete` below)
+    // are skipped by the exists guard, and a release racing the touch lands
+    // in the swallowed FileNotFound. The touch can briefly refresh a
+    // SUCCESSOR lease another pass created at the same path after our
+    // release — harmless: that lease is fresh anyway while its owner lives,
+    // and our pass (with its heartbeat) is about to end.
+    val heartbeat = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
+    })
+    val period = math.max(1L, LeaseTtlMs / 3)
+    heartbeat.scheduleAtFixedRate(() => acquired.foreach { lp =>
+      try if (fs.exists(lp)) fs.setTimes(lp, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () }
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, present.size))
     try {
@@ -545,6 +581,9 @@ object StoreLayout {
       // mid-commit would corrupt it
       while (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS))
         System.err.println(s"[compaction] still waiting on in-flight partition commits in $path")
+      // stop heartbeating only after every commit finished and released —
+      // a lease must stay visibly alive for as long as its rewrite runs
+      heartbeat.shutdownNow()
     }
   }
 

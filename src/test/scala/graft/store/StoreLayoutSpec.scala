@@ -433,6 +433,105 @@ class StoreLayoutSpec extends SparkSpec {
     assert(healed == after)
   }
 
+  test("a slow rewrite under heartbeat never looks stale; a dead one still ages out") {
+    val dir = freshStore()
+    StoreLayout.writeTraces(spark.createDataset(Seq(
+      trace("000000000000000a", day1Us))).toDF(), dir) // dupe = work to do
+    val day1 = java.time.LocalDate.parse("2024-01-10")
+    val prevTtl = StoreLayout.LeaseTtlMs
+    StoreLayout.LeaseTtlMs = 1000L // heartbeat period = TTL/3 ≈ 333 ms
+    try {
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val proceed = new java.util.concurrent.CountDownLatch(1)
+      var slowFailure: Throwable = null
+      val slow = new Thread(() =>
+        try StoreLayout.compactPartitions(spark, dir, "trace_date", Seq(day1)) { df =>
+          entered.countDown()
+          // the rewrite now outlives the TTL several times over — exactly
+          // the multi-hour-partition shape at 100 TB scale
+          proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          StoreLayout.traceMergeFn(spark, 1)(df)
+        } catch { case t: Throwable => slowFailure = t })
+      slow.start()
+      assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(3 * StoreLayout.LeaseTtlMs) // 3× TTL: stale without heartbeat
+      // a second compactor must still refuse — the live pass's heartbeat
+      // kept the lease fresh, so it is NOT reclaimed as abandoned
+      val e = intercept[IllegalStateException](
+        StoreLayout.compactTracePartitions(spark, dir, Seq(day1)))
+      assert(e.getMessage.contains("held by a concurrent compactor"))
+      proceed.countDown()
+      slow.join(120000)
+      assert(!slow.isAlive && slowFailure == null,
+        s"slow pass must commit normally after the hold: $slowFailure")
+      assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".compacting-")),
+        "the slow pass must release its lease after committing")
+      assert(physicalRows(dir) == 2, "the slow pass's merge must have committed")
+      // and a lease that genuinely STOPPED heartbeating (crashed compactor)
+      // is still reclaimed: the existing stale-reclaim contract is unchanged
+      val dead = new java.io.File(dir, ".compacting-trace_date=2024-01-10")
+      assert(dead.createNewFile())
+      assert(dead.setLastModified(System.currentTimeMillis() - 10 * StoreLayout.LeaseTtlMs))
+      StoreLayout.compactTracePartitions(spark, dir, Seq(day1))
+      assert(!dead.exists(), "a non-heartbeating stale lease must be reclaimed")
+    } finally StoreLayout.LeaseTtlMs = prevTtl
+  }
+
+  test("filesPerDate > 1: a bulk-backfilled multi-file date compacts under an " +
+      "append race, stays multi-file, and serves in ≤2 scan legs") {
+    val dir = Files.createTempDirectory("graft-store").toString + "/traces"
+    val day1 = java.time.LocalDate.parse("2024-01-10")
+    // bulk backfill: 32 traces on one date, clustered into ≈4 files
+    val bulk = (0 until 32).map(i => trace(f"0000000000000$i%03d", day1Us + i * 60000000L))
+    StoreLayout.writeTraces(spark.createDataset(bulk).toDF(), dir, filesPerDate = 4)
+    val files0 = looseFiles(dir, "trace_date=2024-01-10")
+    assert(files0.size > 1 && files0.size <= 4,
+      s"filesPerDate=4 must yield a multi-file date, got ${files0.size}")
+    // a redelivered dupe gives the rewrite real merge work
+    StoreLayout.writeTraces(spark.createDataset(Seq(bulk.head)).toDF(), dir,
+      filesPerDate = 4)
+    def served() = graft.operators.TraceQueries.fromStore(
+      StoreLayout.readAll(spark, dir, "trace_date"))
+      .collect().map(_.trace_id).sorted.toSeq
+    assert(served() == bulk.map(_.trace_id).sorted)
+    // compact with the REAL multi-file merge, racing a multi-file append
+    // landing after the pass snapshots its inputs
+    StoreLayout.compactPartitions(spark, dir, "trace_date", Seq(day1)) { df =>
+      StoreLayout.writeTraces(spark.createDataset(Seq(
+        trace("00000000000000aa", day1Us))).toDF(), dir, filesPerDate = 4)
+      StoreLayout.traceMergeFn(spark, 4)(df)
+    }
+    assert(served() == (bulk.map(_.trace_id) :+ "00000000000000aa").sorted,
+      "the racing append must be served alongside the committed generation")
+    // the committed generation keeps the multi-file shape (dupe collapsed)
+    assert(genDirs(dir, "trace_date=2024-01-10") == Seq(".gen-000001"))
+    val genData = new java.io.File(dir, "trace_date=2024-01-10/.gen-000001")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(genData.size > 1 && genData.size <= 4,
+      s"compaction must preserve the filesPerDate=4 shape, got ${genData.size}")
+    assert(physicalRows(dir) == 33, "32 merged rows + the racing append's row")
+    // the multi-file generation + straggler still plan as ≤2 scan legs
+    val read = StoreLayout.readAll(spark, dir, "trace_date")
+    read.collect()
+    val scans = collectScans(read.queryExecution.executedPlan)
+    assert(scans.size <= 2,
+      s"multi-file generation must not add scan legs, got ${scans.size}")
+    // the next pass absorbs the straggler into generation 2, same shape
+    StoreLayout.compactTracePartitions(spark, dir, Seq(day1), filesPerDate = 4)
+    assert(served() == (bulk.map(_.trace_id) :+ "00000000000000aa").sorted)
+    assert(physicalRows(dir) == 33)
+  }
+
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[FileSourceScanExec] = p match {
+    case s: FileSourceScanExec => Seq(s)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectScans(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => collectScans(r.child)
+    case other => other.children.flatMap(collectScans)
+  }
+
   test("generation-commit race: the loser aborts without touching live state") {
     val dir = freshStore()
     val fs = new org.apache.hadoop.fs.Path(dir)
