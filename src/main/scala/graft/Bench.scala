@@ -299,21 +299,51 @@ object Bench {
       () => mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}""")
     ).view.map(_()).find(_.length <= 1800)
       .getOrElse(mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}"""))
+    // mechanical per-query cpu adjudication: tools/bench_cpu_floor.tsv holds
+    // each query's quiet-host min-of-2 process-cpu floor (committed; refresh
+    // it when a query's cost legitimately changes). CPU is the load-robust
+    // statistic — co-load inflates WALL but barely moves a query's own
+    // process-cpu — so min-cpu > 1.3× floor is a real regression signal, not
+    // a busy host, and the round-over-round "is this noise?" question
+    // becomes a lookup instead of a judgment call (r10's q_minhash_recall
+    // scare was exactly this: wall+cpu both up under co-load, back at floor
+    // on the quiet re-run).
+    // floors were measured at sf0.1 (the driver's per-round bench scale) —
+    // at any other scale the ratio is meaningless, so the gate stays silent
+    val cpuFloors: Map[String, Double] =
+      if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
+      else try scala.io.Source.fromFile("tools/bench_cpu_floor.tsv").getLines()
+        .map(_.split("\t")).collect { case Array(k, v) => k -> v.toDouble }.toMap
+      catch { case _: Throwable => Map.empty }
+    // 1.3× relative AND +0.5 s absolute: sub-second queries jitter by tenths
+    // of a cpu-second (JIT, GC attribution) without meaning anything
+    val cpuRegressions = results.collect {
+      case (k, _, c, _) if c > 0 &&
+        cpuFloors.get(k).exists(f => f > 0 && c > f * 1.3 + 0.5) =>
+        (k, c, cpuFloors(k))
+    }
+    cpuRegressions.foreach { case (k, c, f) =>
+      System.err.println(f"[bench] CPU REGRESSION $k: min cpu_sec $c%.1f > 1.3x floor $f%.1f")
+    }
     // full-precision per-query wall+CPU detail for BOTH passes goes to a
     // sidecar file (the stdout line is the driver's parse target and must
     // fit its tail window)
     try {
       val detail = results.zipWithIndex.map { case ((k, v, c, e), i) =>
         val pj = passes.map(p => s"[${p(i)._2},${p(i)._3}]").mkString("[", ",", "]")
-        s"\"$k\":{\"wall_sec\":$v,\"cpu_sec\":$c,\"passes\":$pj,\"error\":${e.map(jstr).getOrElse("null")}}"
+        val floorFrag = cpuFloors.get(k).map(f =>
+          s""","cpu_floor":$f,"cpu_vs_floor":${if (f > 0) f1(c / f) else "null"}""").getOrElse("")
+        s"\"$k\":{\"wall_sec\":$v,\"cpu_sec\":$c,\"passes\":$pj$floorFrag,\"error\":${e.map(jstr).getOrElse("null")}}"
       }.mkString("{", ",", "}")
       val streamDetail = (streamSmall, streamBig) match {
         case (Some(s), Some(b)) => s"""{"small":${s.detail},"big":${b.detail}}"""
         case (Some(s), None) => s"""{"small":${s.detail}}"""
         case _ => "null"
       }
+      val regJson = cpuRegressions.map { case (k, c, f) =>
+        s"\"$k\":[${f1(c)},${f1(f)}]" }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("target/bench_detail.json", "UTF-8")
-      try w.println(s"""{"queries":$detail,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)}}""")
+      try w.println(s"""{"queries":$detail,"cpu_regressions":$regJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)}}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
