@@ -312,9 +312,12 @@ object Bench {
     // at any other scale the ratio is meaningless, so the gate stays silent
     val cpuFloors: Map[String, Double] =
       if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
-      else try scala.io.Source.fromFile("tools/bench_cpu_floor.tsv").getLines()
-        .map(_.split("\t")).collect { case Array(k, v) => k -> v.toDouble }.toMap
-      catch { case _: Throwable => Map.empty }
+      else try {
+        val src = scala.io.Source.fromFile("tools/bench_cpu_floor.tsv")
+        try src.getLines().map(_.split("\t"))
+          .collect { case Array(k, v) => k -> v.toDouble }.toMap
+        finally src.close()
+      } catch { case _: Throwable => Map.empty }
     // 1.3× relative AND +0.5 s absolute: sub-second queries jitter by tenths
     // of a cpu-second (JIT, GC attribution) without meaning anything
     val cpuRegressions = results.collect {

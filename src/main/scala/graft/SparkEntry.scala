@@ -262,6 +262,7 @@ object SparkEntry {
         .map(sp => graft.streaming.SpanEnvelope(
           new java.sql.Timestamp(sp.timestampAsLong / 1000), sp))
         .sortBy(_.ingest_ts.getTime)
+      require(envs.nonEmpty, "streaming autocomplete fixture requires events")
       val input = MemoryStream[graft.streaming.SpanEnvelope]
       def start() = graft.streaming.StreamingPipeline
         .autocompleteTagsToStoreIncremental(input.toDS(), Seq("k"), path, chk)

@@ -361,8 +361,8 @@ object Multimodal {
       // Long arithmetic: 3·w·h can exceed Int range for crafted dims
       val frameLenL = 3L * width * height
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      val fm = "FRAME".getBytes("US-ASCII")
       while (off < bytes.length) {
-        val fm = "FRAME".getBytes("US-ASCII")
         require(off + fm.length <= bytes.length &&
           fm.indices.forall(i => bytes(off + i) == fm(i)),
           s"malformed y4m: expected FRAME marker at offset $off")
@@ -389,9 +389,10 @@ object Multimodal {
       val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
       val out = new Array[Byte](header.length + frames.length * (6 + frameLen))
       System.arraycopy(header, 0, out, 0, header.length)
+      val fm = "FRAME\n".getBytes("US-ASCII")
       var o = header.length
       frames.foreach { fr =>
-        System.arraycopy("FRAME\n".getBytes("US-ASCII"), 0, out, o, 6)
+        System.arraycopy(fm, 0, out, o, 6)
         o += 6
         var i = 0
         while (i < frameLen) { out(o + i) = fr(i).toByte; i += 1 }

@@ -541,8 +541,11 @@ object StoreLayout {
     })
     val period = math.max(1L, LeaseTtlMs / 3)
     heartbeat.scheduleAtFixedRate(() => acquired.foreach { lp =>
+      // swallow EVERYTHING per lease: an uncaught throwable silently cancels
+      // a scheduled task's future runs — one bad filesystem hiccup must not
+      // kill the heartbeat for the rest of a multi-hour pass
       try if (fs.exists(lp)) fs.setTimes(lp, System.currentTimeMillis(), -1)
-      catch { case _: java.io.IOException => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, present.size))
