@@ -335,7 +335,9 @@ object Bench {
       val detail = results.zipWithIndex.map { case ((k, v, c, e), i) =>
         val pj = passes.map(p => s"[${p(i)._2},${p(i)._3}]").mkString("[", ",", "]")
         val floorFrag = cpuFloors.get(k).map(f =>
-          s""","cpu_floor":$f,"cpu_vs_floor":${if (f > 0) f1(c / f) else "null"}""").getOrElse("")
+          // c is -1.0 when process-CPU is unavailable — a ratio off the
+          // sentinel would read as a real (impossible) negative value
+          s""","cpu_floor":$f,"cpu_vs_floor":${if (f > 0 && c >= 0) f1(c / f) else "null"}""").getOrElse("")
         s"\"$k\":{\"wall_sec\":$v,\"cpu_sec\":$c,\"passes\":$pj$floorFrag,\"error\":${e.map(jstr).getOrElse("null")}}"
       }.mkString("{", ",", "}")
       val streamDetail = (streamSmall, streamBig) match {

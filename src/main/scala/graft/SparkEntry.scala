@@ -256,46 +256,55 @@ object SparkEntry {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val tmp = java.nio.file.Files.createTempDirectory("graft-sactags")
-      val chk = s"$tmp/chk"; val snap = s"$tmp/snap"
-      val envs = EventSpans.spans(s, events(s, dir))
-        .collect()
-        .map(sp => graft.streaming.SpanEnvelope(
-          new java.sql.Timestamp(sp.timestampAsLong / 1000), sp))
-        .sortBy(_.ingest_ts.getTime)
-      require(envs.nonEmpty, "streaming autocomplete fixture requires events")
-      val input = MemoryStream[graft.streaming.SpanEnvelope]
-      def start() = graft.streaming.StreamingPipeline
-        .autocompleteTagsToStoreIncremental(input.toDS(), Seq("k"), path, chk)
-      val chunks = envs.grouped(math.max(1, (envs.length + 2) / 3)).toSeq
-      var q = start()
       try {
-        chunks.init.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
-        copyDir(chk, snap) // snapshot BEFORE the engine commits the last batch
-        input.addData(chunks.last.toIndexedSeq); q.processAllAvailable()
-      } finally q.stop()
-      deleteDir(chk); copyDir(snap, chk)
-      // restart from the rolled-back checkpoint with NO new data: the engine
-      // itself re-runs the final micro-batch through the foreachBatch sink
-      q = start()
-      try q.processAllAvailable() finally q.stop()
-      deleteDir(tmp.toString)
+        val chk = s"$tmp/chk"; val snap = s"$tmp/snap"
+        val envs = EventSpans.spans(s, events(s, dir))
+          .collect()
+          .map(sp => graft.streaming.SpanEnvelope(
+            new java.sql.Timestamp(sp.timestampAsLong / 1000), sp))
+          .sortBy(_.ingest_ts.getTime)
+        require(envs.nonEmpty, "streaming autocomplete fixture requires events")
+        val input = MemoryStream[graft.streaming.SpanEnvelope]
+        def start() = graft.streaming.StreamingPipeline
+          .autocompleteTagsToStoreIncremental(input.toDS(), Seq("k"), path, chk)
+        val chunks = envs.grouped(math.max(1, (envs.length + 2) / 3)).toSeq
+        var q = start()
+        try {
+          chunks.init.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+          copyDir(chk, snap) // snapshot BEFORE the engine commits the last batch
+          input.addData(chunks.last.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+        deleteDir(chk); copyDir(snap, chk)
+        // restart from the rolled-back checkpoint with NO new data: the
+        // engine itself re-runs the final micro-batch through the
+        // foreachBatch sink
+        q = start()
+        try q.processAllAvailable() finally q.stop()
+      } finally deleteDir(tmp.toString) // checkpoint tree gone even on failure
       graft.store.StoreLayout.compactSetStore(s, path, "tag_key", "values")
     }
 
-  private def copyDir(from: String, to: String): Unit = {
+  /** Checkpoint snapshot/rollback plumbing shared with the streaming specs
+    * (ONE copy — the two sides' replay rigs must not drift). Files.walk
+    * streams hold directory handles and must be closed.
+    */
+  private[graft] def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
-    java.nio.file.Files.walk(src).forEach { p =>
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
       val t = java.nio.file.Paths.get(to).resolve(src.relativize(p))
       if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
   }
 
-  private def deleteDir(dir: String): Unit =
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .sorted(java.util.Comparator.reverseOrder())
+  private[graft] def deleteDir(dir: String): Unit = {
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.delete(p))
+    finally walk.close()
+  }
 
   /** Force-build the serving stores for `dir` (idempotent per JVM). */
   def prepareStores(s: SparkSession, dir: String): Unit = {

@@ -326,8 +326,13 @@ object Multimodal {
       */
     def decode(bytes: Array[Byte]): Y4m = {
       val magic = "YUV4MPEG2".getBytes("US-ASCII")
+      // the magic must be DELIMITED (space before tags, or newline for a
+      // bare header): a 9-byte prefix match alone would accept
+      // "YUV4MPEG2GARBAGE …" with the residue silently dropped as an
+      // unknown tag — decoded instead of dead-lettered
       require(bytes.length > magic.length &&
-        magic.indices.forall(i => bytes(i) == magic(i)),
+        magic.indices.forall(i => bytes(i) == magic(i)) &&
+        (bytes(magic.length) == ' ' || bytes(magic.length) == '\n'),
         s"not a YUV4MPEG2 file (${bytes.length} bytes)")
       var off = magic.length
       def lineEnd(from: Int): Int = {
@@ -376,6 +381,10 @@ object Multimodal {
         frames += plane
         off += n
       }
+      // a header with no frames is a truncated stream (all frame data
+      // lost), and letting it through would silently emit ZERO feature/
+      // sample rows for the asset — dead-letter, don't vanish
+      require(frames.nonEmpty, "y4m stream carries no frames")
       Y4m(width, height, frames.toArray)
     }
 

@@ -528,23 +528,30 @@ object StoreLayout {
       throw e
     }
     if (present.isEmpty) return
-    // heartbeat: touch every still-held lease at TTL/3 so a slow rewrite
-    // (not a dead one) never ages past the reclaim threshold. Touching only
-    // existing files — released leases (partition done, `fs.delete` below)
-    // are skipped by the exists guard, and a release racing the touch lands
-    // in the swallowed FileNotFound. The touch can briefly refresh a
-    // SUCCESSOR lease another pass created at the same path after our
-    // release — harmless: that lease is fresh anyway while its owner lives,
-    // and our pass (with its heartbeat) is about to end.
+    // heartbeat: touch every still-HELD lease at TTL/3 so a slow rewrite
+    // (not a dead one) never ages past the reclaim threshold. `held` is the
+    // live set: a partition's release REMOVES its path before deleting the
+    // file, so the tick never touches a released path — in particular it
+    // can never keep refreshing a SUCCESSOR lease another pass created at
+    // the same path after our release (which would shield a crashed
+    // successor from reclaim for the rest of this pass). A release racing
+    // an in-flight touch lands in the swallowed exception.
+    val held = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[org.apache.hadoop.fs.Path]()
+    acquired.foreach(held.add)
+    def releaseLease(lp: org.apache.hadoop.fs.Path): Unit = {
+      held.remove(lp)
+      fs.delete(lp, false)
+    }
     val heartbeat = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
     })
     val period = math.max(1L, LeaseTtlMs / 3)
-    heartbeat.scheduleAtFixedRate(() => acquired.foreach { lp =>
+    heartbeat.scheduleAtFixedRate(() => held.forEach { lp =>
       // swallow EVERYTHING per lease: an uncaught throwable silently cancels
       // a scheduled task's future runs — one bad filesystem hiccup must not
       // kill the heartbeat for the rest of a multi-hour pass
-      try if (fs.exists(lp)) fs.setTimes(lp, System.currentTimeMillis(), -1)
+      try if (held.contains(lp)) fs.setTimes(lp, System.currentTimeMillis(), -1)
       catch { case scala.util.control.NonFatal(_) => () }
     }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -556,7 +563,7 @@ object StoreLayout {
           def call(): Unit = try {
             compactOnePartition(spark, fs,
               new org.apache.hadoop.fs.Path(path, partName), merge)
-          } finally fs.delete(leasePath(path, partName), false)
+          } finally releaseLease(leasePath(path, partName))
         })
       }
       // surface the FIRST failure with its own cause; cancel the queued
@@ -569,7 +576,7 @@ object StoreLayout {
       (present zip futures).foreach { case (d, f) =>
         if (firstFailure != null) {
           if (f.cancel(false))
-            fs.delete(leasePath(path, s"$partitionCol=$d"), false)
+            releaseLease(leasePath(path, s"$partitionCol=$d"))
         } else try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException => firstFailure = e.getCause

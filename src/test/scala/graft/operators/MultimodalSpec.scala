@@ -258,6 +258,14 @@ class MultimodalSpec extends SparkSpec {
     // unterminated header line
     intercept[IllegalArgumentException](
       Multimodal.Y4mCodec.decode("YUV4MPEG2 W4 H4 C444".getBytes("US-ASCII")))
+    // undelimited magic: a shared 9-byte prefix is not a y4m stream
+    intercept[IllegalArgumentException](Multimodal.Y4mCodec.decode(
+      ("YUV4MPEG2GARBAGE W4 H4 C444\n" + "FRAME\n").getBytes("US-ASCII")
+        ++ Array.fill[Byte](48)(0)))
+    // a frameless stream (truncated after the header) dead-letters instead
+    // of silently emitting zero rows downstream
+    intercept[IllegalArgumentException](Multimodal.Y4mCodec.decode(
+      "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")))
     // not y4m at all (a WAV asset routed to the video stage)
     intercept[IllegalArgumentException](Multimodal.Y4mCodec.decode(
       WavCodec.encodeMono16(Array(1, 2, 3), 8000)))

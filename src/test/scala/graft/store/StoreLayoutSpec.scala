@@ -439,7 +439,10 @@ class StoreLayoutSpec extends SparkSpec {
       trace("000000000000000a", day1Us))).toDF(), dir) // dupe = work to do
     val day1 = java.time.LocalDate.parse("2024-01-10")
     val prevTtl = StoreLayout.LeaseTtlMs
-    StoreLayout.LeaseTtlMs = 1000L // heartbeat period = TTL/3 ≈ 333 ms
+    // heartbeat period = TTL/3 ≈ 667 ms; the TTL−period ≈ 1.3 s margin
+    // absorbs a GC pause or loaded-host starvation of the daemon tick
+    // without making the lease look stale mid-test
+    StoreLayout.LeaseTtlMs = 2000L
     try {
       val entered = new java.util.concurrent.CountDownLatch(1)
       val proceed = new java.util.concurrent.CountDownLatch(1)

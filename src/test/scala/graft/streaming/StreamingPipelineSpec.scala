@@ -362,19 +362,10 @@ class StreamingPipelineSpec extends SparkSpec {
   // actual foreachBatch machinery (same batch id, same data). This is the
   // real at-least-once redelivery ST7 claims survive, not a hand-simulated
   // double append.
-  private def copyDir(src: String, dst: String): Unit = {
-    val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s).forEach { p =>
-      val t = d.resolve(s.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
-  private def deleteDir(dir: String): Unit =
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.delete(p))
+  // one copy of the snapshot/rollback plumbing, shared with SparkEntry's
+  // q_stream_store_autocomplete rig
+  private def copyDir(src: String, dst: String): Unit = graft.SparkEntry.copyDir(src, dst)
+  private def deleteDir(dir: String): Unit = graft.SparkEntry.deleteDir(dir)
 
   test("set-store sink survives an engine-level micro-batch replay (ST7)") {
     implicit val sqlCtx = spark.sqlContext
