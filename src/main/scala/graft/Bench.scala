@@ -164,7 +164,7 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warmDir.isDirectory && warmDir.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
-      SparkEntry.queries.values.foreach { fn =>
+      SparkEntry.queries.filterNot(q => SparkEntry.benchExcluded(q._1)).values.foreach { fn =>
         try fn(spark, warmDir.getAbsolutePath).queryExecution.toRdd.foreach(_ => ())
         catch { case _: Throwable => () }
       }
@@ -191,7 +191,10 @@ object Bench {
       // pre-build / previous pass churns enough old-gen to noticeably
       // inflate the first heavy queries' cpu_sec
       System.gc()
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // benchExcluded queries (streaming-engine-built stores) are Verify's
+      // job, not the timed loop's — see the doc on SparkEntry.benchExcluded
+      SparkEntry.queries.filterNot(q => SparkEntry.benchExcluded(q._1))
+        .toSeq.sortBy(_._1).map { case (name, fn) =>
         // drop caches built by the warmup/previous queries: several queries
         // share cached lineages (e.g. the shingle index), and timing one
         // against another's warm cache would flatter it

@@ -252,37 +252,147 @@ object SparkEntry {
     */
   private def streamAutocompleteStore(s: SparkSession, dir: String): String =
     ensureStore(s, "sactags", dir) { path =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sactags")
-      try {
-        val chk = s"$tmp/chk"; val snap = s"$tmp/snap"
-        val envs = EventSpans.spans(s, events(s, dir))
-          .collect()
-          .map(sp => graft.streaming.SpanEnvelope(
-            new java.sql.Timestamp(sp.timestampAsLong / 1000), sp))
-          .sortBy(_.ingest_ts.getTime)
-        require(envs.nonEmpty, "streaming autocomplete fixture requires events")
-        val input = MemoryStream[graft.streaming.SpanEnvelope]
-        def start() = graft.streaming.StreamingPipeline
-          .autocompleteTagsToStoreIncremental(input.toDS(), Seq("k"), path, chk)
-        val chunks = envs.grouped(math.max(1, (envs.length + 2) / 3)).toSeq
-        var q = start()
-        try {
-          chunks.init.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
-          copyDir(chk, snap) // snapshot BEFORE the engine commits the last batch
-          input.addData(chunks.last.toIndexedSeq); q.processAllAvailable()
-        } finally q.stop()
-        deleteDir(chk); copyDir(snap, chk)
-        // restart from the rolled-back checkpoint with NO new data: the
-        // engine itself re-runs the final micro-batch through the
-        // foreachBatch sink
-        q = start()
-        try q.processAllAvailable() finally q.stop()
-      } finally deleteDir(tmp.toString) // checkpoint tree gone even on failure
+      val envs = envelopes(s, dir)
+      val chunks = envs.grouped(math.max(1, (envs.length + 2) / 3)).toSeq
+      runReplayedStream(s, "graft-sactags", chunks, chunks.length - 1)((ds, chk) =>
+        graft.streaming.StreamingPipeline
+          .autocompleteTagsToStoreIncremental(ds, Seq("k"), path, chk))
       graft.store.StoreLayout.compactSetStore(s, path, "tag_key", "values")
     }
+
+  /** The date-partitioned TRACE store built THROUGH the real engine:
+    * envelopes → [[graft.streaming.StreamingPipeline.sessionTracesWithState]]
+    * (the ST8 stateful sessionizer, gap = the events adapter's
+    * `SessionGapMs` so each `user:session` trace closes as exactly one
+    * session — the adapter already split sessions into distinct trace ids)
+    * → [[graft.streaming.StreamingPipeline.tracesToStore]]'s
+    * `writeStream.foreachBatch` sink. Two sentinel envelopes past the data
+    * horizon advance the watermark so every real session times out and
+    * flushes (ST4 emit-on-close); the sentinels' own sessions either stay
+    * open in state or land ~a month outside every query window — never in
+    * an answer. The checkpoint rollback replays the final data chunk AND
+    * both flush batches through the engine (ST7): at-least-once duplicate
+    * rows the read side must collapse via TraceMerge. Serving the
+    * find-traces answer from this store shares FindTracesOracle with
+    * q_f1/q_store_find_traces — the engine build must not change it
+    * (reference: streams/SpanAggregationTopology.java:74-92 feeding
+    * TraceStorageTopology.java:87-126).
+    */
+  private def streamTraceStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "straces", dir) { path =>
+      import s.implicits._
+      val envs = envelopes(s, dir)
+      val gapMs = EventSpans.SessionGapMs
+      val maxMs = envs.last.ingest_ts.getTime
+      def sentinel(i: Int) = graft.streaming.SpanEnvelope(
+        new java.sql.Timestamp(maxMs + (i + 1) * (gapMs + 60000L)),
+        graft.model.Span(trace_id = s"sentinel:$i", id = i.toString))
+      val chunks = envs.grouped(math.max(1, (envs.length + 2) / 3)).toSeq
+      val batches = chunks ++ Seq(Seq(sentinel(0)), Seq(sentinel(1)))
+      runReplayedStream(s, "graft-straces", batches, chunks.length - 1)((ds, chk) =>
+        graft.streaming.StreamingPipeline.tracesToStore(
+          graft.streaming.StreamingPipeline.sessionTracesWithState(ds, gapMs),
+          path, chk))
+    }
+
+  /** The dependency WINDOW store built THROUGH the real engine: link events
+    * → [[graft.streaming.StreamingPipeline.dependencyWindowCounts]] (A4
+    * append-mode tumbling windows, watermark 0) →
+    * [[graft.streaming.StreamingPipeline.dependencyWindowsToStore]]'s
+    * foreachBatch sink, engine-level replay included — the replayed finals
+    * carry the same batch epoch, which the read-side dedup must collapse.
+    * The events are stamped with the trace ROOT time (what the batch
+    * `dependencyWindows` windows on) rather than the session close time the
+    * production `dependencyLinkEvents` stage stamps — a fixture choice that
+    * makes the streamed store answer byte-comparable to DependenciesOracle;
+    * close-time stamping stays spec-covered. Sentinel events advance the
+    * watermark to flush the final windows; their zero-count rows land ~10
+    * days past every query window. (Reference:
+    * streams/DependencyStorageTopology.java:56-105.)
+    */
+  private def streamDependencyStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "sdeps", dir) { path =>
+      import s.implicits._
+      val linkEvents = SpanPipeline.dependencyLinks(eventTraces(s, dir))
+        .map { case (tsMs, l) => graft.streaming.LinkEvent(
+          new java.sql.Timestamp(tsMs), l.parent, l.child, l.call_count, l.error_count) }
+        .collect().sortBy(_.event_ts.getTime).toIndexedSeq
+      require(linkEvents.nonEmpty, "streaming dependency fixture requires links")
+      val maxMs = linkEvents.last.event_ts.getTime
+      def sentinel(i: Int) = graft.streaming.LinkEvent(
+        new java.sql.Timestamp(maxMs + (i + 1) * 120000L), "sentinel", "sentinel", 0L, 0L)
+      val chunks = linkEvents.grouped(math.max(1, (linkEvents.length + 2) / 3)).toSeq
+      val batches = chunks ++ Seq(Seq(sentinel(0)), Seq(sentinel(1)))
+      runReplayedStream(s, "graft-sdeps", batches, chunks.length - 1)((ds, chk) =>
+        graft.streaming.StreamingPipeline.dependencyWindowsToStore(
+          graft.streaming.StreamingPipeline.dependencyWindowCounts(ds), path, chk))
+    }
+
+  /** Events as time-ordered span envelopes (ingest time = span time) — the
+    * shared fixture feed of the three streaming-engine store builds.
+    * MemoryStream is driver-fed BY DESIGN (it is the engine's in-process
+    * test source), so the bounded collect here is fixture plumbing, not a
+    * data path — a deployment feeds the identical sinks from Kafka.
+    */
+  private def envelopes(s: SparkSession, dir: String): IndexedSeq[graft.streaming.SpanEnvelope] = {
+    import s.implicits._
+    val envs = EventSpans.spans(s, events(s, dir))
+      .collect()
+      .map(sp => graft.streaming.SpanEnvelope(
+        new java.sql.Timestamp(sp.timestampAsLong / 1000), sp))
+      .sortBy(_.ingest_ts.getTime)
+    require(envs.nonEmpty, "streaming fixture requires events")
+    envs.toIndexedSeq
+  }
+
+  /** Drive `sink` over real MemoryStream micro-batches with an engine-level
+    * checkpoint-rollback restart: the checkpoint is snapshotted before batch
+    * index `snapshotBefore`, the remaining batches are processed and
+    * committed, then the query is stopped, the checkpoint rolled back, and a
+    * restarted query re-runs every post-snapshot batch through the same sink
+    * with NO new data — the engine's own at-least-once redelivery (ST7), not
+    * a simulated double append. The batches must be event-time sorted
+    * end-to-end: the sinks run under watermark 0, so an out-of-order row
+    * would be dropped as late, silently.
+    */
+  private def runReplayedStream[T: org.apache.spark.sql.Encoder](s: SparkSession,
+      prefix: String, batches: Seq[Seq[T]], snapshotBefore: Int)(
+      sink: (Dataset[T], String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try {
+      val chk = s"$tmp/chk"; val snap = s"$tmp/snap"
+      val live = MemoryStream[T]
+      var q = sink(live.toDS(), chk)
+      try batches.zipWithIndex.foreach { case (b, i) =>
+        // snapshot BEFORE the engine commits the replayed suffix
+        if (i == snapshotBefore) copyDir(chk, snap)
+        live.addData(b.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      deleteDir(chk); copyDir(snap, chk)
+      // Restart on a FRESH MemoryStream: the old instance's in-process
+      // commit tracking refuses to go backward past more than the final
+      // batch ("Offsets committed out of order"). The identical addData
+      // sequence reproduces the same offset→data mapping, and pacing it
+      // with processAllAvailable per batch keeps the original micro-batch
+      // boundaries — the committed prefix re-adds as no-ops, the suffix
+      // replays through the sink with the same per-batch watermark
+      // progression as the first run (a single catch-up batch would jump
+      // the watermark and could leave the final event-time timeouts
+      // unfired at stop).
+      val replay = MemoryStream[T]
+      // the committed prefix must be present BEFORE the restarted query
+      // recovers — it resolves its checkpointed offsets against the source
+      // immediately at start, and an empty stream fails that lookup
+      batches.take(snapshotBefore).foreach(b => replay.addData(b.toIndexedSeq))
+      q = sink(replay.toDS(), chk)
+      try batches.drop(snapshotBefore).foreach { b =>
+        replay.addData(b.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+    } finally deleteDir(tmp.toString) // checkpoint tree gone even on failure
+  }
 
   /** Checkpoint snapshot/rollback plumbing shared with the streaming specs
     * (ONE copy — the two sides' replay rigs must not drift). Files.walk
@@ -306,7 +416,14 @@ object SparkEntry {
     finally walk.close()
   }
 
-  /** Force-build the serving stores for `dir` (idempotent per JVM). */
+  /** Force-build the stores the BENCHED queries serve from (idempotent per
+    * JVM). The streaming-engine-built stores are deliberately absent: their
+    * `q_stream_store_*` queries are [[benchExcluded]], so pre-building them
+    * would add minutes of MemoryStream fixture-feeding to every bench run
+    * that no timed query reads — the correctness gate (Verify, sf0.01)
+    * builds and checks them on every run, and the bench's dedicated
+    * streaming legs measure engine throughput at scale.
+    */
   def prepareStores(s: SparkSession, dir: String): Unit = {
     traceStore(s, dir)
     dependencyStore(s, dir)
@@ -314,8 +431,20 @@ object SparkEntry {
     compactedTraceStore(s, dir)
     compactedDependencyStore(s, dir)
     autocompleteStore(s, dir)
-    streamAutocompleteStore(s, dir)
   }
+
+  /** Correctness-gate-only queries Bench skips: each serves a store the
+    * STREAMING ENGINE built (MemoryStream fixture feed + checkpoint-rollback
+    * replay), so its timed portion would be either a duplicate of an
+    * existing q_store_* read (if pre-built) or ~all fixture plumbing (if
+    * not). Skipping them also keeps the bench stdout line inside the
+    * driver's ~2 KB tail window — the per-query map pays ~30 bytes per
+    * name, and overflowing the 1800-char budget degrades the whole line to
+    * an aggregate-only tier.
+    */
+  val benchExcluded: Set[String] = Set(
+    "q_stream_store_autocomplete", "q_stream_store_traces",
+    "q_stream_store_dependencies")
 
   /** Shared exploded-span projection of the getTrace/getTraceMany surfaces —
     * ONE shape for the in-memory and bucketed-store legs, so their shared
@@ -605,6 +734,35 @@ object SparkEntry {
       TraceQueries.autocompleteValues(
         graft.streaming.StreamingPipeline.readAutocompleteStore(
           s, streamAutocompleteStore(s, dir)), "k")),
+
+    // ——— the SAME find-traces answer served from a trace store the REAL
+    //     engine built: MemoryStream envelopes → the ST8 stateful
+    //     sessionizer → tracesToStore's foreachBatch sink, watermark-flushed
+    //     by sentinels, final batches replayed via checkpoint rollback.
+    //     ST8's session semantics and the trace sink are oracle-gated here,
+    //     not just spec-tested ———
+    "q_stream_store_traces" -> ((s, dir) => {
+      val path = streamTraceStore(s, dir)
+      val req = QueryRequest(serviceName = Some("purchase"),
+        endTs = EndTsMs, lookback = LookbackMs, limit = 10)
+      TraceQueries.getTraces(
+        TraceQueries.fromStore(
+          graft.store.StoreLayout.readTraces(s, path,
+            EndTsMs + MergeGraceMs, LookbackMs + 2 * MergeGraceMs)), req)
+        .select(col("trace_id"),
+          expr("root_ts DIV 1000").as("root_ts_ms"),
+          size(col("spans")).cast("long").as("n_spans"))
+    }),
+
+    // ——— the SAME dependencies answer from a window store the REAL engine
+    //     built: link events → append-mode tumbling windows (A4) →
+    //     dependencyWindowsToStore's foreachBatch sink, replayed finals
+    //     collapsing by batch epoch at read ———
+    "q_stream_store_dependencies" -> ((s, dir) =>
+      TraceQueries.dependencies(
+        graft.store.StoreLayout.readDependencyWindows(
+          s, streamDependencyStore(s, dir), EndTsMs, LookbackMs),
+        EndTsMs, LookbackMs)),
 
     // ——— J4/A9/A6: getTraceMany through a store with at-least-once
     //     redelivery — duplicate store rows MUST collapse at read via
@@ -1200,6 +1358,8 @@ object SparkEntry {
     // identical again: the streaming-engine-built store must serve the same
     // answer — the engine's replay and the store lifecycle both collapse
     "q_stream_store_autocomplete" -> AutocompleteOracle,
+    "q_stream_store_traces" -> FindTracesOracle,
+    "q_stream_store_dependencies" -> DependenciesOracle,
 
     // roundtrip_ok is the in-engine full-schema comparison (original spans
     // vs the re-parsed JSON, fingerprinted over every field); the oracle

@@ -472,4 +472,32 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(streamed == values("q_a8_autocomplete"),
       "streaming-engine-built store drifted from the relational answer")
   }
+
+  // the two row-store twins: each engine-built store (stateful sessionizer →
+  // trace sink; windowed counts → dependency sink, both with the multi-batch
+  // checkpoint-rollback replay) must serve byte-identical answers to its
+  // batch-built q_store_* twin — the same equivalence the sf0.01 oracle
+  // hash-checks, pinned here at sf0.001 on every test run
+  test("q_stream_store_traces: the engine-built trace store serves exactly " +
+      "the batch store's find-traces answer (ST8/ST4/ST7 behind one oracle)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val streamed = rows("q_stream_store_traces")
+    assert(streamed.nonEmpty)
+    assert(streamed == rows("q_store_find_traces"),
+      "streaming-engine-built trace store drifted from the batch store answer")
+  }
+
+  test("q_stream_store_dependencies: the engine-built window store serves " +
+      "exactly the batch store's dependencies answer (A4/ST4/ST7 behind one oracle)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val streamed = rows("q_stream_store_dependencies")
+    assert(streamed.nonEmpty)
+    assert(streamed == rows("q_store_dependencies"),
+      "streaming-engine-built window store drifted from the batch store answer")
+  }
 }
