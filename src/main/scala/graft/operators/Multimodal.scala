@@ -368,8 +368,12 @@ object Multimodal {
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
       val fm = "FRAME".getBytes("US-ASCII")
       while (off < bytes.length) {
-        require(off + fm.length <= bytes.length &&
-          fm.indices.forall(i => bytes(off + i) == fm(i)),
+        // the marker must be DELIMITED (space before frame tags, or newline
+        // for a bare marker) — same rationale as the stream magic above:
+        // "FRAMEGARBAGE\n" is a corrupt stream, not a tagged frame
+        require(off + fm.length < bytes.length &&
+          fm.indices.forall(i => bytes(off + i) == fm(i)) &&
+          (bytes(off + fm.length) == ' ' || bytes(off + fm.length) == '\n'),
           s"malformed y4m: expected FRAME marker at offset $off")
         off = lineEnd(off + fm.length) + 1
         require(frameLenL <= bytes.length - off.toLong,

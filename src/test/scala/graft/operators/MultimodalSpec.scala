@@ -269,6 +269,17 @@ class MultimodalSpec extends SparkSpec {
     // not y4m at all (a WAV asset routed to the video stage)
     intercept[IllegalArgumentException](Multimodal.Y4mCodec.decode(
       WavCodec.encodeMono16(Array(1, 2, 3), 8000)))
+    // undelimited FRAME marker: same rationale as the stream magic —
+    // "FRAMEGARBAGE\n" is a corrupt stream, not a tagged frame. A tagged
+    // frame ("FRAME Xtag\n") still decodes.
+    val hdr = new String(good, 0, good.indexOf('\n'.toByte) + 1, "US-ASCII")
+    val body = good.drop(hdr.length + "FRAME\n".length)
+    intercept[IllegalArgumentException](Multimodal.Y4mCodec.decode(
+      hdr.getBytes("US-ASCII") ++ "FRAMEGARBAGE\n".getBytes("US-ASCII") ++ body))
+    val tagged = Multimodal.Y4mCodec.decode(
+      hdr.getBytes("US-ASCII") ++ "FRAME Xtag\n".getBytes("US-ASCII") ++ body)
+    assert(tagged.frames.length == 1 &&
+      tagged.frames(0).toSeq == Multimodal.videoPlanes(1L, 4, 4, 0).toSeq)
   }
 
   test("extractVideoFeatures: per-frame integer features off real decoded planes") {
