@@ -2,6 +2,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Host-factor-normalized cpu-floor adjudication (pure; spec-pinned).
+    * Returns (hostFactor, flagged): hostFactor is the median measured/floor
+    * ratio across all floored queries — uniform co-load inflation shows up
+    * here and cancels — clamped to ≥1 so a better-than-floor host never
+    * tightens the gate below the committed floors. A query flags when its
+    * min cpu exceeds `floor × hostFactor × 1.3 + 0.5 s`: 1.3× relative for
+    * real signal over run-to-run jitter, +0.5 s absolute because sub-second
+    * queries jitter by tenths of a cpu-second (JIT, GC attribution) without
+    * meaning anything. Sentinel cpu (−1: process-CPU unavailable) and
+    * non-positive floors are excluded from both the median and the flags.
+    */
+  private[graft] def flagCpuRegressions(measured: Seq[(String, Double)],
+      floors: Map[String, Double]): (Double, Seq[(String, Double, Double)]) = {
+    val ratios = measured.collect {
+      case (k, c) if c > 0 && floors.get(k).exists(_ > 0) => c / floors(k)
+    }.sorted
+    val hostFactor =
+      if (ratios.isEmpty) 1.0
+      else math.max(1.0, ratios(ratios.length / 2))
+    val flagged = measured.collect {
+      case (k, c) if c > 0 &&
+        floors.get(k).exists(f => f > 0 && c > f * hostFactor * 1.3 + 0.5) =>
+        (k, c, floors(k))
+    }
+    (hostFactor, flagged)
+  }
+
   /** One streaming leg's numbers; `frag` is the compact JSON the stdout line
     * carries, `detail` the full object (incl. traces_out/windows_out) for
     * the sidecar.
@@ -304,32 +331,40 @@ object Bench {
       .getOrElse(mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}"""))
     // mechanical per-query cpu adjudication: tools/bench_cpu_floor.tsv holds
     // each query's quiet-host min-of-2 process-cpu floor (committed; refresh
-    // it when a query's cost legitimately changes). CPU is the load-robust
-    // statistic — co-load inflates WALL but barely moves a query's own
-    // process-cpu — so min-cpu > 1.3× floor is a real regression signal, not
-    // a busy host, and the round-over-round "is this noise?" question
-    // becomes a lookup instead of a judgment call (r10's q_minhash_recall
-    // scare was exactly this: wall+cpu both up under co-load, back at floor
-    // on the quiet re-run).
+    // it when a query's cost legitimately changes). Process-cpu is NOT
+    // load-immune — on a core-shared host, memory-bandwidth and cache
+    // contention charge stall cycles to our own cpu time (measured: a 2×
+    // uniform cpu inflation across ALL queries under co-load, zero code
+    // change) — but co-load inflates every query TOGETHER, while a code
+    // regression inflates one query against the pack. So the gate
+    // normalizes by the MEDIAN cpu-vs-floor ratio (the host factor) and
+    // flags only queries inflated beyond 1.3× of it: quiet host ⇒ factor
+    // ~1.0, identical to a raw floor check; busy host ⇒ the uniform
+    // inflation cancels instead of flagging everything.
     // floors were measured at sf0.1 (the driver's per-round bench scale) —
     // at any other scale the ratio is meaningless, so the gate stays silent
     val cpuFloors: Map[String, Double] =
       if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
       else try {
-        val src = scala.io.Source.fromFile("tools/bench_cpu_floor.tsv")
+        // explicit UTF-8: the default-charset read dies on any non-ASCII
+        // byte in a comment when file.encoding is ASCII, and the catch-all
+        // below would silently disarm the whole gate
+        val src = scala.io.Source.fromFile("tools/bench_cpu_floor.tsv", "UTF-8")
         try src.getLines().map(_.split("\t"))
           .collect { case Array(k, v) => k -> v.toDouble }.toMap
         finally src.close()
-      } catch { case _: Throwable => Map.empty }
-    // 1.3× relative AND +0.5 s absolute: sub-second queries jitter by tenths
-    // of a cpu-second (JIT, GC attribution) without meaning anything
-    val cpuRegressions = results.collect {
-      case (k, _, c, _) if c > 0 &&
-        cpuFloors.get(k).exists(f => f > 0 && c > f * 1.3 + 0.5) =>
-        (k, c, cpuFloors(k))
-    }
+      } catch { case e: Throwable =>
+        // missing file just means no gate; but say so — a silently-disarmed
+        // gate looks exactly like a clean pass (this bit us: an unreadable
+        // comment byte zeroed every floor with no trace)
+        System.err.println(s"[bench] cpu floors unavailable: ${e.getMessage}")
+        Map.empty
+      }
+    val (cpuHostFactor, cpuRegressions) =
+      flagCpuRegressions(results.map { case (k, _, c, _) => (k, c) }, cpuFloors)
     cpuRegressions.foreach { case (k, c, f) =>
-      System.err.println(f"[bench] CPU REGRESSION $k: min cpu_sec $c%.1f > 1.3x floor $f%.1f")
+      System.err.println(
+        f"[bench] CPU REGRESSION $k: min cpu_sec $c%.1f > 1.3x floor $f%.1f (host factor $cpuHostFactor%.2f)")
     }
     // full-precision per-query wall+CPU detail for BOTH passes goes to a
     // sidecar file (the stdout line is the driver's parse target and must
@@ -351,7 +386,7 @@ object Bench {
       val regJson = cpuRegressions.map { case (k, c, f) =>
         s"\"$k\":[${f1(c)},${f1(f)}]" }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("target/bench_detail.json", "UTF-8")
-      try w.println(s"""{"queries":$detail,"cpu_regressions":$regJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)}}""")
+      try w.println(s"""{"queries":$detail,"cpu_host_factor":${f2(cpuHostFactor)},"cpu_regressions":$regJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)}}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Bench.flagCpuRegressions]]'s host-factor normalization: the
+  * cpu-floor gate must stay quiet when co-load inflates EVERY query
+  * uniformly (measured 2× cpu inflation host-wide with zero code change)
+  * yet still catch one query regressing against the pack.
+  */
+final class BenchSpec extends AnyFunSuite {
+
+  private val floors = Map("a" -> 2.0, "b" -> 4.0, "c" -> 10.0, "d" -> 0.4, "e" -> 8.0)
+
+  test("quiet host: factor ~1, a single 2x query flags, at-floor queries don't") {
+    val (factor, flagged) = Bench.flagCpuRegressions(
+      Seq("a" -> 2.1, "b" -> 8.0, "c" -> 10.2, "d" -> 0.4, "e" -> 7.9), floors)
+    assert(math.abs(factor - 1.02) < 1e-9) // median of sorted ratios (0.99, 1.0, 1.02, 1.05, 2.0)
+    assert(flagged.map(_._1) == Seq("b")) // 8.0 > 4.0*1.02*1.3+0.5
+  }
+
+  test("uniform 2x co-load inflation cancels instead of flagging everything") {
+    val inflated = Seq("a" -> 4.0, "b" -> 8.0, "c" -> 20.0, "d" -> 0.8, "e" -> 16.0)
+    val (factor, flagged) = Bench.flagCpuRegressions(inflated, floors)
+    assert(factor == 2.0)
+    assert(flagged.isEmpty)
+  }
+
+  test("a real regression still flags THROUGH uniform co-load") {
+    // everything 2x (co-load), but c ALSO tripled on top of it
+    val (factor, flagged) = Bench.flagCpuRegressions(
+      Seq("a" -> 4.0, "b" -> 8.0, "c" -> 60.0, "d" -> 0.8, "e" -> 16.0), floors)
+    assert(factor == 2.0)
+    assert(flagged == Seq(("c", 60.0, 10.0))) // 60 > 10*2*1.3+0.5
+  }
+
+  test("a faster-than-floor host clamps to factor 1 — the gate never tightens") {
+    val (factor, flagged) = Bench.flagCpuRegressions(
+      Seq("a" -> 1.0, "b" -> 2.0, "c" -> 5.0, "d" -> 0.2, "e" -> 4.0), floors)
+    assert(factor == 1.0)
+    assert(flagged.isEmpty)
+  }
+
+  test("sentinel cpu (-1), unknown queries, and zero floors are excluded") {
+    val (factor, flagged) = Bench.flagCpuRegressions(
+      Seq("a" -> -1.0, "zz" -> 99.0, "z0" -> 99.0), floors + ("z0" -> 0.0))
+    assert(factor == 1.0 && flagged.isEmpty)
+  }
+
+  test("sub-second queries ride the +0.5s absolute slack") {
+    // others at floor pin the host factor to 1; d is 2.25x relative
+    // (floor 0.4, measured 0.9) but within the 0.4*1.3+0.5 = 1.02 slack
+    val (factor, flagged) = Bench.flagCpuRegressions(
+      Seq("a" -> 2.0, "b" -> 4.0, "c" -> 10.0, "d" -> 0.9), floors)
+    assert(factor == 1.0 && flagged.isEmpty)
+  }
+}
