@@ -128,6 +128,18 @@ class MultimodalSpec extends SparkSpec {
     assert(p.rgb.toSeq == rgb.toSeq)
   }
 
+  test("PpmCodec property: random images survive encode → decode exactly") {
+    val rnd = new scala.util.Random(13)
+    (1 to 25).foreach { _ =>
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(24)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256)) // full 8-bit range
+      val p = PpmCodec.decode(PpmCodec.encode(w, h, rgb))
+      assert(p.width == w && p.height == h)
+      assert(p.rgb.toSeq == rgb.toSeq)
+    }
+  }
+
   test("PpmCodec: header comments and arbitrary whitespace tokenize per spec") {
     val rgb = Array.tabulate(2 * 2 * 3)(i => i * 10)
     val canonical = PpmCodec.encode(2, 2, rgb)
@@ -241,6 +253,19 @@ class MultimodalSpec extends SparkSpec {
     val v = Multimodal.Y4mCodec.decode(Multimodal.Y4mCodec.encode(7, 5, frames))
     assert(v.width == 7 && v.height == 5 && v.frames.length == 5)
     frames.indices.foreach(f => assert(v.frames(f).toSeq == frames(f).toSeq))
+  }
+
+  test("Y4mCodec property: random streams survive encode → decode exactly") {
+    val rnd = new scala.util.Random(17)
+    (1 to 25).foreach { _ =>
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(12)
+      val nf = 1 + rnd.nextInt(8)
+      val frames = Array.fill(nf)(Array.fill(3 * w * h)(rnd.nextInt(256)))
+      val v = Multimodal.Y4mCodec.decode(Multimodal.Y4mCodec.encode(w, h, frames))
+      assert(v.width == w && v.height == h && v.frames.length == nf)
+      frames.indices.foreach(f => assert(v.frames(f).toSeq == frames(f).toSeq))
+    }
   }
 
   test("Y4mCodec: non-C444, truncated, and poisoned streams dead-letter") {
