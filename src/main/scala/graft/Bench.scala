@@ -171,6 +171,24 @@ object Bench {
       case _ => -1L
     }
 
+  /** Cumulative stop-the-world GC millis across all collectors (collectors
+    * that don't report time contribute 0). Captured per query so a
+    * contaminated pass self-labels in the sidecar: wall AND cpu inflated
+    * with `gc ≈ the excess` is heap pressure in THIS process (fix: heap /
+    * allocation), while `gc ≈ 0` with the same inflation is outside
+    * contention (a VM neighbor's cycles billing to our clock) — the two
+    * look identical in wall/cpu alone and round 5–8 adjudications had to
+    * guess.
+    */
+  private def gcMillis(): Long = {
+    var total = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.forEach { g =>
+      val t = g.getCollectionTime
+      if (t > 0) total += t
+    }
+    total
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's cores (the target env is local[32]) — a low
@@ -212,7 +230,7 @@ object Bench {
       System.err.println(s"[bench] store pre-build failed: ${e.getMessage}")
       -1.0
     }
-    def runSuite(): Seq[(String, Double, Double, Option[String])] = {
+    def runSuite(): Seq[(String, Double, Double, Double, Option[String])] = {
       // collect the previous region's garbage OUTSIDE the timed queries: GC
       // time is attributed to whichever query triggers it, and the store
       // pre-build / previous pass churns enough old-gen to noticeably
@@ -228,6 +246,7 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val cpu0 = processCpuNanos()
+        val gc0 = gcMillis()
         // full materialization of every output column on the executors —
         // a bare count() lets Catalyst prune unevaluated projections, which
         // would time a row count instead of the query
@@ -237,7 +256,7 @@ object Bench {
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
         }
         val cpuSec = { val c = processCpuNanos(); if (c < 0 || cpu0 < 0) -1.0 else (c - cpu0) / 1e9 }
-        (name, (System.nanoTime() - t0) / 1e9, cpuSec, err)
+        (name, (System.nanoTime() - t0) / 1e9, cpuSec, (gcMillis() - gc0) / 1e3, err)
       }
     }
     val loadBefore = loadavgJson()
@@ -252,12 +271,12 @@ object Bench {
     val passes = Seq(runSuite(), runSuite())
     val results = passes.head.indices.map { i =>
       val runs = passes.map(_(i))
-      val (name, _, _, _) = runs.head
+      val name = runs.head._1
       val wall = runs.map(_._2).min
       val cpus = runs.map(_._3)
       val cpu = if (cpus.exists(_ < 0)) -1.0 else cpus.min
       // a query that failed in EITHER pass is broken or flaky — surface it
-      (name, wall, cpu, runs.flatMap(_._4).headOption)
+      (name, wall, cpu, runs.flatMap(_._5).headOption)
     }
     def jstr(s: String): String = Verify.jstr(s) // shared driver-JSON escaper
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f2(v) }
@@ -371,7 +390,9 @@ object Bench {
     // fit its tail window)
     try {
       val detail = results.zipWithIndex.map { case ((k, v, c, e), i) =>
-        val pj = passes.map(p => s"[${p(i)._2},${p(i)._3}]").mkString("[", ",", "]")
+        // [wall_sec, cpu_sec, gc_sec] per pass — gc disambiguates heap
+        // pressure from outside contention (see gcMillis)
+        val pj = passes.map(p => s"[${p(i)._2},${p(i)._3},${p(i)._4}]").mkString("[", ",", "]")
         val floorFrag = cpuFloors.get(k).map(f =>
           // c is -1.0 when process-CPU is unavailable — a ratio off the
           // sentinel would read as a real (impossible) negative value
