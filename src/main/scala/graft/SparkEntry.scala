@@ -44,9 +44,23 @@ object SparkEntry {
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
-      try spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      finally prev match {
+      try {
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        raw.schema("ts").dataType match {
+          // ns-precision files (pre-2026-08-13 generator): nanosAsLong
+          // surfaces nanos as BIGINT; truncate to µs like DuckDB's epoch_us
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          // µs-precision files (2026-08-13 regeneration) arrive as
+          // TIMESTAMP_NTZ (pandas writes no zone); the cast interprets the
+          // naive digits in the session zone, which every entry point pins
+          // to UTC — the same naive-as-UTC reading DuckDB's epoch_us gives
+          // the oracle side
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
+      } finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }

@@ -11,11 +11,11 @@ class EventSpansSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private lazy val events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+  // ONE copy of the ts-dialect handling (ns-as-long vs TIMESTAMP_NTZ):
+  // the entry point's reader, not a spec-local re-implementation that
+  // drifts when the testdata generator changes precision
+  private lazy val events =
+    graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
 
   test("fused sessionTraces equals aggregateTraces over EventSpans.spans") {
     val generic = SpanPipeline.aggregateTraces(EventSpans.spans(spark, events))
