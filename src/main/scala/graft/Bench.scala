@@ -12,6 +12,11 @@ object Bench {
     * queries jitter by tenths of a cpu-second (JIT, GC attribution) without
     * meaning anything. Sentinel cpu (−1: process-CPU unavailable) and
     * non-positive floors are excluded from both the median and the flags.
+    * Even-count medians average the two middle ratios — taking the
+    * upper-middle element would bias the factor up exactly when a
+    * regression sits in the upper half. The factor can still self-mask a
+    * SUITE-WIDE slowdown (the regressing queries' own ratios raise the
+    * median); the caller warns past a sanity bound for that case.
     */
   private[graft] def flagCpuRegressions(measured: Seq[(String, Double)],
       floors: Map[String, Double]): (Double, Seq[(String, Double, Double)]) = {
@@ -20,6 +25,8 @@ object Bench {
     }.sorted
     val hostFactor =
       if (ratios.isEmpty) 1.0
+      else if (ratios.length % 2 == 0)
+        math.max(1.0, (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2)
       else math.max(1.0, ratios(ratios.length / 2))
     val flagged = measured.collect {
       case (k, c) if c > 0 &&
@@ -198,6 +205,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // naive parquet timestamps (events.ts is TIMESTAMP_NTZ since the
+      // 2026-08-13 testdata regeneration) must read as UTC instants on any
+      // host — the same naive-as-UTC reading the DuckDB oracle gives them
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -379,8 +390,20 @@ object Bench {
         System.err.println(s"[bench] cpu floors unavailable: ${e.getMessage}")
         Map.empty
       }
+    // failed queries are excluded from the gate entirely: a fast failure's
+    // partial cpu yields a far-below-1 ratio that drags the median toward
+    // the 1.0 clamp and spuriously flags healthy queries; the errors map
+    // (and nonzero exit) already surfaces the failure itself
     val (cpuHostFactor, cpuRegressions) =
-      flagCpuRegressions(results.map { case (k, _, c, _) => (k, c) }, cpuFloors)
+      flagCpuRegressions(
+        results.collect { case (k, _, c, None) => (k, c) }, cpuFloors)
+    // a factor this far above 1 means either heavy co-load (the load field
+    // corroborates) or a slowdown broad enough to move the median — which
+    // the relative gate then normalizes away. Say so instead of passing
+    // silently; the gate is advisory, so this is a missed-signal guard.
+    if (cpuHostFactor > 2.5)
+      System.err.println(
+        f"[bench] WARNING: cpu host factor $cpuHostFactor%.2f exceeds 2.5 — heavy co-load, or a suite-wide regression the median normalized away; check load + per-query cpu_vs_floor in the sidecar")
     cpuRegressions.foreach { case (k, c, f) =>
       System.err.println(
         f"[bench] CPU REGRESSION $k: min cpu_sec $c%.1f > 1.3x floor $f%.1f (host factor $cpuHostFactor%.2f)")

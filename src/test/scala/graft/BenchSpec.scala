@@ -46,6 +46,15 @@ final class BenchSpec extends AnyFunSuite {
     assert(factor == 1.0 && flagged.isEmpty)
   }
 
+  test("even-count median averages the two middle ratios") {
+    // ratios sorted: (1.0, 1.0, 2.0, 2.1) — upper-middle would say 2.0 and
+    // let "c" hide inside a fake host factor; the averaged 1.5 flags it
+    val (factor, flagged) = Bench.flagCpuRegressions(
+      Seq("a" -> 2.0, "b" -> 4.0, "c" -> 21.0, "e" -> 16.0), floors)
+    assert(factor == 1.5)
+    assert(flagged == Seq(("c", 21.0, 10.0))) // 21 > 10*1.5*1.3+0.5 = 20.0
+  }
+
   test("sub-second queries ride the +0.5s absolute slack") {
     // others at floor pin the host factor to 1; d is 2.25x relative
     // (floor 0.4, measured 0.9) but within the 0.4*1.3+0.5 = 1.02 slack
