@@ -34,16 +34,29 @@ object Dedup {
     * second persisted copy.
     */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      maxDocFreq: Option[Long]): DataFrame = {
+      maxDocFreq: Option[Long]): DataFrame =
+    shingleIndexWithDf(docs, idCol, textCol, n, maxDocFreq)._1
+
+  /** [[shingleIndex]] plus the matching document-frequency table (df per
+    * surviving shingle, i.e. post-cap), computed ONCE and cached: the cap's
+    * hot-list, the strategy dispatch's collision-mass aggregate, and the
+    * prefix path's rarest-first order all read it — without the shared
+    * cache each action would redo the groupBy from the raw index. The df
+    * table is one row per distinct shingle (≪ the index) and linear to
+    * build, so the cache is cheap at any scale.
+    */
+  private def shingleIndexWithDf(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Option[Long]): (DataFrame, DataFrame) = {
     val sh = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       explode(TextAnalysis.distinctShingles(col(textCol), n)).as("shingle"))
       .cache()
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df")).cache()
     maxDocFreq match {
-      case None => sh
+      case None => (sh, df)
       case Some(cap) =>
-        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") > cap).select("shingle")
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val hot = df.where(col("df") > cap).select("shingle")
+        (sh.join(broadcast(hot), Seq("shingle"), "left_anti"),
+          df.where(col("df") <= cap))
     }
   }
 
@@ -54,14 +67,117 @@ object Dedup {
     */
   def docFreqCap(nDocs: Long): Long = math.max(5L, nDocs / 200L)
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join:
-    * |A∩B| from the shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
+  /** Exact n-gram Jaccard near-dup pairs. Two physical strategies produce
+    * the identical pair set, and the choice between them is COST-BASED on
+    * the collision mass Σ df·(df−1)/2 of the (capped) shingle index — the
+    * exact row count of the inverted-index self-join:
+    *
+    *  - **full inverted index** ([[ngramJaccardPairsNaive]]'s body): count
+    *    |A∩B| from the shingle self-join. Cheapest while collision rows
+    *    stay within a small factor of the index itself (count-aggregation
+    *    is a few ns/row; no arrays materialize). Measured at sf0.1
+    *    (Σ/index ≈ 4.9 under the 0.5% df cap): 56 cpu-s vs the prefix
+    *    path's 123 cpu-s.
+    *  - **prefix-filtered** ([[ngramJaccardPairsPrefix]]): PPJoin-style —
+    *    only each doc's rarest |S|−⌈t·|S|⌉+1 shingles enter the candidate
+    *    join, candidates verify on full shingle arrays. Linear-ish in
+    *    corpus + candidates, so it wins exactly where the collision mass
+    *    detaches from the index size: duplicate-heavy corpora, uncapped
+    *    runs, and the billion-doc regime where even the 0.5% cap allows
+    *    df in the millions (one df=5M shingle alone is 1.25e13 collision
+    *    rows — no cluster aggregates that).
+    *
+    * The one-row stats job deciding this reads the already-cached index —
+    * linear, fully parallel, ~0.1 s at sf0.1. Crossover factor 16 is
+    * calibrated from the sf0.1 pair above (break-even ≈ 11, rounded up so
+    * the cheap-count path keeps the slot when in doubt).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Option[Long] = None): DataFrame = {
+    val (sh, docFreq) = shingleIndexWithDf(docs, idCol, textCol, n, maxDocFreq)
+    val stats = docFreq
+      .agg(coalesce(sum(col("df")), lit(0L)).cast("long").as("rows"),
+        coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
+          .cast("double").as("sigma"))
+      .first()
+    if (stats.getDouble(1) <= 16.0 * math.max(1L, stats.getLong(0)))
+      fullIndexPairs(sh, threshold)
+    else prefixFilteredPairs(sh, docFreq, threshold)
+  }
+
+  /** The prefix-filtered strategy, directly (no cost dispatch) — the
+    * equivalence property in FunctionsSpec pins it against the naive path
+    * on randomized corpora. J(A,B) ≥ t forces the two shingle sets to
+    * share an element among each side's first |S|−⌈t·|S|⌉+1 shingles under
+    * one global canonical order (the prefix-filtering principle of the
+    * all-pairs literature — Bayardo et al., WWW'07; Xiao et al.'s PPJoin,
+    * WWW'08), so ONLY those prefixes enter the candidate self-join;
+    * candidates then verify exactly on the full shingle arrays (cost ∝
+    * candidate pairs). The canonical order is rarest-first (ascending
+    * document frequency, ties lexicographic), which makes prefix
+    * collisions the RAREST shingles' df² instead of the commonest. A size
+    * filter (t·max(|A|,|B|) ≤ min(|A|,|B|), another J ≥ t consequence)
+    * prunes candidates before the distinct.
+    */
+  private[graft] def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val (sh, docFreq) = shingleIndexWithDf(docs, idCol, textCol, n, maxDocFreq)
+    prefixFilteredPairs(sh, docFreq, threshold)
+  }
+
+  private def prefixFilteredPairs(sh: DataFrame, docFreq: DataFrame,
+      threshold: Double): DataFrame = {
+    // one row per doc: shingles as an array in global rarest-first order
+    // (struct sort = df asc, then shingle asc — a total order, so every doc
+    // agrees on it). Built from the already-capped index, not a second
+    // tokenization pass; cached because the prefix explode and both verify
+    // joins read it.
+    val docsets = sh.join(docFreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), e => e.getField("shingle")).as("shs"),
+        size(col("ord")).as("n_sh"))
+      .cache()
+    // ⌈t·n⌉ via ceil(x − 1e-9): double rounding can land t·n a hair ABOVE
+    // the exact integer (0.7×10 = 7.000…1), and an unguarded ceil would
+    // shorten the prefix / tighten the size filter — silently dropping
+    // true pairs
+    def ceilT(c: Column): Column = ceil(c * threshold - 1e-9)
+    val prefix = docsets.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("shs"), lit(1),
+        (col("n_sh") - ceilT(col("n_sh")) + 1).cast("int"))).as("shingle"))
+    val candidates = prefix.as("x").join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n_sh"), col("y.n_sh")) >=
+            ceilT(greatest(col("x.n_sh"), col("y.n_sh"))))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(docsets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+        col("n_sh").as("na")), Seq("doc_a"))
+      .join(docsets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+        col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** The full inverted-index strategy, directly (no cost dispatch) — also
+    * the reference side of the FunctionsSpec equivalence property.
+    */
+  private[graft] def ngramJaccardPairsNaive(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame =
     // shingleIndex caches the raw exploded index once; the capped view is a
     // cheap broadcast-anti probe over it per use (join sides + size table)
-    val sh = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    fullIndexPairs(shingleIndex(docs, idCol, textCol, n, maxDocFreq), threshold)
+
+  /** |A∩B| counted from the shingle self-join; |A∪B| = |A|+|B|−|A∩B|. */
+  private def fullIndexPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -114,6 +114,69 @@ class FunctionsSpec extends SparkSpec {
     assert(uncapped.contains((0L, 3L))) // exact dups survive without cap
   }
 
+  test("prefix-filtered ngram jaccard property: ≡ the full inverted-index " +
+      "path on randomized corpora across thresholds and caps") {
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        math.round(r.getAs[Double]("jaccard") * 1e6))).toSet
+    // vocabulary small enough to force heavy shingle sharing (the regime
+    // where a broken prefix bound actually drops pairs) and doc lengths
+    // straddling the n=3 shingle minimum; mutated copies sit at every
+    // similarity level, so threshold boundaries get real traffic
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(24)(i => s"w$i")
+    val base = Seq.tabulate(40) { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val mutated = base.take(20).map { case (id, text) =>
+      val toks = text.split(" ").toBuffer
+      val edits = 1 + rnd.nextInt(3)
+      for (_ <- 1 to edits if toks.nonEmpty)
+        toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
+      (id + 1000L, toks.mkString(" "))
+    }
+    val corpus = (base ++ mutated).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); cap <- Seq(None, Some(6L))) {
+      val fast = run(Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text",
+        n = 3, threshold = t, maxDocFreq = cap))
+      val naive = run(Dedup.ngramJaccardPairsNaive(corpus, "doc_id", "text",
+        n = 3, threshold = t, maxDocFreq = cap))
+      assert(fast == naive, s"threshold=$t cap=$cap")
+      spark.catalog.clearCache() // per-combo caches must not cross-pollinate
+    }
+    // 0.7×10-token shapes: the ceil(t·n) double-rounding hazard the
+    // epsilon guard exists for — exact-dup pairs must survive at t=0.7
+    val tenTok = Seq.tabulate(6)(i =>
+      (i.toLong, (0 until 12).map(j => vocab((i * 5 + j) % 12)).mkString(" ")))
+    val dup = tenTok.map { case (id, s) => (id + 100L, s) }
+    val exactDups = (tenTok ++ dup).toDF("doc_id", "text")
+    val got = run(Dedup.ngramJaccardPairsPrefix(exactDups, "doc_id", "text",
+      n = 3, threshold = 0.7))
+    assert(run(Dedup.ngramJaccardPairsNaive(exactDups, "doc_id", "text",
+      n = 3, threshold = 0.7)) == got)
+    assert(tenTok.forall { case (id, _) => got.exists(p => p._1 == id && p._2 == id + 100L) })
+  }
+
+  test("ngram jaccard cost dispatch: low collision mass takes the count " +
+      "path, duplicate floods take the prefix path") {
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    // the 5-doc fixture: Σ df(df−1)/2 ≪ 16×index → full-index strategy
+    // (its plan has no array_intersect; the prefix plan always does)
+    assert(!planOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5)).contains("array_intersect"))
+    // 60 identical docs, uncapped: every shingle has df=60, so collision
+    // mass is 29.5×index → prefix strategy. Result must still be every
+    // pair at jaccard 1.0 — the dispatch is physical only.
+    val flood = Seq.tabulate(60)(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val dispatched = Dedup.ngramJaccardPairs(flood, "doc_id", "text",
+      n = 3, threshold = 0.9)
+    assert(planOf(dispatched).contains("array_intersect"))
+    assert(dispatched.count() == 60L * 59 / 2)
+    spark.catalog.clearCache()
+  }
+
   test("minhash+LSH verified pairs equal the exact jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
