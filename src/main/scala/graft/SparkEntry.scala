@@ -39,30 +39,30 @@ object SparkEntry {
     // for unrelated reads)
     eventsConfLock.synchronized {
       // schema resolution happens eagerly inside read.parquet(), so the
-      // legacy conf can be restored right after — no session-wide side
-      // effect on unrelated reads
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
+      // confs can be restored right after — no session-wide side effect on
+      // unrelated reads. nanosAsLong covers pre-2026-08-13 ns-precision
+      // files (Spark 4 refuses TIMESTAMP(NANOS) otherwise); inferTimestampNTZ
+      // = false makes the µs regeneration's zoneless column surface as plain
+      // TIMESTAMP — the reader reinterprets the raw micros as UTC instants
+      // with NO per-row conversion, unlike a later NTZ→LTZ cast, which walks
+      // every value through LocalDateTime zone math (measured ~1.3-1.6× cpu
+      // on the span-family queries) and would shift with the session zone
+      val keys = Seq("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+      val prev = keys.map { case (k, v) => (k, spark.conf.getOption(k)) }
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         val raw = spark.read.parquet(s"$dir/events.parquet")
         raw.schema("ts").dataType match {
-          // ns-precision files (pre-2026-08-13 generator): nanosAsLong
-          // surfaces nanos as BIGINT; truncate to µs like DuckDB's epoch_us
+          // ns-precision files: nanosAsLong surfaces nanos as BIGINT;
+          // truncate to µs like DuckDB's epoch_us
           case org.apache.spark.sql.types.LongType =>
             raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-          // µs-precision files (2026-08-13 regeneration) arrive as
-          // TIMESTAMP_NTZ (pandas writes no zone); the cast interprets the
-          // naive digits in the session zone, which every entry point pins
-          // to UTC — the same naive-as-UTC reading DuckDB's epoch_us gives
-          // the oracle side
-          case _: org.apache.spark.sql.types.TimestampNTZType =>
-            raw.withColumn("ts", col("ts").cast("timestamp"))
-          case _ => raw
+          case _ => raw // µs files: already TIMESTAMP via inferTimestampNTZ=false
         }
-      } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
 
