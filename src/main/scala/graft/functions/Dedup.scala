@@ -229,13 +229,18 @@ object Dedup {
   private[functions] def minhashPairsScoped(docs: DataFrame, idCol: String,
       textCol: String, n: Int, numHashes: Int, bands: Int,
       threshold: Double): (DataFrame, Seq[DataFrame]) = {
-    // cached: the bucket self-join reads it twice (at cluster scale this is
-    // the persisted signature table). Shingle-less docs (shorter than n
-    // words) produce zero band keys inside MinHashBandKeys, so posexplode
-    // drops them — no extra filter pass over the shingle expression.
-    val bandKeys = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
-        posexplode(MinHashBandKeys(
-          TextAnalysis.distinctShingles(col(textCol), n), numHashes, bands)))
+    // ONE tokenization pass feeds both the banding and the verification:
+    // the shingle-array table is cached and shared (and its plan is
+    // identical to what a sibling verifyJaccard over the same corpus
+    // builds, so Spark's cache manager serves THAT from the same copy —
+    // q_minhash_recall's truth set rides it too). Band keys cache
+    // separately because the bucket self-join reads them twice and the
+    // 128-hash fold must not re-run per side.
+    val sets = shingleSets(docs, idCol, textCol, n)
+    // Shingle-less docs (shorter than n words) produce zero band keys
+    // inside MinHashBandKeys, so posexplode drops them — no filter pass.
+    val bandKeys = sets.select(col("doc_id"),
+        posexplode(MinHashBandKeys(col("sh"), numHashes, bands)))
       .toDF("doc_id", "band", "band_key")
       .cache()
     val candidates = bandKeys.as("x").join(bandKeys.as("y"),
@@ -243,8 +248,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val (pairs, sets) = verifyJaccardScoped(candidates, docs, idCol, textCol, n, threshold)
-    (pairs, Seq(bandKeys, sets))
+    (verifyOnSets(candidates, sets, threshold), Seq(bandKeys, sets))
   }
 
   /** Exact-Jaccard verification of candidate pairs (array intersect over the
@@ -257,11 +261,24 @@ object Dedup {
 
   private def verifyJaccardScoped(candidates: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): (DataFrame, DataFrame) = {
-    // cached: joined once per pair side — without it the shingle expression
-    // (regex tokenization) re-evaluates over the full corpus twice
-    val sets = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
+    val sets = shingleSets(docs, idCol, textCol, n)
+    (verifyOnSets(candidates, sets, threshold), sets)
+  }
+
+  /** Per-doc shingle arrays, cached: joined once per pair side — without
+    * the cache the shingle expression (regex tokenization) re-evaluates
+    * over the full corpus per consumer. Built identically everywhere so
+    * the cache manager canonicalizes sibling calls over the same corpus
+    * onto one copy.
+    */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       TextAnalysis.distinctShingles(col(textCol), n).as("sh")).cache()
-    val pairs = candidates
+
+  private def verifyOnSets(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -271,8 +288,6 @@ object Dedup {
         (size(array_intersect(col("sa.sh"), col("sb.sh"))) /
           nullif(size(array_union(col("sa.sh"), col("sb.sh"))), lit(0))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    (pairs, sets)
-  }
 
   /** 32-bit SimHash signature per doc, via the single-pass [[SimHashSig]]
     * expression — a narrow projection inside the scan, no row inflation, no
