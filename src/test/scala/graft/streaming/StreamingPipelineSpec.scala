@@ -30,13 +30,13 @@ class StreamingPipelineSpec extends SparkSpec {
 
   private val gapMs = 60000L
 
-  private def runSession(viaState: Boolean): Array[ClosedTrace] = {
+  private def runSession(viaState: Boolean, tag: String = ""): Array[ClosedTrace] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SpanEnvelope]
     val traces =
       if (viaState) StreamingPipeline.sessionTracesWithState(input.toDS(), gapMs)
       else StreamingPipeline.sessionTraces(input.toDS(), "1 minute")
-    val name = s"traces_out_$viaState"
+    val name = s"traces_out_$viaState$tag"
     val q = traces.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append).start()
     try {
@@ -72,6 +72,30 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(emitted.head.trace_id == "000000000000000a")
     assert(emitted.head.spans.map(_.id).sorted ==
       Seq("000000000000000a", "000000000000000b"))
+  }
+
+  test("stateful sessionizer is state-store-provider agnostic: RocksDB ≡ " +
+      "the default heap-backed store") {
+    // the 1000-executor posture: HDFSBackedStateStoreProvider keeps every
+    // key in executor heap (state size caps at memory), RocksDB spills to
+    // local disk with incremental snapshots — a 100 TB ingest runs the
+    // latter. The sessionizer must not care which one holds its state.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val viaDefault = runSession(viaState = true, tag = "_hdfs")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val viaRocks = runSession(viaState = true, tag = "_rocks")
+      assert(viaRocks.map(t => (t.trace_id, t.close_ts,
+          t.spans.map(_.id).sorted)).toSeq ==
+        viaDefault.map(t => (t.trace_id, t.close_ts,
+          t.spans.map(_.id).sorted)).toSeq)
+      assert(viaRocks.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("state path splits gap-separated sessions arriving in ONE batch (backlog catch-up)") {
