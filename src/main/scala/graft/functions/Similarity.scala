@@ -307,17 +307,79 @@ object Similarity {
     val assigned = assignNormed(base, idCol, vecCol, cents)
       .withColumnRenamed(idCol, "corpus_id").withColumnRenamed(vecCol, "cv")
       .withColumnRenamed("vec_nrm", "cv_nrm")
-    val probes = {
-      val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("centroid_id"))
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          norm(col(vecCol)).as("qv_nrm"))
-        .join(broadcast(cents.withColumn("__cn", norm(col("centroid_vec")))))
-        .withColumn("sim", safeCosine( // NaN/zero-norm: see safeCosine
-          VectorDot(col("qv"), col("centroid_vec")), col("qv_nrm") * col("__cn")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= nProbe)
-        .select(col("query_id"), col("qv"), col("qv_nrm"), col("centroid_id"))
-    }
+    probeAssigned(queries, idCol, vecCol, cents, assigned, k, nProbe, excludeSelf)
+  }
+
+  /** Persist the IVF index: the corpus assigned to nearest centroids,
+    * written as parquet PARTITIONED BY cell — the on-disk shape a serving
+    * deployment keeps, where probing nProbe cells is a partition-pruned
+    * scan instead of a full-corpus pass. The assignment pass (corpus ×
+    * centroids scoring) runs exactly once here instead of inside every
+    * query; [[ivfTopKFromIndex]] reads it back. Store the TRAINING
+    * centroids next to the index yourself if they are not deterministic —
+    * probing with different centroids than the assignment used breaks the
+    * recall contract.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, path: String): Unit =
+    assignNormed(normedBase(corpus, idCol, vecCol), idCol, vecCol, centroids)
+      .withColumnRenamed(idCol, "corpus_id").withColumnRenamed(vecCol, "cv")
+      .withColumnRenamed("vec_nrm", "cv_nrm")
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+  /** Top-k over a persisted [[writeIvfIndex]] index. The probed cell set
+    * (≤ queries × nProbe ids, driver-tiny) is collected and the scan is
+    * given ONLY those cells' partition directories (`basePath` read) — the
+    * file index never lists the unprobed cells, so the bound is structural
+    * rather than a planner-dependent partition filter and survives any
+    * partition-type-inference quirk. Cells that hold no vectors have no
+    * directory and are skipped. Per-query cell routing still happens in
+    * the equi-join; the directory list is the coarse scan bound.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, indexPath: String,
+      centroids: DataFrame, k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+    val cellIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = cellIds.map(id => new org.apache.hadoop.fs.Path(base, s"centroid_id=$id"))
+      .filter(fs.exists).map(_.toString)
+    if (cellDirs.isEmpty)
+      return probes.limit(0).select(col("query_id"),
+        col("query_id").as("corpus_id"), lit(0.0).as("cosine"),
+        lit(1).as("rank"))
+    val assigned = spark.read.option("basePath", indexPath)
+      .parquet(cellDirs: _*)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    rankProbed(probes, assigned, k, excludeSelf)
+  }
+
+  /** The nProbe nearest cells per query (by centroid cosine). */
+  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("centroid_id"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qv_nrm"))
+      .join(broadcast(cents.withColumn("__cn", norm(col("centroid_vec")))))
+      .withColumn("sim", safeCosine( // NaN/zero-norm: see safeCosine
+        VectorDot(col("qv"), col("centroid_vec")), col("qv_nrm") * col("__cn")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qv_nrm"),
+        col("centroid_id").cast("long").as("centroid_id"))
+  }
+
+  private def probeAssigned(queries: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, assigned: DataFrame, k: Int, nProbe: Int,
+      excludeSelf: Boolean): DataFrame =
+    rankProbed(probeCells(queries, idCol, vecCol, cents, nProbe), assigned,
+      k, excludeSelf)
+
+  private def rankProbed(probes: DataFrame, assigned: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
     // same excludeSelf contract as bruteForceTopK: set false when query and
     // corpus tables are unrelated, or a coincidental id match drops a

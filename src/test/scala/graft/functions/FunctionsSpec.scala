@@ -406,6 +406,37 @@ class FunctionsSpec extends SparkSpec {
     assert(c.count() == 4)
   }
 
+  test("persisted IVF index probe ≡ inline ivfTopK, scanning only probed " +
+      "cell directories") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 3 queries × nProbe 2 probe ≤ 6 distinct cells of 8 — the strict-subset
+    // scan assertion below can never be defeated by the probe union
+    val queries = emb.where($"vec_id" < 3)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    try {
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, tmp)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+          r.getAs[Int]("rank"), math.round(r.getAs[Double]("cosine") * 1e9)))
+        .toSet
+      val inline = rows(Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nProbe = 2, centroids = Some(cents)))
+      val fromIndex = Similarity.ivfTopKFromIndex(spark, queries, "vec_id",
+        "embedding", tmp, cents, k = 5, nProbe = 2)
+      assert(rows(fromIndex) == inline && inline.nonEmpty)
+      // the scan bound is STRUCTURAL: the file index lists only the probed
+      // cells' directories, never the full index
+      val explained = fromIndex.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      val paths = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(explained).map(_.group(1).toInt)
+      assert(paths.exists(n => n >= 1 && n <= 6),
+        s"probe must list a strict subset of cell dirs, saw $paths\n$explained")
+    } finally graft.SparkEntry.deleteDir(tmp)
+  }
+
   test("IVF recall against brute force on real embeddings (sf0.001)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where($"vec_id" < 20)
