@@ -17,6 +17,25 @@ class EventSpansSpec extends SparkSpec {
   private lazy val events =
     graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
 
+  test("events reader still decodes the legacy ns-as-int64 ts dialect") {
+    // the 2026-08-13 testdata regeneration switched ts to zoneless µs, so
+    // nothing in /root/testdata exercises the LongType branch anymore —
+    // this fixture keeps the pre-regeneration dialect from silently rotting
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nsdialect").toString
+    try {
+      val nanos = 1705312800123456789L // µs-truncation must drop the 789
+      Seq((1L, nanos, 7L, "purchase", 1.0, """{"k": 1}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$tmp/events.parquet")
+      val got = graft.SparkEntry.events(spark, tmp)
+      assert(got.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      val micros = got.select(unix_micros($"ts")).head().getLong(0)
+      assert(micros == nanos / 1000)
+    } finally graft.SparkEntry.deleteDir(tmp)
+  }
+
   test("fused sessionTraces equals aggregateTraces over EventSpans.spans") {
     val generic = SpanPipeline.aggregateTraces(EventSpans.spans(spark, events))
       .collect().map(t => t.trace_id -> t).toMap
