@@ -434,6 +434,16 @@ class FunctionsSpec extends SparkSpec {
         .findFirstMatchIn(explained).map(_.group(1).toInt)
       assert(paths.exists(n => n >= 1 && n <= 6),
         s"probe must list a strict subset of cell dirs, saw $paths\n$explained")
+      // an index whose probed cells have no directories (here: an empty
+      // index) answers empty with the normal schema, not an error
+      val emptyIdx = java.nio.file.Files.createTempDirectory("graft-ivfempty").toString
+      try {
+        val none = Similarity.ivfTopKFromIndex(spark, queries, "vec_id",
+          "embedding", emptyIdx, cents, k = 5, nProbe = 2)
+        assert(none.columns.toSeq ==
+          Seq("query_id", "corpus_id", "cosine", "rank"))
+        assert(none.count() == 0)
+      } finally graft.SparkEntry.deleteDir(emptyIdx)
     } finally graft.SparkEntry.deleteDir(tmp)
   }
 
