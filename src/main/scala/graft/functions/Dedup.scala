@@ -22,6 +22,24 @@ object Dedup {
     df.groupBy(keyCols: _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Streaming exact dedup over an unbounded ingest: the first arrival per
+    * key survives, duplicates landing within the watermark horizon are
+    * dropped, and — the property that makes this viable at 100 TB/day —
+    * the dedup state is EVICTED as the watermark advances, so live state is
+    * ∝ keys-per-horizon, never keys-ever-seen. (A streaming
+    * `dropDuplicates` without the watermark bound keeps every key forever
+    * and exhausts executor state by construction at ingest scale.) The
+    * trade is explicit: a duplicate separated from its original by more
+    * than the horizon re-emits, and the periodic batch `exact` pass over
+    * the accumulated store collapses those stragglers — the same
+    * bounded-state + late-data contract as the reference's windowed stores
+    * (KafkaStorageBuilder.java:225 retention ↔ watermark horizon).
+    */
+  def exactStream(docs: DataFrame, keyCols: Seq[String], eventTimeCol: String,
+      watermarkDelay: String): DataFrame =
+    docs.withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** doc → exploded distinct word n-gram shingles, CACHED (every caller
     * reads it at least twice — self-join sides, size table, hot-shingle
     * aggregate; Dataset.cache is MEMORY_AND_DISK, so it spills rather than

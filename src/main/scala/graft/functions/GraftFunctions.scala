@@ -1,44 +1,98 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL registration for the custom Catalyst expressions, so `spark.sql`
   * users get the same operators as the Column API:
   * `SELECT poly_hash(text)`, `vector_dot(a, b)`, `minhash_sig(shingles, 128)`.
+  *
+  * Two entry points share one builder table: [[register]] installs temp
+  * functions on an existing session (library/driver use), and
+  * [[GraftExtensions]] injects the same builders through
+  * `SparkSessionExtensions` so a SQL-only deployment (thrift server,
+  * spark-sql shell, notebook kernel) gets them at session build via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` with no driver code.
   */
 object GraftFunctions {
 
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(n: Int, IntegerType) => n
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an int literal argument, got $other")
+  }
+
+  /** name → (usage doc, builder). One table drives both registration paths
+    * so the SQL surface cannot drift between them.
+    */
+  private[functions] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("poly_hash", "poly_hash(str) - 64-bit polynomial rolling hash",
+      es => PolyHash(es.head)),
+    ("vector_dot", "vector_dot(array<float|double>, array<float|double>) - dot product",
+      es => VectorDot(es(0), es(1))),
+    ("minhash_sig", "minhash_sig(array<string>, <int literal>) - MinHash signature",
+      {
+        case Seq(child, n) => MinHashSig(child, intLit(n, "minhash_sig"))
+        case es => throw new IllegalArgumentException(
+          s"minhash_sig(array<string>, <int literal>), got ${es.size} args")
+      }),
+    ("minhash_band_keys", "minhash_band_keys(array<string>, <int literal>, <int literal>) - LSH band bucket keys",
+      {
+        case Seq(child, n, b) =>
+          MinHashBandKeys(child, intLit(n, "minhash_band_keys"), intLit(b, "minhash_band_keys"))
+        case es => throw new IllegalArgumentException(
+          s"minhash_band_keys(array<string>, <int literal>, <int literal>), got ${es.size} args")
+      }),
+    ("simhash_sig", "simhash_sig(array<string>) - 32-bit SimHash signature",
+      {
+        case Seq(child) => SimHashSig(child)
+        case es => throw new IllegalArgumentException(
+          s"simhash_sig(array<string>), got ${es.size} args")
+      }),
+    ("text_profile", "text_profile(str) - token/length/punctuation quality profile struct",
+      {
+        case Seq(child) => TextProfile(child)
+        case es => throw new IllegalArgumentException(
+          s"text_profile(<string>), got ${es.size} args")
+      }),
+    ("word_shingles", "word_shingles(str, <int literal>) - distinct word n-gram shingles",
+      {
+        case Seq(child, n) => WordShingles(child, intLit(n, "word_shingles"))
+        case es => throw new IllegalArgumentException(
+          s"word_shingles(<string>, <int literal>), got ${es.size} args")
+      }),
+    ("sign_band_keys", "sign_band_keys(array<float|double>, <int literal>, <int literal>) - sign-LSH band keys",
+      {
+        case Seq(child, bits, bands) =>
+          SignBandKeys(child, intLit(bits, "sign_band_keys"), intLit(bands, "sign_band_keys"))
+        case es => throw new IllegalArgumentException(
+          s"sign_band_keys(array<float|double>, <int literal>, <int literal>), got ${es.size} args")
+      })
+  )
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("poly_hash", es => PolyHash(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("vector_dot", es => VectorDot(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_sig", {
-      case Seq(child, Literal(n: Int, IntegerType)) => MinHashSig(child, n)
-      case es => throw new IllegalArgumentException(
-        s"minhash_sig(array<string>, <int literal>), got ${es.size} args")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("simhash_sig", {
-      case Seq(child) => SimHashSig(child)
-      case es => throw new IllegalArgumentException(
-        s"simhash_sig(array<string>), got ${es.size} args")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("text_profile", {
-      case Seq(child) => TextProfile(child)
-      case es => throw new IllegalArgumentException(
-        s"text_profile(<string>), got ${es.size} args")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles", {
-      case Seq(child, Literal(n: Int, IntegerType)) => WordShingles(child, n)
-      case es => throw new IllegalArgumentException(
-        s"word_shingles(<string>, <int literal>), got ${es.size} args")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("sign_band_keys", {
-      case Seq(child, Literal(bits: Int, IntegerType), Literal(bands: Int, IntegerType)) =>
-        SignBandKeys(child, bits, bands)
-      case es => throw new IllegalArgumentException(
-        s"sign_band_keys(array<float|double>, <int literal>, <int literal>), got ${es.size} args")
-    }, "scala_udf")
+    builders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
+}
+
+/** `SparkSessionExtensions` injector for the graft SQL functions.
+  *
+  * Unlike [[GraftFunctions.register]] (temp functions, per-session,
+  * requires driver code after session build), this wires the functions
+  * into the session's registry at construction — the shape a pure-SQL
+  * deployment needs: `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder))
+    }
 }

@@ -385,6 +385,46 @@ class FunctionsSpec extends SparkSpec {
       .head().getSeq[Long](0).length == 4)
   }
 
+  test("GraftExtensions: spark.sql.extensions conf injects the full SQL surface at session build") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val prev = spark
+    // Build a FRESH session wired only through the extensions injector — the
+    // SQL-only deployment path, no register() call. (`spark.sql.extensions`
+    // is a STATIC conf, unreadable after the shared test SparkContext
+    // exists, so the spec drives the same injection via `withExtensions`;
+    // the conf path additionally needs a public zero-arg constructor, which
+    // this instantiation is.)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(s2 ne prev)
+      // every name in the shared builder table resolves in the new session
+      GraftFunctions.builders.foreach { case (name, _, _) =>
+        assert(s2.sessionState.functionRegistry.functionExists(FunctionIdentifier(name)),
+          s"extension-injected function missing: $name")
+      }
+      // value parity with the Column API on the temp-function session
+      assert(s2.sql("SELECT poly_hash('ab')").head().getLong(0) == 97L * 31 + 98)
+      val viaSql = s2.sql(
+        "SELECT minhash_band_keys(array('a b c', 'b c d'), 16, 4) AS k").head().getSeq[Long](0)
+      val viaCol = {
+        import prev.implicits._
+        Seq(Seq("a b c", "b c d")).toDF("s")
+          .select(MinHashBandKeys($"s", 16, 4).as("k"))
+          .head().getSeq[Long](0)
+      }
+      assert(viaSql == viaCol)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("cosine / brute-force top-k") {
     val top = Similarity.bruteForceTopK(
       vectors.where($"vec_id" === 0), vectors, "vec_id", "embedding", 2).collect()

@@ -524,4 +524,39 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(streamed == rows("q_store_dependencies"),
       "streaming-engine-built window store drifted from the batch store answer")
   }
+
+  test("streaming exact dedup: first arrival survives, in-horizon duplicates " +
+      "drop, state evicts past the watermark (bounded-state ingest dedup)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "content", "ingest_ts")
+    val out = graft.functions.Dedup.exactStream(
+      docs, Seq("content"), "ingest_ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    def ids() = spark.table("dedup_stream_out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    try {
+      // batch 1: an in-batch duplicate (doc 3 repeats doc 1's content)
+      input.addData((1L, "aaa", ts(1000)), (2L, "bbb", ts(1001)), (3L, "aaa", ts(1002)))
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 2L))
+      // batch 2: a cross-batch duplicate inside the horizon drops; a fresh
+      // key emits (watermark after batch 1 = 1002 - 10 s, "aaa" state live)
+      input.addData((4L, "aaa", ts(1005)), (5L, "ccc", ts(1003)))
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 2L, 5L))
+      // batch 3 only ADVANCES the watermark (to 1030 - 10 s = 1020, past
+      // "aaa"'s expiry 1000 + 10 s): eviction is what bounds state at scale
+      input.addData((6L, "ddd", ts(1030)))
+      q.processAllAvailable()
+      // batch 4: the same content re-arrives AFTER its state was evicted —
+      // it re-emits; the batch `exact` pass over the store collapses these
+      // stragglers (the documented bounded-state trade)
+      input.addData((7L, "aaa", ts(1035)))
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 2L, 5L, 6L, 7L))
+    } finally q.stop()
+  }
 }
