@@ -343,6 +343,45 @@ object SparkEntry {
           graft.streaming.StreamingPipeline.dependencyWindowCounts(ds), path, chk))
     }
 
+  /** Exact-dedup survivors built THROUGH the real engine:
+    * [[Dedup.exactStream]] (`dropDuplicatesWithinWatermark` keyed on the
+    * text) over three MemoryStream micro-batches — the corpus split in two,
+    * then a batch RE-FEEDING every 10th document under a fresh doc_id.
+    * Those re-feeds can only be dropped by the engine's cross-batch dedup
+    * state (a read-side distinct cannot collapse them — the id differs), so
+    * the per-key `n_rows = 1` oracle bites exactly on the streaming drop
+    * path. The checkpoint rollback replays batches 2 AND 3: batch 2's
+    * survivors re-append (at-least-once, ST7 — identical rows the read side
+    * collapses) and batch 3's duplicates must drop against RESTORED state.
+    * The horizon is a year, so nothing evicts mid-build (eviction is
+    * spec-pinned in StreamingPipelineSpec).
+    */
+  private def streamDedupStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "sdedup", dir) { path =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      require(docs.nonEmpty, "streaming dedup fixture requires documents")
+      val base = 1700000000000L
+      def env(id: Long, text: String, i: Int) =
+        (id, text, new java.sql.Timestamp(base + i * 1000L))
+      val feed = docs.zipWithIndex.map { case ((id, tx), i) => env(id, tx, i) }
+      val dups = docs.zipWithIndex.collect { case ((id, tx), i) if i % 10 == 0 =>
+        env(id + 1000000000L, tx, feed.length + i) }
+      val half = (feed.length + 1) / 2
+      val batches = Seq(feed.take(half).toSeq, feed.drop(half).toSeq, dups.toSeq)
+      runReplayedStream(s, "graft-sdedup", batches, 1)((ds, chk) =>
+        Dedup.exactStream(ds.toDF("doc_id", "text", "ingest_ts"),
+            Seq("text"), "ingest_ts", "365 days")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", chk)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+          }
+          .start())
+    }
+
   /** Events as time-ordered span envelopes (ingest time = span time) — the
     * shared fixture feed of the three streaming-engine store builds.
     * MemoryStream is driver-fed BY DESIGN (it is the engine's in-process
@@ -473,7 +512,7 @@ object SparkEntry {
     */
   val benchExcluded: Set[String] = Set(
     "q_stream_store_autocomplete", "q_stream_store_traces",
-    "q_stream_store_dependencies")
+    "q_stream_store_dependencies", "q_dedup_stream")
 
   /** Shared exploded-span projection of the getTrace/getTraceMany surfaces —
     * ONE shape for the in-memory and bucketed-store legs, so their shared
@@ -1021,6 +1060,19 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq(col("text")))
         .select("doc_id", "n_copies")),
+
+    // ——— dedup: the same distinct-text contract, but the survivors were
+    //     chosen by the REAL streaming engine (Dedup.exactStream over
+    //     MemoryStream micro-batches with planted cross-batch duplicates
+    //     and an engine-level checkpoint-rollback replay). n_rows = 1 per
+    //     text key iff the engine dropped every planted re-feed ———
+    "q_dedup_stream" -> ((s, dir) => {
+      val path = streamDedupStore(s, dir)
+      s.read.parquet(path)
+        .distinct() // collapses only the replay's identical re-appended rows
+        .groupBy(md5(col("text")).as("key"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
 
     // ——— dedup: exact n-gram Jaccard via shingle inverted-index join, with
     //     the corpus-relative stop-shingle cap active (one viral shingle
@@ -1576,6 +1628,11 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    // one survivor row per distinct text — n_rows > 1 would mean the
+    // streaming engine failed to drop a planted cross-batch duplicate
+    "q_dedup_stream" ->
+      "SELECT DISTINCT md5(text) AS key, CAST(1 AS BIGINT) AS n_rows FROM documents",
 
     "q_dedup_ngram" -> jaccardOracle(0.5, capped = true),
     "q_dedup_minhash" -> jaccardOracle(0.8, capped = false),
