@@ -1183,6 +1183,24 @@ object SparkEntry {
           (col("tot") > 0 && col("hit") >= col("tot") * 0.9).as("meets_target"))
     }),
 
+    // ——— similarity: the QUANTIZED serving path — probe scan reads int8
+    //     codes (¼ the fp32 bytes), exact fp32 rescore bounded to k×4
+    //     candidates per query; recall@5 vs the exact baseline must hold at
+    //     the same operating point as the fp32 gate ———
+    "q_ann_ivf_int8_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id")
+      val approx = Similarity.ivfTopKInt8FromIndex(s, queries, "vec_id", "embedding",
+          ivfIndexStore(s, dir), ivfCentroids(s, dir), k = 5, nProbe = 8)
+        .select("query_id", "corpus_id").withColumn("found", lit(1))
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_outer")
+        .agg(count(lit(1)).as("tot"), count(col("found")).as("hit"))
+        .select(lit("int8_recall_at_5").as("metric"),
+          (col("tot") > 0 && col("hit") >= col("tot") * 0.9).as("meets_target"))
+    }),
+
     // ——— similarity: sign-LSH quality gate for the high-threshold regime —
     //     the sub-quadratic path a 100 TB corpus runs instead of the Θ(n²)
     //     grid join. The raw embeddings are near-random (no pairs above
@@ -1674,6 +1692,11 @@ object SparkEntry {
     // exact baseline; hash-match == "recall@5 >= 0.9 held on this corpus"
     "q_ann_ivf_recall" ->
       "SELECT 'recall_at_5' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
+
+    // constant oracle, same pattern: hash-match == "the int8-scored probe +
+    // bounded fp32 rescore held recall@5 >= 0.9 at the gated operating point"
+    "q_ann_ivf_int8_recall" ->
+      "SELECT 'int8_recall_at_5' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
 
     // constant oracle, same pattern: hash-match == "sign-LSH recovered ≥95%
     // of the exact grid join's ≥0.9-cosine pairs on the planted fixture"

@@ -63,6 +63,18 @@ object GraftFunctions {
         case es => throw new IllegalArgumentException(
           s"word_shingles(<string>, <int literal>), got ${es.size} args")
       }),
+    ("int8_quantize", "int8_quantize(array<float|double>) - struct(codes binary, scale float) scalar quantization",
+      {
+        case Seq(child) => Int8Quantize(child)
+        case es => throw new IllegalArgumentException(
+          s"int8_quantize(array<float|double>), got ${es.size} args")
+      }),
+    ("int8_dot", "int8_dot(binary codes, float scale, array<float|double> query) - dequantized dot product",
+      {
+        case Seq(c, sc, q) => Int8DotScaled(c, sc, q)
+        case es => throw new IllegalArgumentException(
+          s"int8_dot(binary, float, array<float|double>), got ${es.size} args")
+      }),
     ("sign_band_keys", "sign_band_keys(array<float|double>, <int literal>, <int literal>) - sign-LSH band keys",
       {
         case Seq(child, bits, bands) =>

@@ -325,6 +325,13 @@ object Similarity {
     assignNormed(normedBase(corpus, idCol, vecCol), idCol, vecCol, centroids)
       .withColumnRenamed(idCol, "corpus_id").withColumnRenamed(vecCol, "cv")
       .withColumnRenamed("vec_nrm", "cv_nrm")
+      // int8 codes alongside fp32: the quantized probe path scans codes +
+      // scale only (¼ the vector bytes — parquet column pruning keeps cv
+      // unread) and fetches cv for its rescore candidates alone
+      .withColumn("__q", Int8Quantize(col("cv")))
+      .select(col("corpus_id"), col("cv"), col("cv_nrm"),
+        col("__q.codes").as("codes"), col("__q.scale").as("code_scale"),
+        col("centroid_id"))
       .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
 
   /** Top-k over a persisted [[writeIvfIndex]] index. The probed cell set
@@ -341,20 +348,78 @@ object Similarity {
       centroids: DataFrame, k: Int, nProbe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+    probedCellScan(spark, probes, indexPath) match {
+      case None => emptyTopK(probes)
+      case Some(assigned) => rankProbed(probes, assigned, k, excludeSelf)
+    }
+  }
+
+  /** Top-k over the persisted index scoring with the int8 codes: the probe
+    * scan reads codes + scale + norm ONLY (~¼ of the fp32 vector bytes —
+    * parquet column pruning keeps `cv` unread), ranks every probed row by
+    * the dequantized dot ([[Int8DotScaled]], codegen), keeps `k × rescore`
+    * candidates per query, and joins ONLY those back to the index for the
+    * exact fp32 pass — the serving shape of a quantized ANN deployment,
+    * where full-precision reads are bounded by candidates, never by probed
+    * rows. Ranking quality is corpus-dependent (quantization error × the
+    * rescore bound), so the operating point ships gated by
+    * q_ann_ivf_int8_recall, exactly like the fp32 path's recall gate.
+    */
+  def ivfTopKInt8FromIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, indexPath: String,
+      centroids: DataFrame, k: Int, nProbe: Int = 4, rescore: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+    probedCellScan(spark, probes, indexPath) match {
+      case None => emptyTopK(probes)
+      case Some(assigned) =>
+        val wA = Window.partitionBy("query_id").orderBy(desc("approx"), asc("corpus_id"))
+        val cands = probes.join(
+            assigned.select("centroid_id", "corpus_id", "codes", "code_scale", "cv_nrm"),
+            "centroid_id")
+          .where(if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true))
+          .select(col("query_id"), col("corpus_id"), col("qv"), col("qv_nrm"),
+            safeCosine(Int8DotScaled(col("codes"), col("code_scale"), col("qv")),
+              col("qv_nrm") * col("cv_nrm")).as("approx"))
+          .withColumn("rn", row_number().over(wA))
+          .where(col("rn") <= k * rescore)
+          .drop("rn", "approx")
+        val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("corpus_id"))
+        // candidate-bounded fp32 fetch: the tiny candidate set broadcasts,
+        // the cell-pruned scan streams past it reading cv only for matches
+        assigned.select(col("corpus_id"), col("cv"), col("cv_nrm"))
+          .join(broadcast(cands), "corpus_id")
+          .select(col("query_id"), col("corpus_id"),
+            safeCosine(VectorDot(col("qv"), col("cv")),
+              col("qv_nrm") * col("cv_nrm")).as("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+    }
+  }
+
+  private def emptyTopK(probes: DataFrame): DataFrame =
+    probes.limit(0).select(col("query_id"),
+      col("query_id").as("corpus_id"), lit(0.0).as("cosine"),
+      lit(1).as("rank"))
+
+  /** The probed cells' partition directories as one pruned scan (None when
+    * no probed cell has a directory — empty index or all-empty cells). The
+    * ≤ queries × nProbe cell ids are driver-tiny; handing the reader only
+    * their directories makes the read bound structural (the file index
+    * never lists unprobed cells) instead of planner-dependent.
+    */
+  private def probedCellScan(spark: org.apache.spark.sql.SparkSession,
+      probes: DataFrame, indexPath: String): Option[DataFrame] = {
     val cellIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val base = new org.apache.hadoop.fs.Path(indexPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cellDirs = cellIds.map(id => new org.apache.hadoop.fs.Path(base, s"centroid_id=$id"))
       .filter(fs.exists).map(_.toString)
-    if (cellDirs.isEmpty)
-      return probes.limit(0).select(col("query_id"),
-        col("query_id").as("corpus_id"), lit(0.0).as("cosine"),
-        lit(1).as("rank"))
-    val assigned = spark.read.option("basePath", indexPath)
+    if (cellDirs.isEmpty) None
+    else Some(spark.read.option("basePath", indexPath)
       .parquet(cellDirs: _*)
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
-    rankProbed(probes, assigned, k, excludeSelf)
+      .withColumn("centroid_id", col("centroid_id").cast("long")))
   }
 
   /** The nProbe nearest cells per query (by centroid cosine). */

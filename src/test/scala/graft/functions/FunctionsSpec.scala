@@ -432,6 +432,39 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(top.head.getAs[Double]("cosine") - 0.9 / math.sqrt(0.82)) < 1e-9)
   }
 
+  test("int8 quantize/dot: codes round-trip the dot within the quantization " +
+      "error bound; zero vector quantizes to scale 0 and dot 0") {
+    val df = Seq(
+      (1L, Array(1.27f, -0.63f, 0.0f), Array(2.0f, 1.0f, 3.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f), Array(5.0f, 5.0f, 5.0f))
+    ).toDF("id", "v", "q")
+      .select($"id", $"q", $"v", Int8Quantize($"v").as("qz"))
+      .select($"id",
+        Int8DotScaled($"qz.codes", $"qz.scale", $"q").as("i8"),
+        Similarity.dot($"v", $"q").as("fp"),
+        $"qz.scale".as("scale"))
+    val rows = df.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Double]("i8"), r.getAs[Double]("fp"), r.getAs[Float]("scale"))).toMap
+    val (i8, fp, scale) = rows(1L)
+    // per-element quantization error ≤ scale/2 ⇒ |Δdot| ≤ scale/2 · Σ|qᵢ|
+    assert(math.abs(i8 - fp) <= scale / 2.0 * 6.0 + 1e-9)
+    assert(i8 != 0.0)
+    assert(rows(2L) == ((0.0, 0.0, 0.0f)))
+  }
+
+  test("int8 IVF probe over the persisted index recovers the fp32 neighbors " +
+      "with exact rescored cosines") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf8").toString
+    val cents = Similarity.kmeansCentroids(vectors, "vec_id", "embedding", 2, 3)
+    Similarity.writeIvfIndex(vectors, "vec_id", "embedding", cents, tmp)
+    val got = Similarity.ivfTopKInt8FromIndex(spark,
+      vectors.where($"vec_id" === 0), "vec_id", "embedding", tmp, cents,
+      k = 2, nProbe = 2).orderBy("rank").collect()
+    assert(got.nonEmpty && got.head.getAs[Long]("corpus_id") == 1L)
+    // the fp32 rescore must surface the EXACT cosine, not the dequantized one
+    assert(math.abs(got.head.getAs[Double]("cosine") - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
   test("IVF top-k returns ranked neighbors from probed cells") {
     val got = Similarity.ivfTopK(vectors.where($"vec_id" === 0), vectors,
       "vec_id", "embedding", k = 2, nCentroids = 2, nProbe = 2).collect()
