@@ -180,6 +180,35 @@ class PlanSpec extends SparkSpec {
       s"video decode must stay partition-local, no shuffle:\n$plan")
   }
 
+  test("int8 IVF probe: the ranking scan prunes the fp32 vectors; only the " +
+      "candidate-bounded rescore reads them, against a broadcast") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ivf8plan").toString
+    val cents = graft.functions.Similarity.kmeansCentroids(vecs, "vec_id", "embedding", 2, 2)
+    graft.functions.Similarity.writeIvfIndex(vecs, "vec_id", "embedding", cents, tmp)
+    val df = graft.functions.Similarity.ivfTopKInt8FromIndex(spark,
+      vecs.where($"vec_id" === 0), "vec_id", "embedding", tmp, cents, k = 1, nProbe = 2)
+    val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val (codeScans, fpScans) = reads.filter(_.contains("codes"))
+      .partition(!_.contains("cv:array"))
+    // at 100 TB the probe pass must touch ~¼ of the vector bytes: a codes
+    // scan that also lists cv would re-read the fp32 column for every
+    // probed row and erase the quantization win
+    assert(codeScans.nonEmpty, s"expected a codes-only probe scan:\n$plan")
+    assert(fpScans.isEmpty, s"probe scan must prune the fp32 cv column:\n$plan")
+    assert(reads.exists(r => r.contains("cv:array") && !r.contains("codes")),
+      s"rescore scan should read cv without the codes:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      "the candidate set must broadcast into the rescore join")
+    // (a BroadcastNestedLoop IS expected once: probeCells fans each query
+    // out against the k-row centroid relation — a deliberate tiny cross)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
