@@ -1003,6 +1003,23 @@ object SparkEntry {
       Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", dedupClusters(s, dir))
         .select("doc_id")),
 
+    // ——— dedup: benchmark decontamination report — corpus docs sharing
+    //     ≥ 2 distinct 5-grams with a benchmark set (the eval-leak overlap
+    //     check every pretraining pipeline runs before training). The
+    //     benchmark here is a derived leak: the first-12-token prefix of
+    //     every 20th doc, so the sources (and their near-dup copies) are
+    //     contaminated by construction and chance 5-gram collisions stay
+    //     zero. Corpus side: one tokenize+explode into a broadcast hash
+    //     probe — no corpus-sized shuffle ———
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .select(concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 12)).as("bench_text"))
+      Dedup.contaminationReport(docs, "doc_id", "text", bench, "bench_text", n = 5)
+        .where(col("n_overlap") >= 2)
+    }),
+
     // ——— sampling: deterministic content-hash train/val/test split ———
     "q_sample_split" -> ((s, dir) =>
       graft.functions.Sampling.split(t(s, dir, "documents"), "doc_id")
@@ -1055,6 +1072,21 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ——— text analysis: Gopher-style repetition filters — top-2-gram
+    //     fraction + duplicate-3-gram fraction + the keep rule, all from
+    //     ONE single-pass RepetitionProfile expression (a narrow in-scan
+    //     projection; the relational formulation would explode every
+    //     2-gram through two corpus-wide shuffles for a within-doc stat) ———
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.repetitionProfile(col("text")).as("p"))
+        .select(col("doc_id"),
+          col("p").getField("n_tokens").as("n_tokens"),
+          col("p").getField("top_bigram_count").as("top_bigram"),
+          round(TextAnalysis.topBigramFrac(col("p")), 4).as("top_bigram_frac"),
+          round(TextAnalysis.dupTrigramFrac(col("p")), 4).as("dup_trigram_frac"),
+          TextAnalysis.repetitionKeep(col("p")).as("keep"))),
 
     // ——— dedup: exact (hash groupBy) ———
     "q_dedup_exact" -> ((s, dir) =>
@@ -1569,6 +1601,20 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE canonical_id <> doc_id)""".stripMargin),
 
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(
+        |    [array_to_string(b[i:i+4], ' ') for i in range(1, len(b) - 3)])) AS shingle
+        |  FROM (SELECT w[1:12] AS b FROM w WHERE doc_id % 20 = 0)
+        |  WHERE len(b) >= 5),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
+        |  FROM w WHERE len(w) >= 5)
+        |SELECT s.doc_id, count(*) AS n_overlap
+        |FROM sh s JOIN bsh USING (shingle)
+        |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
     "q_sample_split" ->
       """SELECT lang,
         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
@@ -1643,6 +1689,28 @@ object SparkEntry {
         |    list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
         |  (a, b) -> (a * 31 + b) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |bg AS (SELECT doc_id, unnest(
+        |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g FROM w),
+        |top AS (SELECT doc_id, max(c) AS topb FROM
+        |        (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |tg AS (SELECT doc_id, unnest(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g FROM w),
+        |tgd AS (SELECT doc_id, count(DISTINCT g) AS d3 FROM tg GROUP BY 1)
+        |SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(topb, 0) AS BIGINT) AS top_bigram,
+        |  CASE WHEN len(b.w) > 1
+        |    THEN round(coalesce(topb, 0) * 1.0 / (len(b.w) - 1), 4) END AS top_bigram_frac,
+        |  CASE WHEN len(b.w) > 2
+        |    THEN round(1 - coalesce(d3, 0) * 1.0 / (len(b.w) - 2), 4) END AS dup_trigram_frac,
+        |  coalesce(CASE WHEN len(b.w) > 1
+        |    THEN coalesce(topb, 0) * 1.0 / (len(b.w) - 1) <= 0.08 END, true)
+        |  AND coalesce(CASE WHEN len(b.w) > 2
+        |    THEN 1 - coalesce(d3, 0) * 1.0 / (len(b.w) - 2) <= 0.05 END, true) AS keep
+        |FROM w b LEFT JOIN top USING (doc_id) LEFT JOIN tgd USING (doc_id)""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",

@@ -588,4 +588,44 @@ object Dedup {
   def embeddingCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =
     Similarity.cosinePairs(vectors, idCol, vecCol, threshold)
+
+  /** Benchmark decontamination report: for every corpus doc sharing at
+    * least one distinct word n-gram with the benchmark set, the count of
+    * distinct shared n-grams (|S_doc ∩ S_bench| — S_bench is the UNION of
+    * the benchmark docs' shingles, the standard eval-leak test: GPT-3's
+    * 13-gram / PaLM's 8-gram overlap checks are this shape).
+    *
+    * Scale posture: the asymmetry is the whole design. A benchmark suite is
+    * MBs against a 100 TB corpus, so its distinct-shingle set broadcasts —
+    * the corpus side is ONE narrow tokenize+explode feeding a map-side hash
+    * probe (the broadcast join), and only MATCHING rows (≈ the leaked
+    * fraction) reach the per-doc count, whose partial aggregation shrinks
+    * them map-side again. No corpus-sized shuffle exists in the plan; use
+    * n ≥ 5 so chance collisions stay near zero and the matched fraction
+    * stays tiny.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
+    val sh = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.distinctShingles(col(textCol), n)).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(TextAnalysis.distinctShingles(col(benchTextCol), n)).as("shingle"))
+      .distinct()
+    sh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Drop corpus docs whose benchmark overlap reaches `minOverlap` distinct
+    * n-grams — the apply step over [[contaminationReport]]. The flagged set
+    * is the leaked fraction of the corpus (tiny by the same argument that
+    * lets the benchmark broadcast), so the anti-join broadcasts it, exactly
+    * like [[dropNearDuplicates]]'s drop list.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 5,
+      minOverlap: Long = 2L): DataFrame = {
+    val flagged = contaminationReport(docs, idCol, textCol, benchmark, benchTextCol, n)
+      .where(col("n_overlap") >= minOverlap).select(col("doc_id").as(idCol))
+    docs.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
 }

@@ -63,6 +63,12 @@ object GraftFunctions {
         case es => throw new IllegalArgumentException(
           s"word_shingles(<string>, <int literal>), got ${es.size} args")
       }),
+    ("repetition_profile", "repetition_profile(str) - within-doc repetition struct (n_tokens, top_bigram_count, distinct_trigrams)",
+      {
+        case Seq(child) => RepetitionProfile(child)
+        case es => throw new IllegalArgumentException(
+          s"repetition_profile(<string>), got ${es.size} args")
+      }),
     ("int8_quantize", "int8_quantize(array<float|double>) - struct(codes binary, scale float) scalar quantization",
       {
         case Seq(child) => Int8Quantize(child)

@@ -102,6 +102,45 @@ object TextAnalysis {
     round((lengthBand + tokenBand + stopBand) / 3.0, 4)
   }
 
+  /** All within-doc repetition statistics in one tokenization pass
+    * ([[RepetitionProfile]]): n_tokens, top-2-gram multiplicity, distinct
+    * 3-grams — the Gopher-style repetition quality signals.
+    */
+  def repetitionProfile(text: Column): Column = RepetitionProfile(text)
+
+  /** Fraction of 2-gram positions occupied by the doc's most frequent
+    * 2-gram — high values mean a phrase loop ("click here click here …").
+    * NULL when the doc has no 2-gram — an explicit n>1 guard, not nullif:
+    * a one-token doc makes the denominator 0 but an (impossible-today)
+    * zero-token doc would make it NEGATIVE, and a negative denominator
+    * yields a nonsense in-range fraction instead of a division error.
+    */
+  def topBigramFrac(p: Column): Column = {
+    val nb = p.getField("n_tokens") - 1
+    when(nb > 0, p.getField("top_bigram_count") / nb)
+  }
+
+  /** Fraction of 3-gram positions whose 3-gram occurs more than once in
+    * the doc (1 − distinct/total) — boilerplate and template repetition.
+    * NULL when the doc has no 3-gram (n ≤ 2 makes the denominator zero OR
+    * negative — a plain nullif would turn a one-token doc into frac 1.0
+    * via 1 − 0/(−1) and silently drop it under the keep rule).
+    */
+  def dupTrigramFrac(p: Column): Column = {
+    val n3 = p.getField("n_tokens") - 2
+    when(n3 > 0, lit(1.0) - p.getField("distinct_trigrams") / n3)
+  }
+
+  /** Gopher-style repetition keep rule over a [[repetitionProfile]] struct:
+    * both fractions at or under their thresholds. Docs too short to define
+    * a fraction (NULL) are kept — shortness is [[qualityScore]]'s signal,
+    * not repetition's.
+    */
+  def repetitionKeep(p: Column, maxTopBigramFrac: Double = 0.08,
+      maxDupTrigramFrac: Double = 0.05): Column =
+    coalesce(topBigramFrac(p) <= maxTopBigramFrac, lit(true)) &&
+      coalesce(dupTrigramFrac(p) <= maxDupTrigramFrac, lit(true))
+
   /** [[languageId]] over a profile struct — identical decision chain. */
   def languageIdFromProfile(p: Column): Column = {
     val (se, ss, sd) = (p.getField("en_hits"), p.getField("es_hits"), p.getField("de_hits"))

@@ -48,6 +48,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("q_decontaminate: benchmark set broadcasts; no corpus-sized shuffle join") {
+    val plan = SparkEntry.queries("q_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the whole design is the corpus side probing a broadcast of the tiny
+    // benchmark shingle set — a SortMergeJoin here means the corpus shingles
+    // got shuffled on the join key, which cannot hold at 100 TB
+    assert(plan.contains("BroadcastHashJoin"), "bench shingles must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus-shingle side must never shuffle into the overlap join")
+    assert(plan.contains("partial_count"),
+      "per-doc overlap count must partially aggregate map-side")
+  }
+
   test("q_emb_lsh_recall: both pair paths stay equi-joins, never cartesian") {
     val plan = SparkEntry.queries("q_emb_lsh_recall")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -213,6 +213,80 @@ class FunctionsSpec extends SparkSpec {
     assert(surviving == Set(0L, 1L, 4L)) // 2,3 dropped; 1 canonical; 0,4 unclustered
   }
 
+  test("RepetitionProfile: hand-computed repetition stats, fracs, and keep rule") {
+    val d = Seq(
+      (0L, "a b a b a b"), // "a b"×3 of 5 bigrams; trigrams {aba, bab} of 4
+      (1L, "v w x y z"),   // all distinct
+      (2L, "solo"),        // no bigram/trigram → fracs NULL → kept
+      (3L, "")             // "" splits to one empty token (TextProfile parity)
+    ).toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"), RepetitionProfile(col("text")).as("p"))
+      .select(col("doc_id"), col("p").getField("n_tokens").as("n"),
+        col("p").getField("top_bigram_count").as("tb"),
+        col("p").getField("distinct_trigrams").as("d3"),
+        TextAnalysis.topBigramFrac(col("p")).as("tbf"),
+        TextAnalysis.dupTrigramFrac(col("p")).as("dtf"),
+        TextAnalysis.repetitionKeep(col("p")).as("keep"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[Long]("n") == 6 && rows(0L).getAs[Long]("tb") == 3 &&
+      rows(0L).getAs[Long]("d3") == 2)
+    assert(rows(0L).getAs[Double]("tbf") == 0.6 && rows(0L).getAs[Double]("dtf") == 0.5)
+    assert(!rows(0L).getAs[Boolean]("keep")) // phrase loop: both fracs over threshold
+    assert(rows(1L).getAs[Long]("tb") == 1 && rows(1L).getAs[Long]("d3") == 3)
+    assert(rows(1L).getAs[Double]("dtf") == 0.0)
+    assert(rows(2L).getAs[Long]("n") == 1 && rows(2L).getAs[Long]("tb") == 0 &&
+      rows(2L).getAs[Long]("d3") == 0)
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("tbf")) &&
+      rows(2L).getAs[Boolean]("keep")) // undefined fraction never drops a doc
+    assert(rows(3L).getAs[Long]("n") == 1)
+  }
+
+  test("RepetitionProfile ≡ relational 2-gram mode / distinct-3-gram aggregation") {
+    val rnd = new scala.util.Random(7)
+    val d = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))("w" + rnd.nextInt(5)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val viaExpr = d.select(col("doc_id"), RepetitionProfile(col("text")).as("p"))
+      .select(col("doc_id"), col("p").getField("top_bigram_count").as("tb"),
+        col("p").getField("distinct_trigrams").as("d3"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val top = d.select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("tb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tri = d.select(col("doc_id"),
+        size(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("d3"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    viaExpr.foreach { case (id, (tb, d3)) =>
+      assert(tb == top.getOrElse(id, 0L), s"top bigram mismatch for doc $id")
+      assert(d3 == tri(id), s"distinct trigrams mismatch for doc $id")
+    }
+  }
+
+  test("contaminationReport counts distinct shared n-grams; decontaminate drops at the threshold") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // shares 2 distinct 3-grams with bench
+      (1L, "alpha beta gamma other words here entirely"), // shares 1
+      (2L, "nothing in common with that suite at all"), // shares 0
+      // repeated leaked passage: distinct-shingle semantics count it ONCE
+      (3L, "alpha beta gamma delta alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("bench_text")
+    val report = Dedup.contaminationReport(corpus, "doc_id", "text",
+        bench, "bench_text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    // bench 3-grams: {alpha beta gamma, beta gamma delta, gamma delta epsilon};
+    // doc 0 shares the first three, doc 1 only the first, doc 3 the first two
+    // (its leaked passage repeats, but distinct shingles count it once),
+    // doc 2 none — and zero-overlap docs are absent, not 0-rows
+    assert(report == Map(0L -> 3L, 1L -> 1L, 3L -> 2L))
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "bench_text",
+        n = 3, minOverlap = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L)) // 0 and 3 reach the threshold; 1 stays under it
+  }
+
   test("clustersFromMinhash ≡ connected components over exact uncapped pairs") {
     def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
