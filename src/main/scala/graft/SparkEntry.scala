@@ -1020,6 +1020,16 @@ object SparkEntry {
         .where(col("n_overlap") >= 2)
     }),
 
+    // ——— packing: greedy first-fit of docs into 2048-token training bins
+    //     over 8 independent content-hash streams — sequential per stream
+    //     by nature, parallel across streams by design ———
+    "q_pack" -> ((s, dir) =>
+      graft.functions.Packing.packGreedy(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L, streams = 8)),
+
     // ——— sampling: deterministic content-hash train/val/test split ———
     "q_sample_split" -> ((s, dir) =>
       graft.functions.Sampling.split(t(s, dir, "documents"), "doc_id")
@@ -1614,6 +1624,29 @@ object SparkEntry {
         |SELECT s.doc_id, count(*) AS n_overlap
         |FROM sh s JOIN bsh USING (shingle)
         |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // the recursive CTE replays the same greedy per-stream scan: row k of a
+    // stream joins row k+1, carrying (bin, fill) forward — the md5-prefix
+    // stream hash is the Sampling bucket formula
+    "q_pack" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, n_tokens, stream,
+        |    row_number() OVER (PARTITION BY stream ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS stream
+        |        FROM documents)),
+        |packed AS (
+        |  SELECT stream, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.stream, s.rn, s.doc_id, s.n_tokens,
+        |    CASE WHEN p.fill + s.n_tokens > 2048 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + s.n_tokens > 2048 THEN s.n_tokens
+        |         ELSE p.fill + s.n_tokens END
+        |  FROM packed p JOIN s ON s.stream = p.stream AND s.rn = p.rn + 1)
+        |SELECT doc_id, n_tokens, stream, bin, fill AS bin_fill FROM packed""".stripMargin,
 
     "q_sample_split" ->
       """SELECT lang,

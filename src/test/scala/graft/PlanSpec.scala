@@ -61,6 +61,18 @@ class PlanSpec extends SparkSpec {
       "per-doc overlap count must partially aggregate map-side")
   }
 
+  test("q_pack: one stream-repartition exchange, nothing else") {
+    val plan = SparkEntry.queries("q_pack")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the greedy scan is per-partition state over (stream, id)-sorted rows:
+    // exactly ONE shuffle (the stream repartition) may exist — a second
+    // Exchange would mean the packing recurrence got re-keyed somewhere,
+    // which breaks both determinism and the 100 TB shuffle budget
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle exchange, got $exchanges\n$plan")
+    assert(!plan.contains("BroadcastExchange"))
+  }
+
   test("q_emb_lsh_recall: both pair paths stay equi-joins, never cartesian") {
     val plan = SparkEntry.queries("q_emb_lsh_recall")(spark, dir)
       .queryExecution.executedPlan.toString

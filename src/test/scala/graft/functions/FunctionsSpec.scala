@@ -264,6 +264,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("packGreedy: hand-computed single-stream first-fit, oversized docs isolated") {
+    val docs = Seq((0L, 5L), (1L, 5L), (2L, 10L), (3L, 3L), (4L, 12L), (5L, 1L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packGreedy(docs, "doc_id", "n_tokens", budget = 10L, streams = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bin"), r.getAs[Long]("bin_fill"))).toMap
+    // greedy in id order at budget 10: (5,5)|bin0, 10 overflows|bin1,
+    // 3|bin2, the 12-token doc exceeds the budget alone|bin3, 1|bin4
+    assert(out == Map(0L -> (0L, 5L), 1L -> (0L, 10L), 2L -> (1L, 10L),
+      3L -> (2L, 3L), 4L -> (3L, 12L), 5L -> (4L, 1L)))
+  }
+
+  test("packGreedy ≡ driver-side greedy per stream; fills stay within budget") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 300).map(i => (i.toLong, 1L + rnd.nextInt(40)))
+      .toDF("doc_id", "n_tokens")
+    val rows = Packing.packGreedy(docs, "doc_id", "n_tokens", budget = 64L, streams = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("stream"), r.getAs[Long]("bin"), r.getAs[Long]("bin_fill")))
+    // re-run the greedy rule on the driver per stream, in id order
+    rows.groupBy(_._3).foreach { case (_, sr) =>
+      var bin = 0L; var fill = 0L
+      sr.sortBy(_._1).foreach { case (id, n, _, b, bf) =>
+        if (fill > 0 && fill + n > 64) { bin += 1; fill = 0 }
+        fill += n
+        assert(b == bin && bf == fill, s"doc $id expected bin $bin fill $fill")
+      }
+    }
+    // no multi-doc bin exceeds the budget (only a lone oversized doc may)
+    rows.groupBy(r => (r._3, r._4)).foreach { case (_, binRows) =>
+      val total = binRows.map(_._2).sum
+      assert(total <= 64 || binRows.length == 1)
+    }
+    // every doc placed exactly once
+    assert(rows.map(_._1).distinct.length == 300)
+  }
+
   test("contaminationReport counts distinct shared n-grams; decontaminate drops at the threshold") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"), // shares 2 distinct 3-grams with bench
