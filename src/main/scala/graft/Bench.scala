@@ -4,25 +4,36 @@ object Bench {
 
   /** Host-factor-normalized cpu-floor adjudication (pure; spec-pinned).
     * Returns (hostFactor, flagged): hostFactor is the median measured/floor
-    * ratio across all floored queries — uniform co-load inflation shows up
-    * here and cancels — clamped to ≥1 so a better-than-floor host never
-    * tightens the gate below the committed floors. A query flags when its
-    * min cpu exceeds `floor × hostFactor × 1.3 + 0.5 s`: 1.3× relative for
-    * real signal over run-to-run jitter, +0.5 s absolute because sub-second
-    * queries jitter by tenths of a cpu-second (JIT, GC attribution) without
-    * meaning anything. Sentinel cpu (−1: process-CPU unavailable) and
-    * non-positive floors are excluded from both the median and the flags.
-    * Even-count medians average the two middle ratios — taking the
-    * upper-middle element would bias the factor up exactly when a
-    * regression sits in the upper half. The factor can still self-mask a
-    * SUITE-WIDE slowdown (the regressing queries' own ratios raise the
-    * median); the caller warns past a sanity bound for that case.
+    * ratio across the floored HEAVY queries (floor ≥ 2 cpu-s, falling back
+    * to all floored queries when fewer than five qualify) — co-load
+    * inflation shows up here and cancels — clamped to ≥1 so a
+    * better-than-floor host never tightens the gate below the committed
+    * floors. Heavy-only, because co-load inflation is NOT uniform: it
+    * charges stall cycles to the queries that saturate the machine
+    * (measured in round 12: the 32-thread compute queries at 1.3–1.9× floor
+    * under a ~4-core background load while every sub-second query sat AT
+    * floor — an all-query median reads 1.0 there and spuriously flags the
+    * whole heavy family; the heavy-median cancels it, while a single
+    * regressed heavy query still flags against its siblings). A query
+    * flags when its min cpu exceeds `floor × hostFactor × 1.3 + 0.5 s`:
+    * 1.3× relative for real signal over run-to-run jitter, +0.5 s absolute
+    * because sub-second queries jitter by tenths of a cpu-second (JIT, GC
+    * attribution) without meaning anything. Sentinel cpu (−1: process-CPU
+    * unavailable) and non-positive floors are excluded from both the
+    * median and the flags. Even-count medians average the two middle
+    * ratios — taking the upper-middle element would bias the factor up
+    * exactly when a regression sits in the upper half. The factor can
+    * still self-mask a slowdown broad enough to move the heavy median
+    * (a shared-operator regression); the caller warns past a sanity bound
+    * for that case.
     */
   private[graft] def flagCpuRegressions(measured: Seq[(String, Double)],
       floors: Map[String, Double]): (Double, Seq[(String, Double, Double)]) = {
-    val ratios = measured.collect {
-      case (k, c) if c > 0 && floors.get(k).exists(_ > 0) => c / floors(k)
-    }.sorted
+    val allRatios = measured.collect {
+      case (k, c) if c > 0 && floors.get(k).exists(_ > 0) => (floors(k), c / floors(k))
+    }
+    val heavy = allRatios.collect { case (f, r) if f >= 2.0 => r }
+    val ratios = (if (heavy.length >= 5) heavy else allRatios.map(_._2)).sorted
     val hostFactor =
       if (ratios.isEmpty) 1.0
       else if (ratios.length % 2 == 0)
@@ -348,12 +359,21 @@ object Bench {
     // degrade ladder, CHECKED at each tier (a long line is worthless — the
     // driver keeps only the last ~2KB of stdout, and an overflow loses the
     // whole result exactly when it carries failure diagnostics): full
-    // precision → 1-decimal queries → drop the per-query/cpu maps (sidecar
-    // + stderr keep them) with error KEYS only → error count alone
+    // precision → 1-decimal queries → integer cpu → drop cpu (sidecar +
+    // stderr keep it) → drop the query map too with error KEYS only →
+    // error count alone. The per-QUERY wall map is the last thing
+    // sacrificed — it is the round-over-round comparison surface, and at
+    // 60+ queries the full-precision line started overflowing, which
+    // under the old ladder silently dropped the whole map.
+    val q1dec = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f1(v) }
+      .mkString("{", ",", "}")
+    val cpuInt = results.map { case (_, _, c, _) => math.round(c).toString }
+      .mkString("[", ",", "]")
     val line = Seq(
       () => mkLine(qs),
-      () => mkLine(results.map { case (k, v, _, _) => s"\"" + k + "\":" + f1(v) }
-        .mkString("{", ",", "}")),
+      () => mkLine(q1dec),
+      () => mkLine(q1dec, cpuInt),
+      () => mkLine(q1dec, "[]"),
       () => mkLine("{}", "[]", results.collect {
         case (k, _, _, Some(_)) => s"\"" + k + "\":\"\"" }.mkString("{", ",", "}")),
       () => mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}""")

@@ -25,6 +25,34 @@ final class BenchSpec extends AnyFunSuite {
     assert(flagged.isEmpty)
   }
 
+  test("saturation-biased co-load: heavy-median cancels while shorts sit at floor") {
+    // the r12 measurement: a ~4-core background tenant inflates every
+    // machine-saturating query ~1.5× while sub-second queries stay AT
+    // floor — an all-query median would read ~1.0 and flag the whole
+    // heavy family; the heavy-only median cancels it
+    val fl = Map("h1" -> 5.0, "h2" -> 8.0, "h3" -> 12.0, "h4" -> 20.0,
+      "h5" -> 40.0, "s1" -> 0.5, "s2" -> 0.6, "s3" -> 0.8)
+    val meas = Seq("h1" -> 7.5, "h2" -> 12.0, "h3" -> 18.0, "h4" -> 30.0,
+      "h5" -> 60.0, "s1" -> 0.5, "s2" -> 0.6, "s3" -> 0.8)
+    val (factor, flagged) = Bench.flagCpuRegressions(meas, fl)
+    assert(factor == 1.5)
+    assert(flagged.isEmpty)
+    // a query ALSO regressed on top of the bias still flags against its
+    // heavy siblings' median
+    val meas2 = meas.map { case ("h3", _) => "h3" -> 36.0; case x => x }
+    val (f2, flagged2) = Bench.flagCpuRegressions(meas2, fl)
+    assert(f2 == 1.5)
+    assert(flagged2.map(_._1) == Seq("h3"))
+  }
+
+  test("fewer than five heavy floors falls back to the all-query median") {
+    // the original fixture has four floors ≥ 2 — every pre-existing leg in
+    // this suite exercises the fallback, so this just makes it explicit
+    val (factor, _) = Bench.flagCpuRegressions(
+      Seq("a" -> 4.0, "b" -> 8.0, "c" -> 20.0, "d" -> 0.8, "e" -> 16.0), floors)
+    assert(factor == 2.0) // includes the light query d in the median
+  }
+
   test("a real regression still flags THROUGH uniform co-load") {
     // everything 2x (co-load), but c ALSO tripled on top of it
     val (factor, flagged) = Bench.flagCpuRegressions(
