@@ -1030,6 +1030,19 @@ object SparkEntry {
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = 2048L, streams = 8)),
 
+    // ——— the end-to-end curation composition: quality/repetition gate →
+    //     exact dedup → benchmark decontamination, one operator flow
+    //     (each stage is separately oracle-gated; this gates the
+    //     composition — survivors only) ———
+    "q_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .select(concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 12)).as("bench_text"))
+      graft.operators.Curation.curate(docs, "doc_id", "text", bench, "bench_text")
+        .select("doc_id")
+    }),
+
     // ——— sampling: deterministic content-hash train/val/test split ———
     "q_sample_split" -> ((s, dir) =>
       graft.functions.Sampling.split(t(s, dir, "documents"), "doc_id")
@@ -1082,6 +1095,20 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ——— text analysis: PII redaction — the fixture corpus carries no PII,
+    //     so the query PLANTS a deterministic email + phone per doc (derived
+    //     from doc_id) and gates the scrub end-to-end: redacted-text md5
+    //     plus placeholder counts, all inside the scan projection ———
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or call +1 (415) 555-01"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.redactPii(planted).as("red"))
+        .select(col("doc_id"), md5(col("red")).as("redacted_md5"),
+          (size(split(col("red"), "<EMAIL>", -1)) - 1).cast("long").as("n_emails"),
+          (size(split(col("red"), "<PHONE>", -1)) - 1).cast("long").as("n_phones"))
+    }),
 
     // ——— text analysis: Gopher-style repetition filters — top-2-gram
     //     fraction + duplicate-3-gram fraction + the keep rule, all from
@@ -1648,6 +1675,51 @@ object SparkEntry {
         |  FROM packed p JOIN s ON s.stream = p.stream AND s.rn = p.rn + 1)
         |SELECT doc_id, n_tokens, stream, bin, fill AS bin_fill FROM packed""".stripMargin,
 
+    // composed from the per-stage oracles: quality+repetition keepers →
+    // min-id representative per distinct text → minus the ≥2-shared-5-gram
+    // contamination set (per-doc overlap counts are input-independent, so
+    // flagging over ALL docs then anti-joining equals flagging the deduped
+    // survivors directly)
+    "q_curate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents),
+        |f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(w,
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS BIGINT) AS n_stop
+        |  FROM w),
+        |chr AS (SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS n_chr FROM documents),
+        |quality AS (SELECT f.doc_id FROM f JOIN chr USING (doc_id) WHERE
+        |  ((CASE WHEN n_tok BETWEEN 8 AND 512 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN (n_chr - (n_tok - 1)) * 1.0 / n_tok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN n_stop * 1.0 / n_tok BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.6),
+        |bg AS (SELECT doc_id, unnest(
+        |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g FROM w),
+        |top AS (SELECT doc_id, max(c) AS topb FROM
+        |        (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |tg AS (SELECT doc_id, unnest(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g FROM w),
+        |tgd AS (SELECT doc_id, count(DISTINCT g) AS d3 FROM tg GROUP BY 1),
+        |repkeep AS (SELECT b.doc_id FROM w b
+        |  LEFT JOIN top USING (doc_id) LEFT JOIN tgd USING (doc_id)
+        |  WHERE coalesce(CASE WHEN len(b.w) > 1
+        |      THEN coalesce(topb, 0) * 1.0 / (len(b.w) - 1) <= 0.08 END, true)
+        |    AND coalesce(CASE WHEN len(b.w) > 2
+        |      THEN 1 - coalesce(d3, 0) * 1.0 / (len(b.w) - 2) <= 0.05 END, true)),
+        |keepers AS (SELECT doc_id FROM quality INTERSECT SELECT doc_id FROM repkeep),
+        |reps AS (SELECT min(d.doc_id) AS doc_id FROM documents d
+        |         JOIN keepers k ON d.doc_id = k.doc_id GROUP BY d.text),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(
+        |    [array_to_string(b[i:i+4], ' ') for i in range(1, len(b) - 3)])) AS shingle
+        |  FROM (SELECT w[1:12] AS b FROM w WHERE doc_id % 20 = 0)
+        |  WHERE len(b) >= 5),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
+        |  FROM w WHERE len(w) >= 5),
+        |flagged AS (SELECT s.doc_id FROM sh s JOIN bsh USING (shingle)
+        |            GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT doc_id FROM reps
+        |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+
     "q_sample_split" ->
       """SELECT lang,
         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
@@ -1722,6 +1794,17 @@ object SparkEntry {
         |    list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
         |  (a, b) -> (a * 31 + b) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH p AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com or call +1 (415) 555-01' || doc_id,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS red
+        |  FROM documents)
+        |SELECT doc_id, md5(red) AS redacted_md5,
+        |  CAST(len(string_split(red, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+        |  CAST(len(string_split(red, '<PHONE>')) - 1 AS BIGINT) AS n_phones
+        |FROM p""".stripMargin,
 
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -80,6 +80,28 @@ object TextAnalysis {
   /** Rolling-hash fingerprint via the codegen'd [[PolyHash]] expression. */
   def fingerprint(text: Column): Column = PolyHash(text)
 
+  /** Email addresses — deliberately restricted to syntax whose semantics
+    * agree between Java regex (Spark) and RE2 (DuckDB, Go tooling): no
+    * lookaround, no backreferences, '-' last in every class. Pattern
+    * breadth follows the common training-pipeline scrubbers, not RFC 5322.
+    */
+  private[functions] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-like digit runs: optional +, then ≥8 chars of digits with
+    * (), space, - separators, ending in a digit.
+    */
+  private[functions] val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** PII scrubbing for training corpora: replace emails and phone-like
+    * digit runs with stable placeholder tokens — the standard
+    * pre-training redaction pass. Pure `regexp_replace` (codegen'd,
+    * replace-all), so it runs inside the scan projection with zero
+    * shuffle; emails first, so a phone-looking digit run inside an
+    * address is consumed by the email placeholder rather than split.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   // ——— single-pass profile path (the hot-loop variant of the above) ———
 
   /** All token statistics in one tokenization pass ([[TextProfile]]): the

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextAnalysis}
+
+/** The end-to-end corpus curation flow a pretraining pipeline runs, as one
+  * composition of this library's operators — cheap narrow filters first,
+  * the join-bearing stages over the already-shrunk survivors:
+  *
+  *  1. quality gate — [[TextAnalysis.qualityFromProfile]] ≥ `minQuality`
+  *     AND [[TextAnalysis.repetitionKeep]], both single-pass expressions
+  *     inside the scan (zero shuffle, maximal early pruning);
+  *  2. exact dedup — keep [[Dedup.exact]]'s representative (min-id) doc
+  *     per distinct text, applied as a semi-join on the id;
+  *  3. benchmark decontamination — [[Dedup.decontaminate]] drops eval
+  *     leaks from the deduped survivors (broadcast benchmark set).
+  *
+  * Stage order is the cost order at 100 TB: the expression filters are
+  * free at scan time, dedup's one hash shuffle runs over quality
+  * survivors only, and the decontamination probe sees the smallest
+  * corpus of all. Each stage is individually oracle-gated by its own
+  * query (`q_text_stats`/`q_repetition`, `q_dedup_exact`,
+  * `q_decontaminate`); `q_curate` gates the composition itself.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      minQuality: Double = 0.6, decontamN: Int = 5,
+      minOverlap: Long = 2L): DataFrame = {
+    val filtered = docs
+      .withColumn("__p", TextAnalysis.profile(col(textCol)))
+      .withColumn("__rp", TextAnalysis.repetitionProfile(col(textCol)))
+      .where(TextAnalysis.qualityFromProfile(col("__p")) >= minQuality &&
+        TextAnalysis.repetitionKeep(col("__rp")))
+      .drop("__p", "__rp")
+    val reps = Dedup.exact(filtered, idCol, Seq(col(textCol))).select(idCol)
+    val deduped = filtered.join(reps, Seq(idCol), "left_semi")
+    Dedup.decontaminate(deduped, idCol, textCol, benchmark, benchTextCol,
+      decontamN, minOverlap)
+  }
+}

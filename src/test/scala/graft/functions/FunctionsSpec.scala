@@ -264,6 +264,23 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii scrubs emails and phone-like runs; short digit runs survive") {
+    val d = Seq(
+      (0L, "mail alice.smith+x@sub.example.org now"),
+      (1L, "call +1 (415) 555-0123 today"),
+      (2L, "digits 1234567 stay"), // 7 chars — under the 8-char phone minimum
+      (3L, "both bob@x.co and 020 7946 0958"),
+      (4L, "clean text")
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "mail <EMAIL> now")
+    assert(got(1L) == "call <PHONE> today")
+    assert(got(2L) == "digits 1234567 stay")
+    assert(got(3L) == "both <EMAIL> and <PHONE>")
+    assert(got(4L) == "clean text")
+  }
+
   test("packGreedy: hand-computed single-stream first-fit, oversized docs isolated") {
     val docs = Seq((0L, 5L), (1L, 5L), (2L, 10L), (3L, 3L), (4L, 12L), (5L, 1L))
       .toDF("doc_id", "n_tokens")
