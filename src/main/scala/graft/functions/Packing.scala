@@ -48,6 +48,12 @@ object Packing {
     import spark.implicits._
     val in = df.select(col(idCol).cast("long").as("id"),
         col(tokensCol).cast("long").as("n_tokens"))
+      // a null id/count would NPE inside the primitive-Long encoder below —
+      // an unpackable doc (null text upstream makes size(null) null) is
+      // dropped here, not mid-job; token counts come from the caller, so
+      // negatives are refused the same way rather than corrupting fills
+      .where(col("id").isNotNull && col("n_tokens").isNotNull &&
+        col("n_tokens") >= 0)
       .withColumn("stream", Sampling.bucket(col("id"), streams))
       // partition BY the stream value, then sort (stream, id): several
       // streams may share a partition, so the scan below resets its state

@@ -293,6 +293,15 @@ class FunctionsSpec extends SparkSpec {
       3L -> (2L, 3L), 4L -> (3L, 12L), 5L -> (4L, 1L)))
   }
 
+  test("packGreedy drops null/negative token counts instead of NPEing mid-job") {
+    val docs = Seq((Some(0L), Some(5L)), (Some(1L), None),
+      (Some(2L), Some(-3L)), (None, Some(4L)), (Some(3L), Some(2L)))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packGreedy(docs, "doc_id", "n_tokens", budget = 10L, streams = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(0L, 3L))
+  }
+
   test("packGreedy ≡ driver-side greedy per stream; fills stay within budget") {
     val rnd = new scala.util.Random(11)
     val docs = (0 until 300).map(i => (i.toLong, 1L + rnd.nextInt(40)))
