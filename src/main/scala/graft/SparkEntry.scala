@@ -1643,7 +1643,8 @@ object SparkEntry {
         |           FROM documents),
         |bsh AS (SELECT DISTINCT unnest(list_distinct(
         |    [array_to_string(b[i:i+4], ' ') for i in range(1, len(b) - 3)])) AS shingle
-        |  FROM (SELECT w[1:12] AS b FROM w WHERE doc_id % 20 = 0)
+        |  FROM (SELECT string_split_regex(trim(array_to_string(w[1:12], ' ')), '\s+') AS b
+        |        FROM w WHERE doc_id % 20 = 0)
         |  WHERE len(b) >= 5),
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle
@@ -1710,7 +1711,8 @@ object SparkEntry {
         |         JOIN keepers k ON d.doc_id = k.doc_id GROUP BY d.text),
         |bsh AS (SELECT DISTINCT unnest(list_distinct(
         |    [array_to_string(b[i:i+4], ' ') for i in range(1, len(b) - 3)])) AS shingle
-        |  FROM (SELECT w[1:12] AS b FROM w WHERE doc_id % 20 = 0)
+        |  FROM (SELECT string_split_regex(trim(array_to_string(w[1:12], ' ')), '\s+') AS b
+        |        FROM w WHERE doc_id % 20 = 0)
         |  WHERE len(b) >= 5),
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |    [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])) AS shingle

@@ -44,6 +44,16 @@ object Packing {
       budget: Long, streams: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(streams > 0, "streams must be positive")
+    // integral ids only, checked loudly: cast("long") maps a string/decimal
+    // id to null, and the null-guard below would then silently drop the
+    // ENTIRE corpus (ANSI mode instead kills the job mid-cast) — the worst
+    // possible failure shape for a packing operator
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"packGreedy requires an integral id column, got $idCol: $t")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val in = df.select(col(idCol).cast("long").as("id"),
@@ -55,11 +65,14 @@ object Packing {
       .where(col("id").isNotNull && col("n_tokens").isNotNull &&
         col("n_tokens") >= 0)
       .withColumn("stream", Sampling.bucket(col("id"), streams))
-      // partition BY the stream value, then sort (stream, id): several
-      // streams may share a partition, so the scan below resets its state
-      // on every stream change — correctness never depends on the
-      // partition count, only parallelism does
-      .repartition(math.min(streams, spark.sparkContext.defaultParallelism),
+      // RANGE-partition the stream value: hash-repartition on N streams
+      // into N partitions leaves ~1/3 of tasks empty to hash collisions
+      // and stacks 2-3 streams on one task — range boundaries give ~one
+      // stream per partition. Several streams may still share a partition
+      // (sampling is approximate), so the scan below resets its state on
+      // every stream change — correctness never depends on the partition
+      // layout, only parallelism does
+      .repartitionByRange(math.min(streams, spark.sparkContext.defaultParallelism),
         col("stream"))
       .sortWithinPartitions("stream", "id")
       .as[(Long, Long, Long)]

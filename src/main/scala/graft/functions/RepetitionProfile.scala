@@ -39,12 +39,7 @@ case class RepetitionProfile(child: Expression)
   override def dataType: DataType = RepetitionProfile.schema
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    var from = 0
-    var to = s.length
-    while (from < to && s.charAt(from) == ' ') from += 1
-    while (to > from && s.charAt(to - 1) == ' ') to -= 1
-    val tokens = s.substring(from, to).split("\\s+", -1)
+    val tokens = Tokenize.tokens(input.toString)
     val n = tokens.length
     var topBigram = 0L
     if (n >= 2) {

@@ -36,12 +36,7 @@ case class TextProfile(child: Expression)
   override def dataType: DataType = TextProfile.schema
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    var from = 0
-    var to = s.length
-    while (from < to && s.charAt(from) == ' ') from += 1
-    while (to > from && s.charAt(to - 1) == ' ') to -= 1
-    val trimmed = s.substring(from, to)
+    val trimmed = Tokenize.trimmed(input.toString)
     val tokens = trimmed.split("\\s+", -1)
     var (nStop, nSub, en, es, de) = (0L, 0L, 0L, 0L, 0L)
     for (t <- tokens) {

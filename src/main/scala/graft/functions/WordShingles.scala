@@ -29,16 +29,9 @@ case class WordShingles(child: Expression, n: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    // space-only trim + limit -1, NOT String.trim/split(regex): Java trim
-    // also strips control chars (\n, \t) and limit 0 drops trailing empty
-    // tokens — both diverge from Spark's trim()/split() and the DuckDB
-    // oracles on edge-whitespace documents (same trap TextProfile avoids)
-    val s = input.asInstanceOf[UTF8String].toString
-    var from = 0
-    var to = s.length
-    while (from < to && s.charAt(from) == ' ') from += 1
-    while (to > from && s.charAt(to - 1) == ' ') to -= 1
-    val tokens = s.substring(from, to).split("\\s+", -1)
+    // Tokenize owns the parity-critical trim/split semantics (space-only
+    // trim, limit -1) shared with TextProfile and RepetitionProfile
+    val tokens = Tokenize.tokens(input.asInstanceOf[UTF8String].toString)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((tokens.length - n + 1) * 2)
     val sb = new java.lang.StringBuilder(64)

@@ -12,8 +12,11 @@ import graft.functions.{Dedup, TextAnalysis}
   *  1. quality gate — [[TextAnalysis.qualityFromProfile]] ≥ `minQuality`
   *     AND [[TextAnalysis.repetitionKeep]], both single-pass expressions
   *     inside the scan (zero shuffle, maximal early pruning);
-  *  2. exact dedup — keep [[Dedup.exact]]'s representative (min-id) doc
-  *     per distinct text, applied as a semi-join on the id;
+  *  2. exact dedup — keep the representative (min-id) doc per distinct
+  *     text, as a min-over-window filter: one shuffle keyed by the text,
+  *     no second scan ([[Dedup.exact]]'s groupBy + a semi-join back would
+  *     re-scan and re-filter the corpus for the join's left side — the
+  *     scan with two tokenizing expressions is the expensive stage here);
   *  3. benchmark decontamination — [[Dedup.decontaminate]] drops eval
   *     leaks from the deduped survivors (broadcast benchmark set).
   *
@@ -36,8 +39,11 @@ object Curation {
       .where(TextAnalysis.qualityFromProfile(col("__p")) >= minQuality &&
         TextAnalysis.repetitionKeep(col("__rp")))
       .drop("__p", "__rp")
-    val reps = Dedup.exact(filtered, idCol, Seq(col(textCol))).select(idCol)
-    val deduped = filtered.join(reps, Seq(idCol), "left_semi")
+    val deduped = filtered
+      .withColumn("__rep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))))
+      .where(col(idCol) === col("__rep"))
+      .drop("__rep")
     Dedup.decontaminate(deduped, idCol, textCol, benchmark, benchTextCol,
       decontamN, minOverlap)
   }

@@ -46,11 +46,13 @@ final class BenchSpec extends AnyFunSuite {
   }
 
   test("fewer than five heavy floors falls back to the all-query median") {
-    // the original fixture has four floors ≥ 2 — every pre-existing leg in
-    // this suite exercises the fallback, so this just makes it explicit
-    val (factor, _) = Bench.flagCpuRegressions(
-      Seq("a" -> 4.0, "b" -> 8.0, "c" -> 20.0, "d" -> 0.8, "e" -> 16.0), floors)
-    assert(factor == 2.0) // includes the light query d in the median
+    // four heavy floors (a,b,c,e) → fallback; the light query d's ratio is
+    // the outlier that moves the all-median (3.0) away from the heavy-only
+    // median (2.5), so using `heavy` unconditionally would fail this
+    val (factor, flagged) = Bench.flagCpuRegressions(
+      Seq("a" -> 2.0, "b" -> 8.0, "c" -> 30.0, "e" -> 24.0, "d" -> 4.0), floors)
+    assert(factor == 3.0) // median of (1.0, 2.0, 3.0, 3.0, 10.0) — d included
+    assert(flagged.map(_._1) == Seq("d")) // 4.0 > 0.4*3.0*1.3 + 0.5
   }
 
   test("a real regression still flags THROUGH uniform co-load") {
