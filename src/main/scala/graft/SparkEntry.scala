@@ -1043,6 +1043,20 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // ——— text analysis: corpus vocabulary — top-K token frequencies, the
+    //     tokenizer-training input (map-side partial agg collapses each
+    //     partition's token stream to its local vocab pre-shuffle) ———
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.tokenFrequencies(t(s, dir, "documents"), "text", topK = 50)),
+
+    // ——— sampling: deterministic per-source keep-% (domain-mix
+    //     rebalancing), the weight table compiled into one CASE in-scan ———
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.functions.Sampling.weightedSample(t(s, dir, "documents"),
+          "doc_id", "source",
+          Map("src1" -> 80, "src2" -> 50, "src3" -> 10), defaultPct = 30)
+        .select("doc_id", "source")),
+
     // ——— sampling: deterministic content-hash train/val/test split ———
     "q_sample_split" -> ((s, dir) =>
       graft.functions.Sampling.split(t(s, dir, "documents"), "doc_id")
@@ -1721,6 +1735,20 @@ object SparkEntry {
         |            GROUP BY 1 HAVING count(*) >= 2)
         |SELECT doc_id FROM reps
         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> len(t) > 0)) AS token FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |WHERE b < CASE WHEN source = 'src1' THEN 80 WHEN source = 'src2' THEN 50
+        |               WHEN source = 'src3' THEN 10 ELSE 30 END""".stripMargin,
 
     "q_sample_split" ->
       """SELECT lang,

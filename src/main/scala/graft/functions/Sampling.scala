@@ -34,4 +34,23 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.where(bucket(col(idCol), 100) < pct)
+
+  /** Domain-mix rebalancing: keep a PER-STRATUM percentage (e.g. upweight
+    * curated sources, downweight crawl) chosen by the same content hash —
+    * the deterministic version of the source-weighted sampling every
+    * pretraining mix applies. `weights` maps stratum value → keep-%, with
+    * `defaultPct` for unlisted strata; the weight table compiles into one
+    * CASE expression evaluated in the scan (broadcast-free, shuffle-free —
+    * a join against a weights table would shuffle or broadcast for what is
+    * a literal lookup).
+    */
+  def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Int], defaultPct: Int): DataFrame = {
+    (weights.values ++ Seq(defaultPct)).foreach(p =>
+      require(p >= 0 && p <= 100, s"keep-% must be in [0,100], got $p"))
+    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, p).otherwise(acc)
+    }
+    df.where(bucket(col(idCol), 100) < pct)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -79,6 +79,23 @@ object TextAnalysis {
 
   /** Rolling-hash fingerprint via the codegen'd [[PolyHash]] expression. */
   def fingerprint(text: Column): Column = PolyHash(text)
+
+  /** Corpus vocabulary: the `topK` most frequent whitespace tokens with
+    * their occurrence counts — the input a tokenizer-training step (BPE
+    * merges, vocab selection) consumes. One explode feeding a two-level
+    * hash aggregation (map-side partials collapse each partition's token
+    * stream to its local vocab before the shuffle, so the exchange carries
+    * ~vocab × partitions rows, not the corpus token stream), then a top-K
+    * sort over the distinct vocab — ≪ corpus by Heaps' law, so the final
+    * ordering is a small-data step at any corpus size. Ties break on the
+    * token so the result is deterministic and oracle-comparable.
+    */
+  def tokenFrequencies(docs: DataFrame, textCol: String, topK: Int): DataFrame =
+    Partitioning.spread(docs)
+      .select(explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(topK)
 
   /** Email addresses — deliberately restricted to syntax whose semantics
     * agree between Java regex (Spark) and RE2 (DuckDB, Go tooling): no

@@ -264,6 +264,30 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("tokenFrequencies: counts, deterministic tie order, top-K cut") {
+    val d = Seq((0L, "b a a"), (1L, "c b  a"), (2L, " c ")).toDF("doc_id", "text")
+    val top = TextAnalysis.tokenFrequencies(d, "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a×3, b×2, c×2 — the b/c tie breaks on the token, K cuts c
+    assert(top == Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("weightedSample keeps per-stratum rates deterministically") {
+    val d = (0 until 400).map(i => (i.toLong, if (i % 2 == 0) "keepy" else "droppy"))
+      .toDF("doc_id", "source")
+    val w = Map("keepy" -> 100, "droppy" -> 0)
+    val out = Sampling.weightedSample(d, "doc_id", "source", w, defaultPct = 50)
+    val kept = out.collect().map(_.getAs[String]("source"))
+    assert(kept.forall(_ == "keepy") && kept.length == 200)
+    // unlisted strata ride the default pct; same inputs → same sample
+    val dflt = Sampling.weightedSample(d, "doc_id", "source", Map.empty, 50)
+    val a = dflt.collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = dflt.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b && a.size > 120 && a.size < 280) // ~50% of 400, hash-spread
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(d, "doc_id", "source", Map("x" -> 101), 50))
+  }
+
   test("redactPii scrubs emails and phone-like runs; short digit runs survive") {
     val d = Seq(
       (0L, "mail alice.smith+x@sub.example.org now"),
