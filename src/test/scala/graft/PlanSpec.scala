@@ -73,6 +73,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastExchange"))
   }
 
+  test("q_curate: window dedup + broadcast decon, no sort-merge join anywhere") {
+    val plan = SparkEntry.queries("q_curate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "bench shingles + drop list broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "no stage of the curation flow may shuffle-join the corpus")
+  }
+
+  test("q_vocab: map-side partial aggregation before the vocab exchange") {
+    val plan = explain("q_vocab")
+    assert(plan.contains("partial_count"),
+      "token counting must collapse per-partition token streams pre-shuffle")
+  }
+
+  test("q_weighted_sample: pure in-scan filter — zero Exchange") {
+    val plan = SparkEntry.queries("q_weighted_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "the per-stratum CASE filter must not shuffle or broadcast anything")
+  }
+
   test("q_emb_lsh_recall: both pair paths stay equi-joins, never cartesian") {
     val plan = SparkEntry.queries("q_emb_lsh_recall")(spark, dir)
       .queryExecution.executedPlan.toString
