@@ -26,6 +26,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The q_quality_classifier "model": 256 bucket weights from a Knuth
+    * multiplicative closed form — exact-integer arithmetic the DuckDB
+    * oracle replays verbatim, then one exact division, so the Scala and
+    * SQL weight vectors are bit-identical doubles.
+    */
+  private[graft] val classifierWeights: Array[Double] =
+    Array.tabulate(256)(b =>
+      ((b.toLong * 2654435761L + 12345L) % 1000003L).toDouble / 1000003.0 - 0.5)
+
   /** The events table ships with TIMESTAMP(NANOS) parquet, which Spark 4
     * refuses by default; read nanos as long and surface a µs-truncated
     * TimestampType `ts` (the same truncation DuckDB's epoch_us applies).
@@ -1139,6 +1148,22 @@ object SparkEntry {
           round(TextAnalysis.dupTrigramFrac(col("p")), 4).as("dup_trigram_frac"),
           TextAnalysis.repetitionKeep(col("p")).as("keep"))),
 
+    // ——— text analysis: model-based quality classifier — fastText-style
+    //     hashed bag-of-tokens linear model (HashedBagLinear expression:
+    //     token → 31-poly hash → bucket weight, mean + bias), the standard
+    //     learned quality filter. The "trained" model here is a
+    //     deterministic closed-form weight vector the oracle re-derives;
+    //     gated in LOGIT space (sigmoid is monotone) so the doubles are
+    //     bit-identical across engines with no exp in the gate ———
+    "q_quality_classifier" -> ((s, dir) => {
+      val logit = TextAnalysis.classifierLogit(
+        col("text"), SparkEntry.classifierWeights, bias = -0.05)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(logit, 4).as("logit"),
+        TextAnalysis.classifierKeep(logit, threshold = 0.5).as("keep"))
+    }),
+
     // ——— dedup: exact (hash groupBy) ———
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq(col("text")))
@@ -1857,6 +1882,29 @@ object SparkEntry {
         |  AND coalesce(CASE WHEN len(b.w) > 2
         |    THEN 1 - coalesce(d3, 0) * 1.0 / (len(b.w) - 2) <= 0.05 END, true) AS keep
         |FROM w b LEFT JOIN top USING (doc_id) LEFT JOIN tgd USING (doc_id)""".stripMargin,
+
+    // replays HashedBagLinear exactly: same 31-poly token hash as
+    // q_fingerprint (per token here), same closed-form weight vector,
+    // same left-to-right fold — so the pre-round doubles are bit-identical
+    // and the keep decision (logit ≥ 0 ⇔ sigmoid ≥ 0.5) carries no exp
+    "q_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |bk AS (
+        |  SELECT doc_id, len(tk) AS n,
+        |    list_transform(tk, t -> CASE WHEN t = '' THEN CAST(0 AS BIGINT) ELSE
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |        (a, b) -> (a * 31 + b) % 2147483647) END % 256) AS bks
+        |  FROM toks),
+        |s AS (
+        |  SELECT doc_id, CAST(-0.05 AS DOUBLE) + list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(bks, b ->
+        |          CAST((b * 2654435761 + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)),
+        |      (a, b) -> a + b) / n AS lr
+        |  FROM bk)
+        |SELECT doc_id, round(lr, 4) AS logit, lr >= 0.0 AS keep FROM s""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
 /** SQL registration for the custom Catalyst expressions, so `spark.sql`
   * users get the same operators as the Column API:
@@ -80,6 +81,23 @@ object GraftFunctions {
         case Seq(c, sc, q) => Int8DotScaled(c, sc, q)
         case es => throw new IllegalArgumentException(
           s"int8_dot(binary, float, array<float|double>), got ${es.size} args")
+      }),
+    ("hashed_bag_logit", "hashed_bag_logit(str, <array<double> literal>, <double literal>) - fastText-style hashed bag-of-tokens linear logit",
+      {
+        case Seq(child, w, b) if w.foldable && b.foldable =>
+          val weights = (w.dataType, w.eval()) match {
+            case (ArrayType(DoubleType, _), a: ArrayData) => a.toDoubleArray().toSeq
+            case (t, _) => throw new IllegalArgumentException(
+              s"hashed_bag_logit: weights must be a foldable array<double>, got $t")
+          }
+          val bias = b.eval() match {
+            case d: Double => d
+            case other => throw new IllegalArgumentException(
+              s"hashed_bag_logit: bias must be a double literal, got $other")
+          }
+          HashedBagLinear(child, weights, bias)
+        case es => throw new IllegalArgumentException(
+          s"hashed_bag_logit(str, <array<double> literal>, <double literal>), got ${es.size} args")
       }),
     ("sign_band_keys", "sign_band_keys(array<float|double>, <int literal>, <int literal>) - sign-LSH band keys",
       {

@@ -119,6 +119,33 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
+  // ——— model-based quality classification ([[HashedBagLinear]]) ———
+
+  /** Logit of a fastText-style hashed-bag linear quality classifier: mean
+    * of the tokens' bucket weights plus `bias`, one in-scan pass, zero
+    * shuffle ([[HashedBagLinear]]). `weights` is the trained model — one
+    * double per hash bucket.
+    */
+  def classifierLogit(text: Column, weights: Array[Double], bias: Double): Column =
+    HashedBagLinear(text, weights, bias)
+
+  /** Probability from a classifier logit (sigmoid). Kept separate from
+    * the logit so oracle-gated flows can stay in exactly-replayable
+    * linear space and threshold there instead.
+    */
+  def classifierScore(logit: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-logit))
+
+  /** Keep-decision at probability `threshold`, evaluated in logit space
+    * (sigmoid is monotone, so `score ≥ t  ⇔  logit ≥ ln(t/(1−t))`) — no
+    * `exp` in the decision path.
+    */
+  def classifierKeep(logit: Column, threshold: Double = 0.5): Column = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"classifierKeep: threshold must be in (0,1), got $threshold")
+    logit >= math.log(threshold / (1.0 - threshold))
+  }
+
   // ——— single-pass profile path (the hot-loop variant of the above) ———
 
   /** All token statistics in one tokenization pass ([[TextProfile]]): the

@@ -94,6 +94,16 @@ class PlanSpec extends SparkSpec {
       "the per-stratum CASE filter must not shuffle or broadcast anything")
   }
 
+  test("q_quality_classifier: whole-stage-codegen in-scan projection, zero Exchange") {
+    val plan = SparkEntry.queries("q_quality_classifier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "model inference is per-row; the corpus must not move")
+    assert(plan.contains("*(1) Project"),
+      "HashedBagLinear must stay inside the generated scan loop " +
+        "(the * prefix marks whole-stage codegen)")
+  }
+
   test("q_emb_lsh_recall: both pair paths stay equi-joins, never cartesian") {
     val plan = SparkEntry.queries("q_emb_lsh_recall")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -241,6 +241,46 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(3L).getAs[Long]("n") == 1)
   }
 
+  test("HashedBagLinear: hand-computed logit, empty-string bucket 0, null, " +
+      "and sigmoid/keep consistency") {
+    // B=2: 'a'(97) → bucket 1, 'b'(98) → bucket 0
+    val w = Array(0.25, -0.75)
+    val d = Seq((0L, "a b"), (1L, ""), (2L, null: String)).toDF("doc_id", "text")
+    val logit = TextAnalysis.classifierLogit(col("text"), w, bias = 0.1)
+    val rows = d.select(col("doc_id"), logit.as("l"),
+        TextAnalysis.classifierScore(logit).as("s"),
+        TextAnalysis.classifierKeep(logit, 0.5).as("k"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[Double]("l") == 0.1 + (-0.75 + 0.25) / 2)
+    // "" tokenizes to one empty token; PolyHash("") = 0 → bucket 0
+    assert(rows(1L).getAs[Double]("l") == 0.1 + 0.25)
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("l")) &&
+      rows(2L).isNullAt(rows(2L).fieldIndex("k")))
+    // sigmoid of the logit, and keep ⇔ score ≥ threshold
+    for (id <- Seq(0L, 1L)) {
+      val l = rows(id).getAs[Double]("l")
+      assert(math.abs(rows(id).getAs[Double]("s") - 1.0 / (1.0 + math.exp(-l))) < 1e-12)
+      assert(rows(id).getAs[Boolean]("k") == (1.0 / (1.0 + math.exp(-l)) >= 0.5))
+    }
+    // interpreted eval agrees with codegen (nullSafeEval is the fallback path)
+    assert(HashedBagLinear.compute("a b", w, 0.1) == rows(0L).getAs[Double]("l"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.classifierKeep(logit, 1.0))
+  }
+
+  test("hashed_bag_logit: SQL path agrees with the Column API") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT hashed_bag_logit('a b c', array(0.25D, -0.75D), 0.1D)").head().getDouble(0)
+    val viaCol = Seq("a b c").toDF("t")
+      .select(TextAnalysis.classifierLogit(col("t"), Array(0.25, -0.75), 0.1))
+      .head().getDouble(0)
+    assert(viaSql == viaCol)
+    // non-foldable weights are a build-time error, not a wrong answer
+    intercept[Exception](
+      spark.sql("SELECT hashed_bag_logit('a', array(rand()), 0.1D)").head())
+  }
+
   test("RepetitionProfile ≡ relational 2-gram mode / distinct-3-gram aggregation") {
     val rnd = new scala.util.Random(7)
     val d = (0 until 40).map { i =>
