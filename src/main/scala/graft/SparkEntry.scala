@@ -494,7 +494,18 @@ object SparkEntry {
     compactedDependencyStore(s, dir)
     autocompleteStore(s, dir)
     ivfIndexStore(s, dir)
+    shardStore(s, dir)
   }
+
+  /** The exported training shards behind q_shard_export: content-addressed
+    * assignment, (shard, id)-sorted files
+    * ([[graft.operators.Curation.writeTrainingShards]]). Built once; the
+    * query times read-back + manifest only, like every other store.
+    */
+  private def shardStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "shards", dir)(p =>
+      graft.operators.Curation.writeTrainingShards(
+        t(s, dir, "documents"), p, "doc_id", "text", nShards = 8))
 
   /** The persisted IVF index: embeddings assigned to their nearest
     * centroid, parquet-partitioned by cell ([[Similarity.writeIvfIndex]]).
@@ -1050,6 +1061,23 @@ object SparkEntry {
           slice(TextAnalysis.tokens(col("text")), 1, 12)).as("bench_text"))
       graft.operators.Curation.curate(docs, "doc_id", "text", bench, "bench_text")
         .select("doc_id")
+    }),
+
+    // ——— curation terminal stage: content-addressed training-shard
+    //     export. The shards are WRITTEN (one hash repartition,
+    //     partitionBy dirs, (shard, id)-sorted files) then READ BACK, and
+    //     the per-shard manifest of the read-back — counts + an
+    //     order-independent content checksum — is what the oracle gates:
+    //     a doc landing in the wrong shard, dropped, or duplicated by the
+    //     round-trip shifts some shard's n_docs or content_sum ———
+    "q_shard_export" -> ((s, dir) => {
+      val path = shardStore(s, dir) // built once per JVM; Bench pre-builds
+      s.read.parquet(path)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(pmod(graft.functions.HashFunctions.portableHash64(col("text")),
+            lit(1000000007L))).as("content_sum"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
     }),
 
     // ——— text analysis: corpus vocabulary — top-K token frequencies, the
@@ -1760,6 +1788,18 @@ object SparkEntry {
         |            GROUP BY 1 HAVING count(*) >= 2)
         |SELECT doc_id FROM reps
         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+
+    // replays the content-addressed shard assignment closed-form; the
+    // Spark side aggregates the READ-BACK shards, so a round-trip fault
+    // (wrong dir, lost or doubled row) breaks the match
+    "q_shard_export" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT hv % 8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(hv % 1000000007) AS BIGINT) AS content_sum,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM h GROUP BY 1""".stripMargin,
 
     "q_vocab" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (

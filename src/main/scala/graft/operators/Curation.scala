@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, TextAnalysis}
+import graft.functions.{Dedup, Sampling, TextAnalysis}
 
 /** The end-to-end corpus curation flow a pretraining pipeline runs, as one
   * composition of this library's operators — cheap narrow filters first,
@@ -46,5 +46,31 @@ object Curation {
       .drop("__rep")
     Dedup.decontaminate(deduped, idCol, textCol, benchmark, benchTextCol,
       decontamN, minOverlap)
+  }
+
+  /** Terminal stage: export the curated corpus as `nShards` deterministic
+    * training shards. Shard assignment is CONTENT-addressed
+    * ([[Sampling.bucket]] over the text — the portable md5 hash, never
+    * `rand()` or `spark_partition_id`), so a retry, a backfill, or a
+    * different cluster width lands every document in the same shard; and
+    * within a shard rows are written in (shard, id) order, so the bytes
+    * are reproducible too — shard-diffing two pipeline runs shows real
+    * changes, not shuffle noise.
+    *
+    * Physical shape: one hash repartition keyed by the shard id (the only
+    * shuffle — `partitionBy` then splits directories without moving rows
+    * again), one file per shard per task. At 100 TB, `nShards` is sized so
+    * a shard is a few GB (tens of thousands of shards): each write task
+    * owns whole shards, stays memory-bounded via the sort, and downstream
+    * trainers stream shard files independently.
+    */
+  def writeTrainingShards(docs: DataFrame, outDir: String, idCol: String,
+      textCol: String, nShards: Int): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    docs
+      .withColumn("shard", Sampling.bucket(col(textCol), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 }
