@@ -1374,6 +1374,53 @@ object SparkEntry {
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
+    // ——— dedup: SemDeDup pairs, HASH-gated on real multi-cell geometry —
+    //     one-hot axis centroids make the cell assignment SQL-expressible
+    //     (nearest axis centroid = argmax component, first index on ties,
+    //     matching ivfAssign's smaller-id tiebreak), so the whole
+    //     composition — broadcast assign, within-cell equi-join, exact
+    //     cosine gate — is replayed exactly by DuckDB. The k-means serving
+    //     geometry is gated by q_semdedup_recall ———
+    "q_semdedup" -> ((s, dir) => {
+      val dim = 64 // embeddings fixture dimension (TESTDATA.md)
+      val axes = s.range(dim).select(col("id").as("centroid_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => when(j === col("id"), lit(1.0d)).otherwise(lit(0.0d)))
+          .as("centroid_vec"))
+      Dedup.semanticDedupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          axes, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ——— dedup: SemDeDup recall on the SERVING geometry — deterministic
+    //     k-means cells, planted near-copies (cosine ≈ 1) of every 10th
+    //     vector; the cell bound must recover ≥90% of the exact grid
+    //     join's pairs at the same threshold. Misses are cross-cell by
+    //     construction — this gate measures that trade on real data ———
+    "q_semdedup_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val maxId = emb.agg(max("vec_id")).first()
+      val plantOffset = (if (maxId.isNullAt(0)) 0L else maxId.getLong(0)) + 1L
+      val planted = emb.where(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + lit(plantOffset)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("vec_id"), size(col("embedding"))),
+            (x + lit(0.01) * Similarity.norm(col("embedding"))).cast("float"))
+            .otherwise(x)).as("embedding"))
+      val all = emb.unionByName(planted)
+      val exact = Similarity.cosinePairs(all, "vec_id", "embedding", 0.95,
+        numBlocks = 16).select("id_a", "id_b")
+      val centroids = Similarity.kmeansCentroids(all, "vec_id", "embedding",
+        nCentroids = 16)
+      val approx = Dedup.semanticDedupPairs(all, "vec_id", "embedding",
+          centroids, threshold = 0.95)
+        .select("id_a", "id_b").withColumn("found", lit(1))
+      exact.join(approx, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("tot"), count(col("found")).as("hit"))
+        .select(lit("semdedup_recall_at_0.95").as("metric"),
+          (col("tot") > 0 && col("hit") >= col("tot") * 0.9).as("meets_target"))
+    }),
+
     // ——— multimodal: binary columns + REAL RIFF/WAVE PCM decode. The media
     // table synthesizes one integer-exact sawtooth WAV per doc id
     // (Multimodal.sawtoothSamples documents the closed form); the oracle
@@ -1989,6 +2036,25 @@ object SparkEntry {
         |       round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6) AS cosine
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    // replays the one-hot-centroid SemDeDup composition exactly: cell =
+    // argmax embedding component (list_indexof finds the FIRST max —
+    // ivfAssign's smaller-centroid-id tiebreak), then exact within-cell
+    // cosine with q_emb_neardup's arithmetic
+    "q_semdedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+        |    list_indexof(embedding, list_max(embedding)) - 1 AS cell
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) >= 0.2""".stripMargin,
+
+    // constant oracle, same pattern as the ANN recall gates: the recall is
+    // computed in-engine against the exact grid join
+    "q_semdedup_recall" ->
+      "SELECT 'semdedup_recall_at_0.95' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
 
     // constant oracle: the recall itself is computed in-engine against the
     // exact baseline; hash-match == "recall@5 >= 0.9 held on this corpus"

@@ -589,6 +589,32 @@ object Dedup {
       threshold: Double): DataFrame =
     Similarity.cosinePairs(vectors, idCol, vecCol, threshold)
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs, with the
+    * candidate set bounded to nearest-centroid cells
+    * ([[Similarity.cosinePairsWithinCells]]) — the embedding-space analog
+    * of [[minhashPairs]]' band bucketing, and the 100 TB path for semantic
+    * dedup (the exact [[embeddingCosinePairs]] grid join is the
+    * small-corpus/oracle mode). Verification is exact cosine, so false
+    * positives never escape; misses are cross-cell only.
+    */
+  def semanticDedupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame =
+    Similarity.cosinePairsWithinCells(vectors, idCol, vecCol, centroids, threshold)
+
+  /** [[semanticDedupPairs]] → connected components → (doc, canonical)
+    * cluster labels, ready for [[dropNearDuplicates]]. Same scoped-release
+    * pattern as [[clustersFromMinhash]]: components materialize the pair
+    * set, so the assignment cache is freed before return.
+    */
+  def semanticDedupClusters(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val (pairs, caches) = Similarity.cosinePairsWithinCellsScoped(
+      vectors, idCol, vecCol, centroids, threshold)
+    try connectedComponents(
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    finally caches.foreach(_.unpersist(false))
+  }
+
   /** Benchmark decontamination report: for every corpus doc sharing at
     * least one distinct word n-gram with the benchmark set, the count of
     * distinct shared n-grams (|S_doc ∩ S_bench| — S_bench is the UNION of

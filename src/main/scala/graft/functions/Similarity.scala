@@ -151,6 +151,60 @@ object Similarity {
     (pairs, Seq(bandKeys, v))
   }
 
+  /** Exact cosine pairs WITHIN nearest-centroid cells — the SemDeDup
+    * candidate bound (Abbas et al. 2023: cluster the embeddings, then look
+    * for semantic duplicates only inside each cluster). One broadcast
+    * assignment pass, then a shuffle EQUI-join keyed by `centroid_id` —
+    * never a corpus-wide Θ(n²): the pair work is Σ|cell|², and at 100 TB
+    * the centroid count is sized ∝ corpus (n / target-cell-size, the
+    * paper's regime) so |cell| — and with it both the join fan-out and a
+    * reducer's working set — stays bounded as the corpus grows. Pairs the
+    * clustering misses are CROSS-cell by construction; that is SemDeDup's
+    * documented trade, and the recall gate measures what it costs on real
+    * geometry.
+    *
+    * Cache contract as [[cosinePairsLSH]]: the assignment persists for the
+    * self-join (it carries a broadcast join + aggregation that would
+    * otherwise run twice); long-lived callers clear it after materializing,
+    * or use the scoped variant to release it eagerly by handle.
+    */
+  def cosinePairsWithinCells(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame =
+    cosinePairsWithinCellsScoped(vectors, idCol, vecCol, centroids, threshold)._1
+
+  private[graft] def cosinePairsWithinCellsScoped(vectors: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    // centroids are broadcastable by contract (k ≪ corpus), so assignment
+    // is a PER-ROW expression against the driver-collected model
+    // ([[NearestCentroid]]) — one narrow projection over the corpus, zero
+    // shuffle and no k-fold row blow-up, vs ivfAssign's join + argmax
+    // aggregation (kept for index build, where it runs once)
+    val model = centroids
+      .select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Any](1).map {
+          case d: java.lang.Double => d.doubleValue
+          case f: java.lang.Float => f.doubleValue
+        }: Seq[Double]))
+      .toSeq
+    val assigned = Partitioning.spread(vectors).select(
+        col(idCol), col(vecCol), norm(col(vecCol)).as("vec_nrm"),
+        NearestCentroid(col(vecCol), model).as("centroid_id"))
+      .cache()
+    // shuffle_hash: the SMJ alternative sorts the full vector payloads on
+    // both sides just to merge ~k distinct keys
+    val pairs = assigned.as("a").join(assigned.as("b").hint("shuffle_hash"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        safeCosine(VectorDot(col(s"a.$vecCol"), col(s"b.$vecCol")),
+          col("a.vec_nrm") * col("b.vec_nrm")).as("cosine"))
+      .where(col("cosine") >= threshold)
+    (pairs, Seq(assigned))
+  }
+
   /** Assign each vector to its nearest centroid (IVF cell). Centroids must be
     * broadcastable (they are by construction: nCentroids ≪ corpus). Norms on
     * both sides are computed once per row, not per (vector, centroid) pair,

@@ -104,6 +104,17 @@ class PlanSpec extends SparkSpec {
         "(the * prefix marks whole-stage codegen)")
   }
 
+  test("q_semdedup: per-row in-scan centroid assignment, equi-join pair " +
+      "stage — never a corpus-wide cartesian") {
+    val plan = SparkEntry.queries("q_semdedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("nearestcentroid"),
+      "assignment must be the NearestCentroid expression (no k-fold join blow-up)")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the pair stage must equi-join on centroid_id")
+  }
+
   test("q_emb_lsh_recall: both pair paths stay equi-joins, never cartesian") {
     val plan = SparkEntry.queries("q_emb_lsh_recall")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -626,6 +626,33 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup: within-cell pairs found, cross-cell near-pair missed " +
+      "(the documented trade), clusters label min-id canonicals") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f)),  // cell 0
+      (1L, Array(1.0f, 0.12f)), // cell 0 — near-dup of 0
+      (2L, Array(0.1f, 1.0f)),  // cell 1
+      (3L, Array(0.12f, 1.0f)), // cell 1 — near-dup of 2
+      (4L, Array(1.0f, 0.95f)), // cell 0
+      (5L, Array(0.95f, 1.0f))  // cell 1 — cosine(4,5) ≈ 1 but CROSS-cell
+    ).toDF("vec_id", "embedding")
+    val axes = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid_vec")
+    val pairs = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding", axes, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // (0,1) and (2,3) are in-cell near-dups; (4,5) is the cross-cell miss
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+    val clusters = Dedup.semanticDedupClusters(vecs, "vec_id", "embedding", axes, 0.9)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+    // apply: canonicals and unclustered docs survive
+    val surviving = Dedup.dropNearDuplicates(
+      vecs.select(col("vec_id").as("doc_id")), "doc_id",
+      Dedup.semanticDedupClusters(vecs, "vec_id", "embedding", axes, 0.9))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(surviving == Set(0L, 2L, 4L, 5L))
+  }
+
   test("cosine / brute-force top-k") {
     val top = Similarity.bruteForceTopK(
       vectors.where($"vec_id" === 0), vectors, "vec_id", "embedding", 2).collect()
