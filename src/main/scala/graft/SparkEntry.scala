@@ -984,6 +984,29 @@ object SparkEntry {
     }),
 
     // ——— A-class: distinct aggregation (Expand-based) ———
+    // ——— approximate distinct: MERGEABLE HLL sketches (DataSketches
+    //     built-ins, codegen agg). Exact count-distinct shuffles every
+    //     distinct value; a sketch is fixed-KB per group, merges across
+    //     shards/windows with map-side partial agg intact — the only
+    //     count-distinct shape at 100 TB. Gate: per-source estimates AND
+    //     the union-merged global estimate within 5% of exact (in-engine;
+    //     constant oracle like the recall gates) ———
+    "q_approx_distinct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val perSrc = docs.groupBy("source").agg(
+        hll_sketch_agg(col("text")).as("sk"),
+        countDistinct(col("text")).as("nd"))
+      val merged = perSrc.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_global"),
+        max(abs(hll_sketch_estimate(col("sk")) - col("nd")) /
+          col("nd").cast("double")).as("max_src_err"))
+      merged.crossJoin(docs.agg(countDistinct(col("text")).as("exact_global")))
+        .select(lit("hll_distinct_rel_err").as("metric"),
+          (col("max_src_err") <= 0.05 &&
+            abs(col("est_global") - col("exact_global")) /
+              col("exact_global").cast("double") <= 0.05).as("meets_target"))
+    }),
+
     "q_count_distinct" -> ((s, dir) =>
       events(s, dir)
         .groupBy("event_type")
@@ -1723,6 +1746,12 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-08'
         |EXCEPT
         |SELECT DISTINCT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-22'""".stripMargin,
+
+    // constant oracle, same pattern as the recall gates: the 5% error
+    // bound (per-source and union-merged global) is computed in-engine
+    // against exact count-distinct
+    "q_approx_distinct" ->
+      "SELECT 'hll_distinct_rel_err' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
 
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,

@@ -104,6 +104,13 @@ class PlanSpec extends SparkSpec {
         "(the * prefix marks whole-stage codegen)")
   }
 
+  test("q_approx_distinct: HLL sketch aggregation keeps map-side partials") {
+    val plan = explain("q_approx_distinct")
+    assert(plan.contains("partial_hll_sketch_agg"),
+      "per-source sketches must fold locally before the shuffle — the " +
+        "fixed-KB mergeable state is the whole point of the sketch path")
+  }
+
   test("q_semdedup: per-row in-scan centroid assignment, equi-join pair " +
       "stage — never a corpus-wide cartesian") {
     val plan = SparkEntry.queries("q_semdedup")(spark, dir)
