@@ -984,6 +984,19 @@ object SparkEntry {
     }),
 
     // ——— A-class: distinct aggregation (Expand-based) ———
+    // ——— data layout: Morton (Z-order) keys — the OPTIMIZE ZORDER BY
+    //     primitive. The key itself is the gated surface (bit-exact
+    //     shifts-and-ors, replayed by DuckDB); the layout win (files in
+    //     z-ranges carry tight min/max envelopes on EVERY dimension, so
+    //     multi-dim box predicates prune files) is pinned by the
+    //     FunctionsSpec pruning leg over real written files ———
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.functions.ZOrderKey(
+          Seq(pmod(col("l_orderkey"), lit(1024)), pmod(col("l_partkey"), lit(1024))),
+          bits = 10).as("zkey"))),
+
     // ——— approximate distinct: MERGEABLE HLL sketches (DataSketches
     //     built-ins, codegen agg). Exact count-distinct shuffles every
     //     distinct value; a sketch is fixed-KB per group, merges across
@@ -1746,6 +1759,18 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-08'
         |EXCEPT
         |SELECT DISTINCT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-22'""".stripMargin,
+
+    // replays the Morton interleave bit-exactly: bit i of dim d lands at
+    // position i*dims + d (dims=2, bits=10). Every shift term is FULLY
+    // parenthesized — DuckDB's | does not bind looser than << the way
+    // Java's does, and an unparenthesized mix shifts by the OR instead
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum([
+        |    ((((l_orderkey % 1024) >> i) & 1) << (2*i)) |
+        |    ((((l_partkey % 1024) >> i) & 1) << (2*i + 1))
+        |    for i in range(0, 10)]) AS BIGINT) AS zkey
+        |FROM lineitem""".stripMargin,
 
     // constant oracle, same pattern as the recall gates: the 5% error
     // bound (per-source and union-merged global) is computed in-engine

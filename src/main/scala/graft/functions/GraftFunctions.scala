@@ -99,6 +99,12 @@ object GraftFunctions {
         case es => throw new IllegalArgumentException(
           s"hashed_bag_logit(str, <array<double> literal>, <double literal>), got ${es.size} args")
       }),
+    ("zorder_key", "zorder_key(array<long>, <int literal> bits) - Morton (Z-order) interleave key",
+      {
+        case Seq(child, b) => ZOrderKey(child, intLit(b, "zorder_key"))
+        case es => throw new IllegalArgumentException(
+          s"zorder_key(array<long>, <int literal> bits), got ${es.size} args")
+      }),
     ("sign_band_keys", "sign_band_keys(array<float|double>, <int literal>, <int literal>) - sign-LSH band keys",
       {
         case Seq(child, bits, bands) =>

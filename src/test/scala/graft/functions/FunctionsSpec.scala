@@ -626,6 +626,49 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("ZOrderKey: hand-computed interleave, masking, null element, SQL parity") {
+    val d = Seq(
+      (0L, Some(5L), Some(3L)),  // 101 ⋈ 011 → 011011 = 27
+      (1L, Some(0L), Some(0L)),
+      (2L, Some(13L), Some(3L)), // 13 & 0b111 = 5 under bits=3 → same as row 0
+      (3L, None: Option[Long], Some(1L))
+    ).toDF("id", "x", "y")
+    val rows = d.select(col("id"), ZOrderKey(Seq(col("x"), col("y")), bits = 3).as("z"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(rows(0L) == 27L && rows(1L) == 0L)
+    assert(rows(2L) == 27L, "out-of-range dims must wrap via the bits mask")
+    assert(rows(3L) == null, "a null dimension nulls the key")
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT zorder_key(array(5L, 3L), 3)").head().getLong(0) == 27L)
+    intercept[IllegalArgumentException](ZOrderKey(Seq(col("x")), bits = 0))
+    // dims*bits > 63 is a runtime guard (array length is data-dependent)
+    intercept[Exception](
+      spark.sql("SELECT zorder_key(array(1L, 2L, 3L), 22)").head()) // 66 bits
+  }
+
+  test("ZOrder.layout: z-ranged files bound file count for a predicate on " +
+      "ANY interleaved dimension; a single-column sort only for its own") {
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val d = grid.toDF("x", "y")
+    val zdir = java.nio.file.Files.createTempDirectory("zlay").toString
+    val xdir = java.nio.file.Files.createTempDirectory("xlay").toString
+    ZOrder.layout(d, Seq("x", "y"), bits = 6, numFiles = 16)
+      .write.mode("overwrite").parquet(zdir)
+    d.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(xdir)
+    // files a min/max-stats reader could NOT skip for y ∈ [8, 16)
+    def filesWithMatches(dir: String): Int =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .count(f => spark.read.parquet(f.toString)
+          .where(col("y") >= 8 && col("y") < 16).head(1).nonEmpty)
+    assert(filesWithMatches(xdir) == 16,
+      "x-sorted layout spreads every y-slice across ALL files")
+    // y∈[8,16) under 2-D z-order is 8 aligned 8×8 quadtree cells → 8
+    // contiguous z-runs → at most 8 (+boundary) of the 16 z-range files
+    assert(filesWithMatches(zdir) <= 9,
+      "z-ranged files must carry a usable y envelope")
+  }
+
   test("SemDeDup: within-cell pairs found, cross-cell near-pair missed " +
       "(the documented trade), clusters label min-id canonicals") {
     val vecs = Seq(
