@@ -391,6 +391,45 @@ object SparkEntry {
           .start())
     }
 
+  /** The streaming curation store behind q_curate_stream: quality gate →
+    * PII redaction → watermark-bounded exact dedup, all through the REAL
+    * engine ([[graft.operators.Curation.curateStream]]) with an
+    * engine-level checkpoint-rollback replay. Every row carries a planted
+    * per-ID contact line (q_pii_redact's planting), and the batch-3
+    * re-feeds (every id ≡ 0 mod 10, fresh ids) therefore differ from
+    * their originals in RAW text but match after redaction — so a
+    * re-feed can only be dropped if redaction runs before the dedup
+    * state inside the streaming flow: the gate proves stage ORDER
+    * through the engine, not just the drop itself.
+    */
+  private def streamCurateStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "scurate", dir) { path =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      require(docs.nonEmpty, "streaming curation fixture requires documents")
+      val base = 1700000000000L
+      def env(id: Long, tx: String, i: Int) =
+        (id, s"$tx contact user$id@example.com or call +1 (415) 555-01$id",
+          new java.sql.Timestamp(base + i * 1000L))
+      val feed = docs.zipWithIndex.map { case ((id, tx), i) => env(id, tx, i) }
+      val dups = docs.collect { case (id, tx) if id % 10 == 0 => (id, tx) }
+        .zipWithIndex.map { case ((id, tx), i) =>
+          env(id + 1000000000L, tx, feed.length + i) }
+      val half = (feed.length + 1) / 2
+      val batches = Seq(feed.take(half).toSeq, feed.drop(half).toSeq, dups.toSeq)
+      runReplayedStream(s, "graft-scurate", batches, 1)((ds, chk) =>
+        graft.operators.Curation.curateStream(
+            ds.toDF("doc_id", "text", "ingest_ts"), "text", "ingest_ts", "365 days")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", chk)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+          }
+          .start())
+    }
+
   /** Events as time-ordered span envelopes (ingest time = span time) — the
     * shared fixture feed of the three streaming-engine store builds.
     * MemoryStream is driver-fed BY DESIGN (it is the engine's in-process
@@ -532,7 +571,7 @@ object SparkEntry {
     */
   val benchExcluded: Set[String] = Set(
     "q_stream_store_autocomplete", "q_stream_store_traces",
-    "q_stream_store_dependencies", "q_dedup_stream")
+    "q_stream_store_dependencies", "q_dedup_stream", "q_curate_stream")
 
   /** Shared exploded-span projection of the getTrace/getTraceMany surfaces —
     * ONE shape for the in-memory and bucketed-store legs, so their shared
@@ -1240,6 +1279,21 @@ object SparkEntry {
     //     text key iff the engine dropped every planted re-feed ———
     "q_dedup_stream" -> ((s, dir) => {
       val path = streamDedupStore(s, dir)
+      s.read.parquet(path)
+        .distinct() // collapses only the replay's identical re-appended rows
+        .groupBy(md5(col("text")).as("key"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // ——— curation through the STREAMING engine: quality gate → PII
+    //     redaction → watermark dedup on the redacted text, micro-batched
+    //     with a checkpoint-rollback replay. The re-feeds differ from
+    //     their originals in raw text (per-id planted contact lines) but
+    //     match after redaction — droppable only if the flow redacts
+    //     BEFORE the engine's dedup state sees the key, so one survivor
+    //     per distinct redacted text proves the stage order end-to-end ———
+    "q_curate_stream" -> ((s, dir) => {
+      val path = streamCurateStore(s, dir)
       s.read.parquet(path)
         .distinct() // collapses only the replay's identical re-appended rows
         .groupBy(md5(col("text")).as("key"))
@@ -2054,6 +2108,44 @@ object SparkEntry {
     // streaming engine failed to drop a planted cross-batch duplicate
     "q_dedup_stream" ->
       "SELECT DISTINCT md5(text) AS key, CAST(1 AS BIGINT) AS n_rows FROM documents",
+
+    // replays the full streaming flow: feed ∪ re-feeds (id ≡ 0 mod 10,
+    // +1e9 ids), per-id PII planting, the quality + repetition gate ON THE
+    // PLANTED TEXT, redaction, then one survivor per distinct redacted
+    // text. Redaction erases the per-id differences, so the distinct set
+    // is well-defined whichever copy the engine kept.
+    "q_curate_stream" ->
+      """WITH all_rows AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 0),
+        |p AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or call +1 (415) 555-01' || doc_id AS ptext
+        |  FROM all_rows),
+        |w AS (SELECT doc_id, ptext, string_split_regex(trim(ptext), '\s+') AS w FROM p),
+        |q AS (SELECT doc_id, ptext, w FROM w WHERE
+        |  ((CASE WHEN len(w) BETWEEN 8 AND 512 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN (length(trim(ptext)) - (len(w) - 1)) * 1.0 / len(w) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN len(list_filter(w,
+        |       t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) * 1.0 / len(w)
+        |       BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.6),
+        |bg AS (SELECT doc_id, unnest(
+        |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g FROM q),
+        |top AS (SELECT doc_id, max(c) AS topb FROM
+        |        (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |tg AS (SELECT doc_id, unnest(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g FROM q),
+        |tgd AS (SELECT doc_id, count(DISTINCT g) AS d3 FROM tg GROUP BY 1),
+        |keep AS (SELECT q.doc_id, q.ptext FROM q
+        |  LEFT JOIN top USING (doc_id) LEFT JOIN tgd USING (doc_id)
+        |  WHERE coalesce(CASE WHEN len(q.w) > 1
+        |      THEN coalesce(topb, 0) * 1.0 / (len(q.w) - 1) <= 0.08 END, true)
+        |    AND coalesce(CASE WHEN len(q.w) > 2
+        |      THEN 1 - coalesce(d3, 0) * 1.0 / (len(q.w) - 2) <= 0.05 END, true)),
+        |red AS (SELECT regexp_replace(regexp_replace(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS rtext FROM keep)
+        |SELECT DISTINCT md5(rtext) AS key, CAST(1 AS BIGINT) AS n_rows FROM red""".stripMargin,
 
     "q_dedup_ngram" -> jaccardOracle(0.5, capped = true),
     "q_dedup_minhash" -> jaccardOracle(0.8, capped = false),

@@ -48,6 +48,33 @@ object Curation {
       decontamN, minOverlap)
   }
 
+  /** The curation flow on an UNBOUNDED ingest — the streaming form of
+    * [[curate]]'s first stages, composed for the micro-batch engine:
+    *
+    *  1. quality + repetition gate — the same single-pass expressions,
+    *     stateless, evaluated inside each micro-batch's scan;
+    *  2. PII redaction — stateless in-scan scrub, BEFORE dedup, so two
+    *     deliveries of one document that differ only in scrubbed spans
+    *     (tracking tokens, per-copy contact lines) still collapse;
+    *  3. exact dedup on the REDACTED text — [[Dedup.exactStream]],
+    *     watermark-bounded state (keys-per-horizon, never keys-ever).
+    *
+    * Benchmark decontamination is equally stateless (broadcast probe) and
+    * composes the same way; it stays out of this signature because the
+    * benchmark set is a batch-side input ([[curate]] gates it).
+    */
+  def curateStream(docs: DataFrame, textCol: String, eventTimeCol: String,
+      horizon: String, minQuality: Double = 0.6): DataFrame = {
+    val filtered = docs
+      .withColumn("__p", TextAnalysis.profile(col(textCol)))
+      .withColumn("__rp", TextAnalysis.repetitionProfile(col(textCol)))
+      .where(TextAnalysis.qualityFromProfile(col("__p")) >= minQuality &&
+        TextAnalysis.repetitionKeep(col("__rp")))
+      .drop("__p", "__rp")
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    Dedup.exactStream(filtered, Seq(textCol), eventTimeCol, horizon)
+  }
+
   /** Terminal stage: export the curated corpus as `nShards` deterministic
     * training shards. Shard assignment is CONTENT-addressed
     * ([[Sampling.bucket]] over the text — the portable md5 hash, never

@@ -559,4 +559,41 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(ids() == Set(1L, 2L, 5L, 6L, 7L))
     } finally q.stop()
   }
+
+  test("streaming curation: quality-failing rows never reach the sink, and " +
+      "raw-different/redaction-equal copies collapse (redact BEFORE dedup)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val out = graft.operators.Curation.curateStream(
+      docs, "text", "ingest_ts", "365 days")
+    val q = out.writeStream.format("memory").queryName("curate_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    def ids() = spark.table("curate_stream_out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // passes the quality gate: 8–512 tokens, sane lengths, a stopword
+    val good = "the quick brown fox jumps over the lazy dog again"
+    try {
+      // batch 1: a good doc with a contact line, and a junk doc (one token
+      // → fails the 8-token band) that must be filtered IN-stream
+      input.addData(
+        (1L, good + " contact user1@example.com or call +1 (415) 555-0101", ts(1000)),
+        (2L, "junkjunkjunk", ts(1001)))
+      q.processAllAvailable()
+      assert(ids() == Set(1L), "quality-failing row must not reach the sink")
+      // batch 2: same doc re-delivered with a DIFFERENT contact line — raw
+      // text differs, redacted text matches; only a flow that redacts
+      // before the dedup state can drop it
+      input.addData(
+        (3L, good + " contact user3@example.com or call +1 (415) 555-0303", ts(1002)))
+      q.processAllAvailable()
+      assert(ids() == Set(1L),
+        "redaction-equal redelivery must collapse against the dedup state")
+      // and the survivor's text is the redacted form, not the raw one
+      val kept = spark.table("curate_stream_out")
+        .collect().map(_.getAs[String]("text")).toSeq
+      assert(kept == Seq(good + " contact <EMAIL> or call <PHONE>"))
+    } finally q.stop()
+  }
 }
