@@ -78,15 +78,15 @@ object ZOrderKey {
   }
 
   /** Bit i of element d lands at position i*dims + d. */
-  def compute(arr: ArrayData, bits: Int): Long = {
-    val dims = arr.numElements()
+  def interleave(vals: Array[Long], bits: Int): Long = {
+    val dims = vals.length
     if (dims.toLong * bits > 63)
       throw new IllegalArgumentException(
         s"zorder_key: dims ($dims) * bits ($bits) must be <= 63")
     var z = 0L
     var d = 0
     while (d < dims) {
-      val v = arr.getLong(d) & ((1L << bits) - 1)
+      val v = vals(d) & ((1L << bits) - 1)
       var i = 0
       while (i < bits) {
         z |= ((v >> i) & 1L) << (i * dims + d)
@@ -95,6 +95,13 @@ object ZOrderKey {
       d += 1
     }
     z
+  }
+
+  def compute(arr: ArrayData, bits: Int): Long = {
+    val vals = new Array[Long](arr.numElements())
+    var d = 0
+    while (d < vals.length) { vals(d) = arr.getLong(d); d += 1 }
+    interleave(vals, bits)
   }
 
   /** Column API: `ZOrderKey(Seq($"x", $"y"), bits)` — dimensions are cast

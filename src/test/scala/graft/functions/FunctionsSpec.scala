@@ -646,6 +646,25 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT zorder_key(array(1L, 2L, 3L), 22)").head()) // 66 bits
   }
 
+  test("ZOrderKey: interleave is invertible — alternate-bit extraction " +
+      "recovers every dimension (randomized)") {
+    val rnd = new scala.util.Random(11)
+    def deinterleave(z: Long, dims: Int, bits: Int, d: Int): Long =
+      (0 until bits).map(i => ((z >> (i * dims + d)) & 1L) << i).sum
+    val cases = (0 until 200).map { _ =>
+      val dims = 2 + rnd.nextInt(2) // 2 or 3
+      val bits = 1 + rnd.nextInt(63 / dims)
+      (dims, bits, Array.fill(dims)(rnd.nextLong().abs & ((1L << bits) - 1)))
+    }
+    cases.foreach { case (dims, bits, vals) =>
+      val z = ZOrderKey.interleave(vals, bits)
+      (0 until dims).foreach { d =>
+        assert(deinterleave(z, dims, bits, d) == vals(d),
+          s"dims=$dims bits=$bits d=$d vals=${vals.mkString(",")} z=$z")
+      }
+    }
+  }
+
   test("ZOrder.layout: z-ranged files bound file count for a predicate on " +
       "ANY interleaved dimension; a single-column sort only for its own") {
     val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
