@@ -31,6 +31,13 @@ object SparkEntry {
     * oracle replays verbatim, then one exact division, so the Scala and
     * SQL weight vectors are bit-identical doubles.
     */
+  /** q_subword's segmentation vocab — literal on BOTH sides (the oracle
+    * embeds the same VALUES list); nested prefixes exercise longest-match.
+    */
+  private[graft] val subwordVocab: Seq[String] = Seq(
+    "tion", "ther", "the", "th", "ing", "in", "ed", "er", "re",
+    "an", "on", "en", "es", "at", "or", "ment", "wea")
+
   private[graft] val classifierWeights: Array[Double] =
     Array.tabulate(256)(b =>
       ((b.toLong * 2654435761L + 12345L) % 1000003L).toDouble / 1000003.0 - 0.5)
@@ -1267,6 +1274,20 @@ object SparkEntry {
         TextAnalysis.classifierKeep(logit, threshold = 0.5).as("keep"))
     }),
 
+    // ——— text analysis: tokenizer INFERENCE — WordPiece-style greedy
+    //     longest-match segmentation against a literal vocab (the apply
+    //     side of q_vocab's train side). The vocab deliberately nests
+    //     prefixes (th/the/ther, in/ing) so the gate bites on the
+    //     longest-match rule itself; the oracle replays the sequential
+    //     greedy recurrence with a recursive CTE (q_pack's technique) ———
+    "q_subword" -> ((s, dir) => {
+      val pieces = TextAnalysis.subwordTokenize(col("text"),
+        SparkEntry.subwordVocab)
+      t(s, dir, "documents").select(col("doc_id"),
+        size(pieces).cast("long").as("n_pieces"),
+        md5(concat_ws(" ", pieces)).as("pieces_md5"))
+    }),
+
     // ——— dedup: exact (hash groupBy) ———
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq(col("text")))
@@ -2100,6 +2121,37 @@ object SparkEntry {
         |      (a, b) -> a + b) / n AS lr
         |  FROM bk)
         |SELECT doc_id, round(lr, 4) AS logit, lr >= 0.0 AS keep FROM s""".stripMargin,
+
+    // replays the greedy longest-match recurrence with a recursive CTE
+    // (sequential state, like q_pack): per word, repeatedly take the
+    // longest vocab piece matching at the cursor (single char fallback),
+    // then re-join pieces in word order
+    "q_subword" ->
+      """WITH RECURSIVE
+        |v(piece) AS (VALUES ('tion'), ('ther'), ('the'), ('th'), ('ing'),
+        |  ('in'), ('ed'), ('er'), ('re'), ('an'), ('on'), ('en'), ('es'),
+        |  ('at'), ('or'), ('ment'), ('wea')),
+        |w AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS word,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS wi
+        |  FROM documents),
+        |seg(doc_id, wi, word, pos, acc, np) AS (
+        |  SELECT doc_id, wi, word, 1, CAST('' AS VARCHAR), 0 FROM w
+        |  UNION ALL
+        |  SELECT doc_id, wi, word, pos + len(piece),
+        |         acc || CASE WHEN acc = '' THEN '' ELSE ' ' END || piece, np + 1
+        |  FROM (SELECT s.*, coalesce(
+        |          (SELECT piece FROM v
+        |           WHERE substr(s.word, s.pos, len(piece)) = piece
+        |           ORDER BY len(piece) DESC LIMIT 1),
+        |          substr(s.word, s.pos, 1)) AS piece
+        |        FROM seg s WHERE s.pos <= len(s.word)) t),
+        |done AS (SELECT doc_id, wi, acc, np FROM seg WHERE pos > len(word))
+        |SELECT doc_id,
+        |  CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pieces,
+        |  md5(coalesce(string_agg(acc, ' ' ORDER BY wi) FILTER (WHERE np > 0), ''))
+        |    AS pieces_md5
+        |FROM done GROUP BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",

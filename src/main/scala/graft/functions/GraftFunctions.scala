@@ -99,6 +99,23 @@ object GraftFunctions {
         case es => throw new IllegalArgumentException(
           s"hashed_bag_logit(str, <array<double> literal>, <double literal>), got ${es.size} args")
       }),
+    ("greedy_subwords", "greedy_subwords(str, <array<string> literal> vocab) - WordPiece-style greedy longest-match subword pieces",
+      {
+        case Seq(child, v) if v.foldable =>
+          val vocab = (v.dataType, v.eval()) match {
+            case (ArrayType(org.apache.spark.sql.types.StringType, _), a: ArrayData) =>
+              a.toObjectArray(org.apache.spark.sql.types.StringType).map { x =>
+                if (x == null) throw new IllegalArgumentException(
+                  "greedy_subwords: vocab must not contain null")
+                x.toString
+              }.toSeq
+            case (t, _) => throw new IllegalArgumentException(
+              s"greedy_subwords: vocab must be a foldable array<string>, got $t")
+          }
+          GreedySubwords(child, vocab)
+        case es => throw new IllegalArgumentException(
+          s"greedy_subwords(str, <array<string> literal>), got ${es.size} args")
+      }),
     ("zorder_key", "zorder_key(array<long>, <int literal> bits) - Morton (Z-order) interleave key",
       {
         case Seq(child, b) => ZOrderKey(child, intLit(b, "zorder_key"))

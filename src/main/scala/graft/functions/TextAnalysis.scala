@@ -146,6 +146,13 @@ object TextAnalysis {
     logit >= math.log(threshold / (1.0 - threshold))
   }
 
+  /** WordPiece-style greedy longest-match subword segmentation against a
+    * broadcast vocabulary ([[GreedySubwords]]) — tokenizer INFERENCE, the
+    * apply side of the lifecycle [[tokenFrequencies]] trains for.
+    */
+  def subwordTokenize(text: Column, vocab: Seq[String]): Column =
+    GreedySubwords(text, vocab)
+
   // ——— single-pass profile path (the hot-loop variant of the above) ———
 
   /** All token statistics in one tokenization pass ([[TextProfile]]): the

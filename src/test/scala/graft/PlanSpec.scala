@@ -111,6 +111,13 @@ class PlanSpec extends SparkSpec {
         "fixed-KB mergeable state is the whole point of the sketch path")
   }
 
+  test("q_subword: tokenizer inference is a zero-Exchange in-scan projection") {
+    val plan = SparkEntry.queries("q_subword")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "the vocab is the broadcastable model; the corpus must not move")
+  }
+
   test("q_semdedup: per-row in-scan centroid assignment, equi-join pair " +
       "stage — never a corpus-wide cartesian") {
     val plan = SparkEntry.queries("q_semdedup")(spark, dir)

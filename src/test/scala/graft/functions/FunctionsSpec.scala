@@ -626,6 +626,29 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("GreedySubwords: longest-match wins over nested prefixes, char " +
+      "fallback, empty/null handling, SQL parity") {
+    val vocab = Seq("ther", "the", "th", "ing", "in", "wea")
+    val d = Seq((0L, "the weather thing"), (1L, "xyz"), (2L, ""),
+      (3L, null: String)).toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"),
+        TextAnalysis.subwordTokenize(col("text"), vocab).as("p"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    // "the" beats "th"; "weather" → wea+ther; "thing" → th+ing ("in" loses)
+    assert(rows(0L) == Seq("the", "wea", "ther", "th", "ing"))
+    assert(rows(1L) == Seq("x", "y", "z"), "no vocab hit → single-char fallback")
+    assert(rows(2L) == Seq(), "empty text → zero pieces")
+    assert(rows(3L) == null)
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT greedy_subwords('thing', array('th', 'ing', 'in'))")
+      .head().getSeq[String](0)
+    assert(viaSql == Seq("th", "ing"))
+    intercept[Exception](
+      spark.sql("SELECT greedy_subwords('a', array(CAST(NULL AS STRING)))").head())
+  }
+
   test("ZOrderKey: hand-computed interleave, masking, null element, SQL parity") {
     val d = Seq(
       (0L, Some(5L), Some(3L)),  // 101 ⋈ 011 → 011011 = 27
