@@ -649,6 +649,45 @@ class FunctionsSpec extends SparkSpec {
       spark.sql("SELECT greedy_subwords('a', array(CAST(NULL AS STRING)))").head())
   }
 
+  test("GreedySubwords: segmentation is lossless — pieces concatenate back " +
+      "to the text's words (randomized vocab and corpus)") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcde"
+    def randStr(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val vocab = (0 until 40).map(_ => randStr(1 + rnd.nextInt(4))).distinct
+    val d = (0 until 60).map(i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(6)).map(_ => randStr(1 + rnd.nextInt(12)))
+        .mkString(" "))).toDF("doc_id", "text")
+    d.select(col("text"),
+        TextAnalysis.subwordTokenize(col("text"), vocab).as("p"))
+      .collect().foreach { r =>
+        val expected = r.getString(0).trim.split("\\s+", -1).mkString
+        assert(r.getSeq[String](1).mkString == expected,
+          s"lossy segmentation for '${r.getString(0)}'")
+      }
+  }
+
+  test("NearestCentroid expression assigns identically to ivfAssign's " +
+      "relational argmax (randomized, incl. zero vectors and ties)") {
+    val rnd = new scala.util.Random(31)
+    val dim = 8
+    val vecs = ((0 until 80).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextInt(7) - 3).toFloat))) :+
+      (80L, Array.fill(dim)(0.0f))) // zero vector: all sims -2, tie → cid 0
+      .toDF("vec_id", "embedding")
+    val cents = (0 until 5).map(c =>
+      (c.toLong, Seq.fill(dim)((rnd.nextInt(7) - 3).toDouble)))
+    val centDf = cents.toDF("centroid_id", "centroid_vec")
+    val viaJoin = Similarity.ivfAssign(vecs, "vec_id", "embedding", centDf)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = vecs.select(col("vec_id"),
+        NearestCentroid(col("embedding"), cents).as("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaJoin)
+  }
+
   test("ZOrderKey: hand-computed interleave, masking, null element, SQL parity") {
     val d = Seq(
       (0L, Some(5L), Some(3L)),  // 101 ⋈ 011 → 011011 = 27
