@@ -63,11 +63,11 @@ object GreedySubwords {
     */
   case class Model(byFirst: Map[Int, Array[Array[Int]]]) {
     def candidates(cp: Int): Array[Array[Int]] =
-      byFirst.getOrElse(cp, Model.None)
+      byFirst.getOrElse(cp, Model.Empty)
   }
 
   object Model {
-    private val None = Array.empty[Array[Int]]
+    private val Empty = Array.empty[Array[Int]]
     def apply(vocab: Seq[String]): Model =
       Model(vocab.distinct.map(_.codePoints().toArray)
         .groupBy(_.head)

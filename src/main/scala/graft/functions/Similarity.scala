@@ -180,8 +180,12 @@ object Similarity {
     // ([[NearestCentroid]]) — one narrow projection over the corpus, zero
     // shuffle and no k-fold row blow-up, vs ivfAssign's join + argmax
     // aggregation (kept for index build, where it runs once)
+    // loud failure beats an unbounded driver collect: the contract is a
+    // broadcastable centroid set (k ≪ corpus); 1M centroids of any real
+    // dimension is already GBs and means the caller sized k wrong
     val model = centroids
       .select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .limit(1000001)
       .collect()
       .map(r => r.getLong(0) ->
         (r.getSeq[Any](1).map {
@@ -189,6 +193,9 @@ object Similarity {
           case f: java.lang.Float => f.doubleValue
         }: Seq[Double]))
       .toSeq
+    require(model.size <= 1000000,
+      "cosinePairsWithinCells: centroid set exceeds 1M — not broadcastable; " +
+        "size k as corpus / target-cell-rows, not larger")
     val assigned = Partitioning.spread(vectors).select(
         col(idCol), col(vecCol), norm(col(vecCol)).as("vec_nrm"),
         NearestCentroid(col(vecCol), model).as("centroid_id"))
