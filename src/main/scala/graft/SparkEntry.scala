@@ -1132,6 +1132,21 @@ object SparkEntry {
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = 2048L, streams = 8)),
 
+    // ——— packed-sequence materialization: each bin's docs concatenated in
+    //     placement order with an EOD separator — the artifact trainers
+    //     consume; the oracle extends q_pack's recursive CTE with the text
+    //     join and an ORDER BY doc_id string_agg ———
+    "q_pack_seq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val packed = graft.functions.Packing.packGreedy(
+        docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L, streams = 8)
+      graft.functions.Packing.materialize(packed, docs, "doc_id", "text")
+        .select(col("stream"), col("bin"), col("n_docs"),
+          md5(col("seq")).as("seq_md5"))
+    }),
+
     // ——— the end-to-end curation composition: quality/repetition gate →
     //     exact dedup → benchmark decontamination, one operator flow
     //     (each stage is separately oracle-gated; this gates the
@@ -1918,6 +1933,31 @@ object SparkEntry {
         |         ELSE p.fill + s.n_tokens END
         |  FROM packed p JOIN s ON s.stream = p.stream AND s.rn = p.rn + 1)
         |SELECT doc_id, n_tokens, stream, bin, fill AS bin_fill FROM packed""".stripMargin,
+
+    // q_pack's recursive replay + the text join + an ordered string_agg
+    "q_pack_seq" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, n_tokens, stream,
+        |    row_number() OVER (PARTITION BY stream ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS stream
+        |        FROM documents)),
+        |packed AS (
+        |  SELECT stream, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.stream, s.rn, s.doc_id, s.n_tokens,
+        |    CASE WHEN p.fill + s.n_tokens > 2048 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + s.n_tokens > 2048 THEN s.n_tokens
+        |         ELSE p.fill + s.n_tokens END
+        |  FROM packed p JOIN s ON s.stream = p.stream AND s.rn = p.rn + 1),
+        |j AS (SELECT p.stream, p.bin, p.doc_id, d.text
+        |      FROM packed p JOIN documents d USING (doc_id))
+        |SELECT stream, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  md5(string_agg(text, '<|eod|>' ORDER BY doc_id)) AS seq_md5
+        |FROM j GROUP BY 1, 2""".stripMargin,
 
     // composed from the per-stage oracles: quality+repetition keepers →
     // min-id representative per distinct text → minus the ≥2-shared-5-gram

@@ -88,4 +88,24 @@ object Packing {
       }
     }.toDF(idCol, "n_tokens", "stream", "bin", "bin_fill")
   }
+
+  /** Assemble each packed bin into its training SEQUENCE — the artifact a
+    * trainer actually consumes: the bin's documents joined back to their
+    * text and concatenated in placement order (ascending id, the greedy
+    * order) with an end-of-document separator. One equi-join on the id
+    * plus one (stream, bin)-keyed aggregation; within-bin order comes
+    * from sorting the collected (id, text) structs, not from shuffle
+    * arrival order, so the bytes are deterministic.
+    *
+    * @return (stream, bin, n_docs, seq)
+    */
+  def materialize(packed: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, eod: String = "<|eod|>"): DataFrame =
+    packed.select(col(idCol), col("stream"), col("bin"))
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col("stream"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol).as("i"), col(textCol).as("t")))),
+          x => x.getField("t")), eod).as("seq"))
 }

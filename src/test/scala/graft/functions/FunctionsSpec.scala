@@ -357,6 +357,21 @@ class FunctionsSpec extends SparkSpec {
       3L -> (2L, 3L), 4L -> (3L, 12L), 5L -> (4L, 1L)))
   }
 
+  test("materialize: bins assemble into EOD-joined sequences in placement " +
+      "order, independent of shuffle arrival") {
+    val counts = Seq((0L, 5L), (1L, 5L), (2L, 10L), (3L, 3L))
+      .toDF("doc_id", "n_tokens")
+    val texts = Seq((3L, "dd"), (1L, "bb"), (0L, "aa"), (2L, "cc"))
+      .toDF("doc_id", "text").repartition(3) // adversarial arrival order
+    val packed = Packing.packGreedy(counts, "doc_id", "n_tokens",
+      budget = 10L, streams = 1)
+    val out = Packing.materialize(packed, texts, "doc_id", "text", eod = "<E>")
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[String]("seq"))).toSet
+    // bins from the hand-computed leg above: {0,1}|bin0, {2}|bin1, {3}|bin2
+    assert(out == Set((0L, 2L, "aa<E>bb"), (1L, 1L, "cc"), (2L, 1L, "dd")))
+  }
+
   test("packGreedy drops null/negative token counts instead of NPEing mid-job") {
     val docs = Seq((Some(0L), Some(5L)), (Some(1L), None),
       (Some(2L), Some(-3L)), (None, Some(4L)), (Some(3L), Some(2L)))
