@@ -1183,6 +1183,14 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.tokenFrequencies(t(s, dir, "documents"), "text", topK = 50)),
 
+    // ——— sampling: deterministic exact-N (fixed labeling/eval budget) —
+    //     smallest content hash wins, nested across n, and the global
+    //     sort-limit plans as TakeOrderedAndProject (per-partition top-n
+    //     heap, never a full corpus sort) ———
+    "q_sample_n" -> ((s, dir) =>
+      graft.functions.Sampling.exactN(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", n = 40)),
+
     // ——— sampling: deterministic per-source keep-% (domain-mix
     //     rebalancing), the weight table compiled into one CASE in-scan ———
     "q_weighted_sample" -> ((s, dir) =>
@@ -2022,6 +2030,12 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
         |    t -> len(t) > 0)) AS token FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q_sample_n" ->
+      """SELECT doc_id, source FROM documents
+        |ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |  doc_id
+        |LIMIT 40""".stripMargin,
 
     "q_weighted_sample" ->
       """SELECT doc_id, source FROM (

@@ -35,6 +35,22 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.where(bucket(col(idCol), 100) < pct)
 
+  /** Deterministic EXACT-N sample: the n rows with the smallest content
+    * hash (id tiebreak) — the fixed-budget subset primitive (eval slices,
+    * labeling batches) where a percentage is the wrong contract. Same
+    * hash as [[bucket]], so the choice is stable across runs, engines,
+    * and cluster widths, and samples of growing n are NESTED (n=100 ⊂
+    * n=1000 — growing a labeling budget extends the batch instead of
+    * re-dealing it). Physical shape: a global sort-limit plans as
+    * TakeOrderedAndProject — a per-partition top-n heap merged at the
+    * driver, never a full sort of the corpus.
+    */
+  def exactN(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 0, s"sample size must be non-negative, got $n")
+    df.orderBy(HashFunctions.portableHash64(col(idCol).cast("string")),
+      col(idCol)).limit(n)
+  }
+
   /** Domain-mix rebalancing: keep a PER-STRATUM percentage (e.g. upweight
     * curated sources, downweight crawl) chosen by the same content hash —
     * the deterministic version of the source-weighted sampling every

@@ -641,6 +641,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("Sampling.exactN: deterministic, NESTED across n, and planned as a " +
+      "top-n heap, not a full sort") {
+    val d = (0 until 300).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
+    def ids(n: Int) = Sampling.exactN(d, "doc_id", n)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids(50) == ids(50), "re-run must pick identical rows")
+    assert(ids(50).toSet.subsetOf(ids(120).toSet),
+      "growing the budget must extend the sample, never re-deal it")
+    assert(ids(120).length == 120 && ids(120).distinct.length == 120)
+    val plan = Sampling.exactN(d, "doc_id", 50).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global sort-limit must stay a per-partition heap")
+    intercept[IllegalArgumentException](Sampling.exactN(d, "doc_id", -1))
+  }
+
   test("GreedySubwords: longest-match wins over nested prefixes, char " +
       "fallback, empty/null handling, SQL parity") {
     val vocab = Seq("ther", "the", "th", "ing", "in", "wea")
