@@ -1183,6 +1183,14 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.tokenFrequencies(t(s, dir, "documents"), "text", topK = 50)),
 
+    // ——— text analysis: out-of-vocabulary rate — rare-token density
+    //     against the corpus top-50 vocabulary (q_vocab's train output
+    //     turned into a quality signal); vocab driver-collected, scoring
+    //     an in-scan membership filter ———
+    "q_oov" -> ((s, dir) =>
+      TextAnalysis.oovRate(t(s, dir, "documents"), "text", topK = 50)
+        .select("doc_id", "n_tokens", "n_oov", "oov_rate")),
+
     // ——— sampling: deterministic exact-N (fixed labeling/eval budget) —
     //     smallest content hash wins, nested across n, and the global
     //     sort-limit plans as TakeOrderedAndProject (per-partition top-n
@@ -2030,6 +2038,20 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
         |    t -> len(t) > 0)) AS token FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    // q_vocab's top-50 as a list, one membership filter per token
+    "q_oov" ->
+      """WITH v AS (SELECT token FROM (
+        |    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0)) AS token FROM documents)
+        |  GROUP BY 1 ORDER BY count(*) DESC, token LIMIT 50),
+        |vl AS (SELECT list(token) AS vs FROM v),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk, t -> NOT list_contains(vs, t))) AS BIGINT) AS n_oov,
+        |  round(len(list_filter(tk, t -> NOT list_contains(vs, t))) * 1.0 / len(tk), 4)
+        |    AS oov_rate
+        |FROM w, vl""".stripMargin,
 
     "q_sample_n" ->
       """SELECT doc_id, source FROM documents

@@ -97,6 +97,28 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("token"))
       .limit(topK)
 
+  /** Out-of-vocabulary rate per document — rare-token density, the
+    * vocabulary-relative quality signal (a doc whose tokens mostly fall
+    * outside the corpus top-K is boilerplate, another language, or
+    * noise). The top-K vocabulary ([[tokenFrequencies]], deterministic
+    * (count desc, token) order) is DATA, not a literal — so it is
+    * collected (bounded by topK, the centroid-collect pattern) and
+    * compiled into one in-scan membership filter: scoring itself is
+    * zero-shuffle, and the only corpus-wide work is the vocabulary
+    * aggregation the pipeline already ran for tokenizer training.
+    */
+  def oovRate(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0 && topK <= 1000000,
+      s"oovRate: topK must be in [1, 1e6] (the vocab is driver-collected), got $topK")
+    val vocab = tokenFrequencies(docs, textCol, topK)
+      .collect().map(_.getString(0)).toSeq
+    val n = tokenCount(col(textCol)).cast("long")
+    val oov = size(filter(tokens(col(textCol)),
+      t => !t.isin(vocab: _*))).cast("long")
+    docs.withColumn("n_tokens", n).withColumn("n_oov", oov)
+      .withColumn("oov_rate", round(col("n_oov") * 1.0 / col("n_tokens"), 4))
+  }
+
   /** Email addresses — deliberately restricted to syntax whose semantics
     * agree between Java regex (Spark) and RE2 (DuckDB, Go tooling): no
     * lookaround, no backreferences, '-' last in every class. Pattern

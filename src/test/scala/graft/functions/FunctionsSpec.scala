@@ -641,6 +641,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("oovRate: hand-computed rare-token density against the learned top-K") {
+    // counts: a×4, b×3, c×2, d×1 → top-2 vocab = {a, b}
+    val d = Seq((0L, "a a b c"), (1L, "a b d"), (2L, "a b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(d, "text", topK = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"))).toMap
+    assert(out(0L) == (4L, 1L, 0.25) && out(1L) == (3L, 1L, 0.3333))
+    assert(out(2L) == (3L, 1L, 0.3333))
+    // "" tokenizes to one empty token, which is never in the vocab
+    assert(out(3L) == (1L, 1L, 1.0))
+    intercept[IllegalArgumentException](TextAnalysis.oovRate(d, "text", 0))
+  }
+
   test("Sampling.exactN: deterministic, NESTED across n, and planned as a " +
       "top-n heap, not a full sort") {
     val d = (0 until 300).map(i => (i.toLong, s"s${i % 3}")).toDF("doc_id", "source")
