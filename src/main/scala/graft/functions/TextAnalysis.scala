@@ -113,9 +113,8 @@ object TextAnalysis {
     val vocab = tokenFrequencies(docs, textCol, topK)
       .collect().map(_.getString(0)).toSeq
     val n = tokenCount(col(textCol)).cast("long")
-    val oov = size(filter(tokens(col(textCol)),
-      t => !t.isin(vocab: _*))).cast("long")
-    docs.withColumn("n_tokens", n).withColumn("n_oov", oov)
+    docs.withColumn("n_tokens", n)
+      .withColumn("n_oov", OovCount(col(textCol), vocab))
       .withColumn("oov_rate", round(col("n_oov") * 1.0 / col("n_tokens"), 4))
   }
 
