@@ -598,8 +598,10 @@ object Dedup {
     * positives never escape; misses are cross-cell only.
     */
   def semanticDedupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, threshold: Double): DataFrame =
-    Similarity.cosinePairsWithinCells(vectors, idCol, vecCol, centroids, threshold)
+      centroids: DataFrame, threshold: Double,
+      maxCellRows: Long = 4000000L): DataFrame =
+    Similarity.cosinePairsWithinCells(vectors, idCol, vecCol, centroids,
+      threshold, maxCellRows)
 
   /** [[semanticDedupPairs]] → connected components → (doc, canonical)
     * cluster labels, ready for [[dropNearDuplicates]]. Same scoped-release

@@ -86,7 +86,17 @@ object GraftFunctions {
       {
         case Seq(child, w, b) if w.foldable && b.foldable =>
           val weights = (w.dataType, w.eval()) match {
-            case (ArrayType(DoubleType, _), a: ArrayData) => a.toDoubleArray().toSeq
+            case (ArrayType(DoubleType, _), a: ArrayData) =>
+              // reject null slots explicitly (the greedy_subwords guard):
+              // UnsafeArrayData.toDoubleArray reads a null slot as 0.0
+              // silently, GenericArrayData NPEs — neither is a usable error
+              var i = 0
+              while (i < a.numElements()) {
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  s"hashed_bag_logit: weights must not contain null (slot $i)")
+                i += 1
+              }
+              a.toDoubleArray().toSeq
             case (t, _) => throw new IllegalArgumentException(
               s"hashed_bag_logit: weights must be a foldable array<double>, got $t")
           }

@@ -88,10 +88,14 @@ object NearestCentroid {
     var c = 0
     while (c < m.vecs.length) {
       val cv = m.vecs(c)
-      val d = math.min(n, cv.length)
+      // loud failure on dimension mismatch: truncating the dot to the
+      // shorter length would yield plausible-but-wrong cell assignments
+      // (the input norm uses all n elements) with no error anywhere
+      require(cv.length == n,
+        s"NearestCentroid: vector dim $n != centroid dim ${cv.length} (centroid ${m.ids(c)})")
       var dot = 0.0
       i = 0
-      while (i < d) {
+      while (i < n) {
         val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         dot += x * cv(i)
         i += 1

@@ -169,12 +169,16 @@ object Similarity {
     * or use the scoped variant to release it eagerly by handle.
     */
   def cosinePairsWithinCells(vectors: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, threshold: Double): DataFrame =
-    cosinePairsWithinCellsScoped(vectors, idCol, vecCol, centroids, threshold)._1
+      centroids: DataFrame, threshold: Double,
+      maxCellRows: Long = 4000000L): DataFrame =
+    cosinePairsWithinCellsScoped(vectors, idCol, vecCol, centroids, threshold,
+      maxCellRows)._1
 
   private[graft] def cosinePairsWithinCellsScoped(vectors: DataFrame,
       idCol: String, vecCol: String, centroids: DataFrame,
-      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+      threshold: Double, maxCellRows: Long = 4000000L): (DataFrame, Seq[DataFrame]) = {
+    require(maxCellRows > 0,
+      s"cosinePairsWithinCells: maxCellRows must be positive, got $maxCellRows")
     // centroids are broadcastable by contract (k ≪ corpus), so assignment
     // is a PER-ROW expression against the driver-collected model
     // ([[NearestCentroid]]) — one narrow projection over the corpus, zero
@@ -183,15 +187,13 @@ object Similarity {
     // loud failure beats an unbounded driver collect: the contract is a
     // broadcastable centroid set (k ≪ corpus); 1M centroids of any real
     // dimension is already GBs and means the caller sized k wrong
+    // array<double> cast: int/decimal/float centroid columns all coerce
+    // (the oracle does the same), instead of MatchError-ing on the boxed type
     val model = centroids
-      .select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .select(col("centroid_id").cast("long"), col("centroid_vec").cast("array<double>"))
       .limit(1000001)
       .collect()
-      .map(r => r.getLong(0) ->
-        (r.getSeq[Any](1).map {
-          case d: java.lang.Double => d.doubleValue
-          case f: java.lang.Float => f.doubleValue
-        }: Seq[Double]))
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1): Seq[Double]))
       .toSeq
     require(model.size <= 1000000,
       "cosinePairsWithinCells: centroid set exceeds 1M — not broadcastable; " +
@@ -200,15 +202,66 @@ object Similarity {
         col(idCol), col(vecCol), norm(col(vecCol)).as("vec_nrm"),
         NearestCentroid(col(vecCol), model).as("centroid_id"))
       .cache()
-    // shuffle_hash: the SMJ alternative sorts the full vector payloads on
-    // both sides just to merge ~k distinct keys
-    val pairs = assigned.as("a").join(assigned.as("b").hint("shuffle_hash"),
-        col("a.centroid_id") === col("b.centroid_id") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        safeCosine(VectorDot(col(s"a.$vecCol"), col(s"b.$vecCol")),
-          col("a.vec_nrm") * col("b.vec_nrm")).as("cosine"))
-      .where(col("cosine") >= threshold)
+    // ——— cell-skew defense ———
+    // k is sized for |cell| ≈ corpus/k, but real k-means on web embeddings
+    // skews: one hot cell holding 10% of the corpus puts Θ((n/10)²) join
+    // input on ONE reducer key. Count rows per cell (an agg over the cached
+    // assignment → ≤k rows; only the oversized ones are collected) and
+    // re-split oversized cells with the in-cell GRID scheme of
+    // [[cosinePairs]] (1-Bucket-Theta): rows hash by id into `blocks`
+    // sub-groups and block (bi,bj) owns the pairs between groups bi and bj,
+    // so per-task join input is ~2·|cell|/blocks rows. NOT a sign-LSH
+    // sub-bucket: the worst skew case — a mega-cell of near-identical
+    // directions — hashes every row to the SAME sign bucket, while the
+    // id-hash grid bounds per-task input unconditionally AND keeps the
+    // output exactly identical (every within-cell pair still compared once;
+    // nothing new to a recall gate). Total compute stays Σ|cell|² — that is
+    // the true pair work when the duplicates genuinely exist — but no
+    // single task ever owns a whole mega-cell.
+    val oversized = assigned.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxCellRows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // shuffle_hash (both branches): the SMJ alternative sorts the full
+    // vector payloads on both sides just to merge ~k distinct keys
+    val pairs = if (oversized.isEmpty) {
+      assigned.as("a").join(assigned.as("b").hint("shuffle_hash"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          safeCosine(VectorDot(col(s"a.$vecCol"), col(s"b.$vecCol")),
+            col("a.vec_nrm") * col("b.vec_nrm")).as("cosine"))
+        .where(col("cosine") >= threshold)
+    } else {
+      val spark = vectors.sparkSession
+      import spark.implicits._
+      // blocks per oversized cell: ceil(n / maxCellRows), capped so a
+      // pathological single-cell corpus can't explode the (blocks+1)-fold
+      // row replication — past the cap per-task input degrades gracefully
+      // instead of the replication itself becoming the new blow-up
+      val cellBlocks = oversized.toSeq
+        .map { case (cid, n) =>
+          (cid, math.min((n + maxCellRows - 1) / maxCellRows, 4096L).toInt) }
+        .toDF("centroid_id", "blocks")
+      val based = assigned.join(broadcast(cellBlocks), Seq("centroid_id"), "left")
+        .withColumn("blocks", coalesce(col("blocks"), lit(1)))
+        .withColumn("g", pmod(xxhash64(col(idCol)), col("blocks")).cast("int"))
+      val left = based.select(col("centroid_id"), col("g").as("bi"),
+        explode(sequence(col("g"), col("blocks") - 1)).as("bj"),
+        col(idCol).as("id_l"), col(vecCol).as("vl"), col("vec_nrm").as("nrm_l"))
+      val right = based.select(col("centroid_id"),
+        explode(sequence(lit(0), col("g"))).as("bi"), col("g").as("bj"),
+        col(idCol).as("id_r"), col(vecCol).as("vr"), col("vec_nrm").as("nrm_r"))
+      left.join(right.hint("shuffle_hash"), Seq("centroid_id", "bi", "bj"))
+        // diagonal sub-blocks see both orders of an in-group pair (and
+        // self-pairs): keep one; off-diagonal sub-blocks see each pair once
+        // in arbitrary order — normalize to id_a < id_b on output
+        .where(col("bi") < col("bj") || col("id_l") < col("id_r"))
+        .select(least(col("id_l"), col("id_r")).as("id_a"),
+          greatest(col("id_l"), col("id_r")).as("id_b"),
+          safeCosine(VectorDot(col("vl"), col("vr")),
+            col("nrm_l") * col("nrm_r")).as("cosine"))
+        .where(col("cosine") >= threshold)
+    }
     (pairs, Seq(assigned))
   }
 

@@ -92,7 +92,13 @@ object TextAnalysis {
     */
   def tokenFrequencies(docs: DataFrame, textCol: String, topK: Int): DataFrame =
     Partitioning.spread(docs)
-      .select(explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("token"))
+      // empty tokens (whitespace-only doc → [""]) are dropped AFTER the
+      // explode: a row-level length predicate stays in whole-stage codegen,
+      // whereas an ArrayFilter HOF on the generator input is a
+      // CodegenFallback that drags split+explode to interpreted eval
+      // (measured ~1.4× cpu on the sf0.1 corpus)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token"))
       .limit(topK)

@@ -822,6 +822,67 @@ class FunctionsSpec extends SparkSpec {
     assert(surviving == Set(0L, 2L, 4L, 5L))
   }
 
+  test("SemDeDup cell-skew bound: a mega-cell of near-identical directions " +
+      "is re-split by the in-cell grid with IDENTICAL output") {
+    // the worst skew case: every vector lands in ONE cell with (near-)equal
+    // direction — a sign-LSH sub-bucket would hash all of them to the same
+    // bucket and split nothing; the id-hash grid splits unconditionally
+    val n = 200
+    val vecs = (0 until n).map(i => (i.toLong, Array(1.0f, (i * 1e-4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val axes = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid_vec")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        BigDecimal(r.getAs[Double]("cosine")).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    val unbounded = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding", axes, 0.9)
+      .collect().map(key).toSet
+    assert(unbounded.size == n * (n - 1) / 2, "all within-cell pairs qualify")
+    val bounded = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding", axes, 0.9,
+      maxCellRows = 50)
+    // the grid branch engaged: the join runs on (centroid_id, bi, bj)
+    assert(bounded.queryExecution.analyzed.toString.contains("bi"),
+      "oversized cell must take the grid sub-split path")
+    assert(bounded.collect().map(key).toSet == unbounded,
+      "grid sub-split must not change the pair set (exact semantics)")
+    // per-key boundedness: blocks = ceil(200/50) = 4, so no (bi,bj) key's
+    // join input ever holds the whole cell — the largest id-hash sub-group
+    // is ~n/4, far under the n-row single-key hash table the unbounded
+    // join would build for this cell
+    val groups = vecs.select(pmod(xxhash64(col("vec_id")), lit(4)).as("g"))
+      .groupBy("g").count().collect().map(_.getAs[Long]("count"))
+    assert(groups.length == 4 && groups.max <= 80,
+      s"id-hash must spread the mega-cell across sub-groups, got ${groups.toSeq}")
+    spark.catalog.clearCache()
+  }
+
+  test("Bpe.learnMerges: weighted argmax, leftmost non-overlapping merge, " +
+      "UTF-8 tiebreak, early stop") {
+    // (a,b) = 2·2 + 3 = 7 beats (b,a) = 2 and (b,c) = 3; then (ab,c) = 3
+    // beats (ab,ab) = 2; then (ab,ab); then no pairs remain → early stop
+    val m = Bpe.learnMerges(Seq(("abab", 2L), ("abc", 3L)), numMerges = 10)
+    assert(m == Seq(Bpe.Merge(1, "a", "b", 7L), Bpe.Merge(2, "ab", "c", 3L),
+      Bpe.Merge(3, "ab", "ab", 2L)))
+    assert(Bpe.vocab(m) == Seq("ab", "abc", "abab"))
+    // leftmost-first, non-overlapping, resume AFTER the merge: "aaa" is
+    // [aa, a], never [a, aa] — and round 2 then merges (aa, a), so the
+    // recurrence never sees the overlapping middle pair
+    assert(Bpe.learnMerges(Seq(("aaa", 1L)), 5) ==
+      Seq(Bpe.Merge(1, "a", "a", 2L), Bpe.Merge(2, "aa", "a", 1L)))
+    // count tie → smaller (left, right) in binary order wins
+    assert(Bpe.learnMerges(Seq(("ba", 1L), ("ab", 1L)), 1).head ==
+      Bpe.Merge(1, "a", "b", 1L))
+  }
+
+  test("Bpe.lexicon: frequency-ranked, empty and delimiter tokens excluded " +
+      "before the top-K") {
+    val docs = Seq((1L, "x y x"), (2L, "  "), (3L, "x \u0001bad\u0001 z"))
+      .toDF("doc_id", "text")
+    val lex = Bpe.lexicon(docs, "text", maxWords = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(lex == Seq(("x", 3L), ("y", 1L)), s"got $lex")
+  }
+
   test("cosine / brute-force top-k") {
     val top = Similarity.bruteForceTopK(
       vectors.where($"vec_id" === 0), vectors, "vec_id", "embedding", 2).collect()
