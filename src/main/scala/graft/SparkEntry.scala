@@ -641,6 +641,7 @@ object SparkEntry {
     compactedDependencyStore(s, dir)
     autocompleteStore(s, dir)
     ivfIndexStore(s, dir)
+    ivfIncrementalStore(s, dir)
     shardStore(s, dir)
   }
 
@@ -666,6 +667,28 @@ object SparkEntry {
     ensureStore(s, "ivfidx", dir) { path =>
       graft.functions.Similarity.writeIvfIndex(
         t(s, dir, "embeddings"), "vec_id", "embedding", ivfCentroids(s, dir), path)
+    }
+
+  /** The INCREMENTALLY-built IVF index behind q_ann_ivf_incr_recall: the
+    * same corpus and cell geometry as [[ivfIndexStore]], but built the
+    * maintenance way — two delta appends assigned with the SAME persisted
+    * centroids, one generation compaction
+    * ([[graft.functions.Similarity.compactIvfIndex]]), then a THIRD
+    * post-compaction append, so the probe must serve generation dirs and
+    * loose append files together. Serving equivalence is the point: this
+    * store's probe shares the one-shot index's recall gate.
+    */
+  private def ivfIncrementalStore(s: SparkSession, dir: String): String =
+    ensureStore(s, "ivfinc", dir) { path =>
+      val emb = t(s, dir, "embeddings")
+      val cents = ivfCentroids(s, dir)
+      def half(pred: Column): Unit =
+        graft.functions.Similarity.appendIvfIndex(
+          emb.where(pred), "vec_id", "embedding", cents, path)
+      half(pmod(col("vec_id"), lit(2)) === 0)
+      half(pmod(col("vec_id"), lit(4)) === 1)
+      graft.functions.Similarity.compactIvfIndex(s, path)
+      half(pmod(col("vec_id"), lit(4)) === 3)
     }
 
   /** Correctness-gate-only queries Bench skips: each serves a store the
@@ -1586,6 +1609,25 @@ object SparkEntry {
           (col("tot") > 0 && col("hit") >= col("tot") * 0.9).as("meets_target"))
     }),
 
+    // ——— similarity: INCREMENTAL index maintenance gate — the same
+    //     recall@5 contract as q_ann_ivf_recall, but probing the index
+    //     built by delta appends + a generation compaction + a
+    //     post-compaction append (ivfIncrementalStore). Red iff the
+    //     append/compact/serve lifecycle loses rows or breaks geometry ———
+    "q_ann_ivf_incr_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id")
+      val approx = Similarity.ivfTopKFromIndex(s, queries, "vec_id", "embedding",
+          ivfIncrementalStore(s, dir), ivfCentroids(s, dir), k = 5, nProbe = 8)
+        .select("query_id", "corpus_id").withColumn("found", lit(1))
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_outer")
+        .agg(count(lit(1)).as("tot"), count(col("found")).as("hit"))
+        .select(lit("incr_recall_at_5").as("metric"),
+          (col("tot") > 0 && col("hit") >= col("tot") * 0.9).as("meets_target"))
+    }),
+
     // ——— similarity: the QUANTIZED serving path — probe scan reads int8
     //     codes (¼ the fp32 bytes), exact fp32 rescore bounded to k×4
     //     candidates per query; recall@5 vs the exact baseline must hold at
@@ -2468,6 +2510,12 @@ object SparkEntry {
     // exact baseline; hash-match == "recall@5 >= 0.9 held on this corpus"
     "q_ann_ivf_recall" ->
       "SELECT 'recall_at_5' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
+
+    // constant oracle, same pattern: hash-match == "the incrementally
+    // maintained index (appends + generation compaction + post-compaction
+    // append) serves the same recall floor as the one-shot build"
+    "q_ann_ivf_incr_recall" ->
+      "SELECT 'incr_recall_at_5' AS metric, CAST(1 AS BOOLEAN) AS meets_target",
 
     // constant oracle, same pattern: hash-match == "the int8-scored probe +
     // bounded fp32 rescore held recall@5 >= 0.9 at the gated operating point"

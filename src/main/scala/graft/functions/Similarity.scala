@@ -436,17 +436,55 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, path: String): Unit =
+    ivfIndexRows(corpus, idCol, vecCol, centroids)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+  /** One index row per corpus vector: fp32 vector + norm, int8 codes +
+    * scale (the quantized probe path scans codes + scale only — ¼ the
+    * vector bytes, parquet column pruning keeps cv unread — and fetches cv
+    * for its rescore candidates alone), keyed by nearest-centroid cell.
+    */
+  private def ivfIndexRows(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
     assignNormed(normedBase(corpus, idCol, vecCol), idCol, vecCol, centroids)
       .withColumnRenamed(idCol, "corpus_id").withColumnRenamed(vecCol, "cv")
       .withColumnRenamed("vec_nrm", "cv_nrm")
-      // int8 codes alongside fp32: the quantized probe path scans codes +
-      // scale only (¼ the vector bytes — parquet column pruning keeps cv
-      // unread) and fetches cv for its rescore candidates alone
       .withColumn("__q", Int8Quantize(col("cv")))
       .select(col("corpus_id"), col("cv"), col("cv_nrm"),
         col("__q.codes").as("codes"), col("__q.scale").as("code_scale"),
         col("centroid_id"))
-      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+  /** Incremental index maintenance: assign a DELTA of new embeddings with
+    * the SAME centroids the index was built with (probing with different
+    * centroids than the assignment used breaks the recall contract — at
+    * 100 TB the geometry is train-once, append-many) and append into the
+    * cell directories. Index rows are immutable, so an uncompacted index
+    * serves correctly — the only cost of accumulated appends is small
+    * files per cell, which [[compactIvfIndex]] rewrites.
+    */
+  def appendIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, path: String): Unit =
+    ivfIndexRows(delta, idCol, vecCol, centroids)
+      .write.partitionBy("centroid_id").mode("append").parquet(path)
+
+  /** Rewrite each cell's accumulated append files to one (corpus_id)-sorted
+    * file under the set-store generation-commit machinery
+    * ([[graft.store.StoreLayout.compactPartitionDirs]]): per-cell leases,
+    * staged rewrite, atomic generation flip — an append landing mid-
+    * compaction stays a served loose file, so probes never lose rows.
+    * Cells rewrite independently on the bounded pool, the 100 TB shape
+    * (one maintenance pass = k small concurrent jobs, not one giant one).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val cells = fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+      .map(_.getPath.getName).toSeq
+    graft.store.StoreLayout.compactPartitionDirs(spark, path, cells)(df =>
+      df.coalesce(1).sortWithinPartitions("corpus_id"))
+  }
 
   /** Top-k over a persisted [[writeIvfIndex]] index. The probed cell set
     * (≤ queries × nProbe ids, driver-tiny) is collected and the scan is
@@ -528,12 +566,22 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted
     val base = new org.apache.hadoop.fs.Path(indexPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cellDirs = cellIds.map(id => new org.apache.hadoop.fs.Path(base, s"centroid_id=$id"))
-      .filter(fs.exists).map(_.toString)
-    if (cellDirs.isEmpty) None
-    else Some(spark.read.option("basePath", indexPath)
-      .parquet(cellDirs: _*)
-      .withColumn("centroid_id", col("centroid_id").cast("long")))
+    // per-cell GENERATION resolution (not plain dir listing): a compacted
+    // cell serves its current `.gen-N` dir + unabsorbed appends, and a
+    // dot-prefixed generation dir is invisible to a plain parquet listing —
+    // reading the cell dir directly would silently drop every compacted row
+    val inputs = cellIds.map(id => new org.apache.hadoop.fs.Path(base, s"centroid_id=$id"))
+      .filter(fs.exists)
+      .flatMap(dir => graft.store.StoreLayout.livePartitionInputs(spark, dir))
+    if (inputs.isEmpty) None
+    // cell id recovered from the file path (the readPartitioned technique —
+    // greedy .* anchors the LAST `centroid_id=` segment): explicit-input
+    // reads skip partition discovery, and gen-dir files sit one level below
+    // the partition dir where discovery's trailing-segment parse can't see
+    // the value anyway
+    else Some(spark.read.parquet(inputs.map(_.toString): _*)
+      .withColumn("centroid_id", regexp_extract(col("_metadata.file_path"),
+        ".*/centroid_id=([0-9]+)/", 1).cast("long")))
   }
 
   /** The nProbe nearest cells per query (by centroid cosine). */

@@ -305,6 +305,19 @@ object StoreLayout {
       } finally pool.shutdown()
     }
 
+  /** Live parquet inputs of ONE `col=value` partition dir — the current
+    * generation directory plus unabsorbed loose files (what a resolver
+    * read serves for that partition). The IVF index's cell-pruned probe
+    * shares this with [[readPartitioned]]'s generation leg, so a compacted
+    * cell can never be read through plain listing (which cannot see
+    * dot-prefixed generation dirs).
+    */
+  private[graft] def livePartitionInputs(spark: SparkSession,
+      partDir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolveGen(fs, partDir).inputs
+  }
+
   private def resolveGen(fs: org.apache.hadoop.fs.FileSystem,
       partDir: org.apache.hadoop.fs.Path): GenState = {
     val children = fs.listStatus(partDir).toSeq
@@ -497,6 +510,17 @@ object StoreLayout {
     */
   private[graft] def compactPartitions(spark: SparkSession, path: String,
       partitionCol: String, dates: Seq[java.time.LocalDate])
+      (merge: DataFrame => DataFrame): Unit =
+    compactPartitionDirs(spark, path,
+      dates.distinct.map(d => s"$partitionCol=$d"))(merge)
+
+  /** [[compactPartitions]] generalized to arbitrary `col=value` partition
+    * directory names — the date-partitioned stores pass dates; the IVF
+    * index passes `centroid_id=N` cells. Same leases, heartbeat, bounded
+    * pool, and per-partition generation commits.
+    */
+  private[graft] def compactPartitionDirs(spark: SparkSession, path: String,
+      partNames: Seq[String])
       (merge: DataFrame => DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -507,13 +531,13 @@ object StoreLayout {
         System.currentTimeMillis() - st.getModificationTime > LeaseTtlMs)
         fs.delete(st.getPath, false)
     }
-    // lease every date that has data BEFORE any work: a concurrent compactor
-    // of any selected date aborts the whole pass here, with nothing staged
-    // and the already-acquired leases released (store untouched)
+    // lease every partition that has data BEFORE any work: a concurrent
+    // compactor of any selected partition aborts the whole pass here, with
+    // nothing staged and the already-acquired leases released (store
+    // untouched)
     val acquired = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     val present = try {
-      dates.distinct.filter { d =>
-        val partName = s"$partitionCol=$d"
+      partNames.distinct.filter { partName =>
         val partDir = new org.apache.hadoop.fs.Path(path, partName)
         val hasData = fs.exists(partDir)
         if (hasData) {
@@ -557,8 +581,7 @@ object StoreLayout {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, present.size))
     try {
-      val futures = present.map { d =>
-        val partName = s"$partitionCol=$d"
+      val futures = present.map { partName =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = try {
             compactOnePartition(spark, fs,
@@ -573,10 +596,10 @@ object StoreLayout {
       // rebuild it). Cancelled-before-start dates still hold their leases:
       // release them, their partitions were never touched.
       var firstFailure: Throwable = null
-      (present zip futures).foreach { case (d, f) =>
+      (present zip futures).foreach { case (partName, f) =>
         if (firstFailure != null) {
           if (f.cancel(false))
-            releaseLease(leasePath(path, s"$partitionCol=$d"))
+            releaseLease(leasePath(path, partName))
         } else try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException => firstFailure = e.getCause

@@ -856,6 +856,41 @@ class FunctionsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IVF incremental maintenance: appends + generation compaction + " +
+      "post-compaction append serve the same results as a one-shot build") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array(math.cos(i * 0.157).toFloat, math.sin(i * 0.157).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(-1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(0.0, -1.0)))
+      .toDF("centroid_id", "centroid_vec")
+    val oneShot = java.nio.file.Files.createTempDirectory("ivf1").toString
+    val incr = java.nio.file.Files.createTempDirectory("ivf2").toString + "/idx"
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", cents, oneShot)
+    Similarity.appendIvfIndex(vecs.where($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cents, incr)
+    Similarity.appendIvfIndex(vecs.where($"vec_id" % 4 === 1),
+      "vec_id", "embedding", cents, incr)
+    Similarity.compactIvfIndex(spark, incr)
+    Similarity.appendIvfIndex(vecs.where($"vec_id" % 4 === 3),
+      "vec_id", "embedding", cents, incr)
+    val q = vecs.where($"vec_id" < 3)
+    def topk(path: String) = Similarity.ivfTopKFromIndex(spark, q,
+        "vec_id", "embedding", path, cents, k = 3, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+    // serving equivalence across the whole lifecycle: generation dirs and
+    // the post-compaction loose appends must both be visible to the probe
+    assert(topk(incr) == topk(oneShot))
+    // the compaction actually committed generations (the probe is reading
+    // through the resolver, not a plain listing that can't see dot-dirs)
+    val cells = new java.io.File(incr).listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+    assert(cells.nonEmpty)
+    assert(cells.exists(_.listFiles().exists(_.getName.startsWith(".gen-"))),
+      "compaction must commit a generation per rewritten cell")
+  }
+
   test("Bpe.learnMerges: weighted argmax, leftmost non-overlapping merge, " +
       "UTF-8 tiebreak, early stop") {
     // (a,b) = 2·2 + 3 = 7 beats (b,a) = 2 and (b,c) = 3; then (ab,c) = 3
