@@ -100,13 +100,21 @@ object Bench {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+    // micro-batch count per stage (default 4 data chunks + 1 watermark
+    // flush). The MemoryStream feed has no wall-clock trigger, so batch
+    // count IS the trigger-interval knob: fewer/larger batches amortize the
+    // fixed per-(partition × batch) state-store commit exactly the way a
+    // longer ProcessingTime trigger would — measured sensitivity in
+    // README's bench notes
+    val streamChunks = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "4").toInt)
     try {
     val t0 = System.nanoTime()
     val in1 = MemoryStream[SpanEnvelope]
     val q1 = StreamingPipeline.sessionTraces(in1.toDS())
       .writeStream.format("memory").queryName(s"bench_stream_traces_$tag")
       .outputMode("append").start()
-    envs.grouped(math.max(1, envs.length / 4)).foreach { chunk =>
+    envs.grouped(math.max(1, envs.length / streamChunks)).foreach { chunk =>
       in1.addData(chunk.toIndexedSeq); q1.processAllAvailable()
     }
     // one far-future envelope pushes the watermark past every open session
@@ -126,7 +134,7 @@ object Bench {
         StreamingPipeline.dependencyLinkEvents(in2.toDS()))
       .writeStream.format("memory").queryName(s"bench_stream_windows_$tag")
       .outputMode("append").start()
-    closed.grouped(math.max(1, closed.length / 4)).foreach { chunk =>
+    closed.grouped(math.max(1, closed.length / streamChunks)).foreach { chunk =>
       in2.addData(chunk.toIndexedSeq); q2.processAllAvailable()
     }
     // close the trailing 1-minute windows too: the closer trace must emit at
@@ -154,7 +162,11 @@ object Bench {
   /** Fixed-precision JSON numbers: the driver keeps only the last ~2KB of
     * bench output and parses the JSON line out of that window, so the
     * complete line must sit inside it alongside sbt's trailing "[success]"
-    * line — budget ≤ 1800 chars. (r1–r7's `parsed: null` had TWO causes:
+    * line — budget ≤ 1860 chars (2000-byte tail − ~75-byte success trailer
+    * − ~60 margin; raised from 1800 in round 13, when 78 benched queries
+    * put the 1-decimal map at 1798 chars and the old budget silently
+    * dropped the streaming rates one tier early). (r1–r7's `parsed: null`
+    * had TWO causes:
     * full-precision doubles overflowing the window in early rounds, and —
     * once the line fit — sbt's logger stamping it with "[info] ", fixed in
     * build.sbt via run/outputStrategy := StdoutOutput.) 2 decimals for
@@ -388,7 +400,7 @@ object Bench {
       () => mkLine("{}", "[]", results.collect {
         case (k, _, _, Some(_)) => s"\"" + k + "\":\"\"" }.mkString("{", ",", "}")),
       () => mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}""")
-    ).view.map(_()).find(_.length <= 1800)
+    ).view.map(_()).find(_.length <= 1860)
       .getOrElse(mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}"""))
     // mechanical per-query cpu adjudication: tools/bench_cpu_floor.tsv holds
     // each query's quiet-host min-of-2 process-cpu floor (committed; refresh
