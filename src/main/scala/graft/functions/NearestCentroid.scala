@@ -62,19 +62,37 @@ case class NearestCentroid(child: Expression, centroids: Seq[(Long, Seq[Double])
 
 object NearestCentroid {
 
-  /** Pre-sorted centroid matrix with norms computed once at build. */
-  case class Model(ids: Array[Long], vecs: Array[Array[Double]], norms: Array[Double])
+  /** Pre-sorted centroid matrix with norms computed once at build.
+    * `dim` is the single centroid dimensionality — enforced uniform at
+    * build, so the per-row mismatch check is ONE comparison, not one per
+    * centroid.
+    */
+  case class Model(ids: Array[Long], vecs: Array[Array[Double]], norms: Array[Double],
+      dim: Int)
 
   object Model {
     def apply(sorted: Seq[(Long, Seq[Double])]): Model = {
       val vecs = sorted.map(_._2.toArray).toArray
+      val dim = if (vecs.isEmpty) 0 else vecs(0).length
+      require(vecs.forall(_.length == dim),
+        s"NearestCentroid: centroid dims differ (expected $dim)")
       Model(sorted.map(_._1).toArray, vecs,
-        vecs.map(v => math.sqrt(v.map(x => x * x).sum)))
+        vecs.map(v => math.sqrt(v.map(x => x * x).sum)), dim)
     }
   }
 
   def compute(arr: ArrayData, elemIsFloat: Boolean, m: Model): Long = {
     val n = arr.numElements()
+    // loud failure on dimension mismatch: truncating the dot to the shorter
+    // length would yield plausible-but-wrong cell assignments (the input
+    // norm uses all n elements) with no error anywhere. A plain
+    // if-throw, NOT require: the executor-hot path runs per row, and
+    // require's by-name message allocates a thunk per call without the
+    // optimizer (measured as a cpu elevation across the semdedup queries
+    // when the check sat inside the centroid loop)
+    if (n != m.dim)
+      throw new IllegalArgumentException(
+        s"NearestCentroid: vector dim $n != centroid dim ${m.dim}")
     var ss = 0.0
     var i = 0
     while (i < n) {
@@ -88,11 +106,6 @@ object NearestCentroid {
     var c = 0
     while (c < m.vecs.length) {
       val cv = m.vecs(c)
-      // loud failure on dimension mismatch: truncating the dot to the
-      // shorter length would yield plausible-but-wrong cell assignments
-      // (the input norm uses all n elements) with no error anywhere
-      require(cv.length == n,
-        s"NearestCentroid: vector dim $n != centroid dim ${cv.length} (centroid ${m.ids(c)})")
       var dot = 0.0
       i = 0
       while (i < n) {
