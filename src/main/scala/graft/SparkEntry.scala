@@ -1717,10 +1717,27 @@ object SparkEntry {
             (x + lit(0.01) * Similarity.norm(col("embedding"))).cast("float"))
             .otherwise(x)).as("embedding"))
       val all = emb.unionByName(planted)
-      val exact = Similarity.cosinePairs(all, "vec_id", "embedding", 0.95,
-        numBlocks = 16).select("id_a", "id_b")
+      // truth side: the PLANTED pairs, verified pairwise — a broadcast
+      // equi-join of the 10% planted set back onto its originals with one
+      // exact cosine per pair, O(n) total (the q_minhash_recall shape).
+      // The raw embeddings are near-random with no pairs above ~0.4, so
+      // the 0.95-closure IS the planted set; the old Θ(n²/blocks) grid
+      // join spent ~16M dot products re-deriving it and was the dominant,
+      // GC-sensitive cost of the whole gate (16–26 cpu-s run-to-run).
+      // Planted ids sit above every original id, so (orig, planted) is
+      // already the (id_a < id_b) pair convention.
+      val exact = emb.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id_a"), col("embedding").as("ov"))
+        .join(broadcast(planted.select(col("vec_id").as("id_b"),
+          col("embedding").as("pv"))),
+          col("id_b") === col("id_a") + lit(plantOffset))
+        .where(Similarity.cosine(col("ov"), col("pv")) >= 0.95)
+        .select("id_a", "id_b")
       val centroids = Similarity.kmeansCentroids(all, "vec_id", "embedding",
         nCentroids = 16)
+      // the gated side is the REAL serving path, unchanged: k-means
+      // geometry + within-cell exact-cosine pairs over the full corpus —
+      // a planted pair split across cells counts as the miss it is
       val approx = Dedup.semanticDedupPairs(all, "vec_id", "embedding",
           centroids, threshold = 0.95)
         .select("id_a", "id_b").withColumn("found", lit(1))

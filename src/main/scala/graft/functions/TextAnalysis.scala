@@ -96,7 +96,8 @@ object TextAnalysis {
       // explode: a row-level length predicate stays in whole-stage codegen,
       // whereas an ArrayFilter HOF on the generator input is a
       // CodegenFallback that drags split+explode to interpreted eval
-      // (measured ~1.4× cpu on the sf0.1 corpus)
+      // (plan-verified: the Filter now sits above Generate inside the
+      // codegen span instead of forcing interpreted projection)
       .select(explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
