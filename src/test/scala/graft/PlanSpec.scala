@@ -290,6 +290,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("incremental IVF probe: the scan lists ONLY the probed cell's live " +
+      "inputs, reading through the generation dir plus loose appends") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid_vec")
+    val tmp = java.nio.file.Files.createTempDirectory("ivfincplan").toString + "/idx"
+    graft.functions.Similarity.appendIvfIndex(vecs.where($"vec_id" <= 1),
+      "vec_id", "embedding", cents, tmp)
+    graft.functions.Similarity.appendIvfIndex(vecs.where($"vec_id" >= 2),
+      "vec_id", "embedding", cents, tmp)
+    graft.functions.Similarity.compactIvfIndex(spark, tmp)
+    // post-compaction append into cell 0: the probe must serve the
+    // committed generation AND this loose file together
+    graft.functions.Similarity.appendIvfIndex(
+      Seq((4L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, tmp)
+    val df = graft.functions.Similarity.ivfTopKFromIndex(spark,
+      vecs.where($"vec_id" === 0), "vec_id", "embedding", tmp, cents,
+      k = 2, nProbe = 1)
+    val files = df.inputFiles.filter(_.contains("/centroid_id="))
+    assert(files.nonEmpty && files.forall(_.contains("centroid_id=0")),
+      s"nProbe=1 must bound the scan to the probed cell's directory: ${files.toSeq}")
+    assert(files.exists(_.contains("/.gen-")),
+      s"scan must read through the committed generation dir: ${files.toSeq}")
+    assert(files.exists(f => !f.contains("/.gen-")),
+      s"post-compaction loose appends must stay served: ${files.toSeq}")
+    // and the served rows prove it: corpus_id 4 (loose) ranks with 0/1 (gen)
+    val ids = df.collect().map(_.getAs[Long]("corpus_id")).toSet
+    assert(ids == Set(1L, 4L), s"expected gen+loose neighbors of query 0, got $ids")
+  }
+
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
