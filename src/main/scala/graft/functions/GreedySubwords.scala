@@ -30,6 +30,11 @@ case class GreedySubwords(child: Expression, vocab: Seq[String])
   require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
     "greedy_subwords: vocab must be non-empty strings")
 
+  // compact plan rendering: a 32k-piece vocab must not inline into every
+  // explain/UI string (see NearestCentroid.stringArgs)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<${vocab.size} vocab pieces>")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -35,6 +35,11 @@ case class HashedBagLinear(child: Expression, weights: Seq[Double], bias: Double
 
   require(weights.nonEmpty, "hashed_bag_logit: weights must be non-empty")
 
+  // compact plan rendering: the bucket-weight vector must not inline into
+  // every explain/UI string (see NearestCentroid.stringArgs)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<${weights.size} bucket weights>", bias)
+
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

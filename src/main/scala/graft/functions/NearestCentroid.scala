@@ -27,6 +27,13 @@ case class NearestCentroid(child: Expression, centroids: Seq[(Long, Seq[Double])
 
   require(centroids.nonEmpty, "nearest_centroid: centroids must be non-empty")
 
+  // plan rendering must not serialize the model: the default stringArgs
+  // inlines every centroid component into explain/UI strings — megabytes
+  // at a real k. Plan equality (cache lookup, canonicalization) uses the
+  // case-class fields and is unaffected.
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<${centroids.size} centroids, dim ${centroids.head._2.size}>")
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -20,6 +20,11 @@ case class OovCount(child: Expression, vocab: Seq[String])
 
   require(vocab.nonEmpty, "oov_count: vocab must be non-empty")
 
+  // compact plan rendering: a 1e6-token vocab must not inline into every
+  // explain/UI string (see NearestCentroid.stringArgs)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<${vocab.size} vocab tokens>")
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
