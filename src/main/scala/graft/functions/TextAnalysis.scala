@@ -12,9 +12,14 @@ object TextAnalysis {
 
   /** Whitespace tokens of a trimmed document — any whitespace run is one
     * separator (single-space split would keep newline-joined pseudo-tokens
-    * and emit empty tokens on double spaces).
+    * and emit empty tokens on double spaces). The [[WhitespaceTokens]]
+    * expression, not `split(trim(text), "\\s+")`: identical semantics
+    * (generative spec pins them), but Spark's split re-compiles its regex
+    * per row — a per-row tax under every text operator — and routing the
+    * DataFrame-level tokenization through [[Tokenize]]'s scanner makes it
+    * literally the same code path the custom expressions use.
     */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = WhitespaceTokens(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -891,6 +891,34 @@ class FunctionsSpec extends SparkSpec {
       "compaction must commit a generation per rewritten cell")
   }
 
+  test("WhitespaceTokens: the hand-rolled scanner is identical to " +
+      "split(trim(s), \\s+, -1) on adversarial whitespace") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "ab \t\n\u000B\f\r  é."
+    val cases = Seq("", " ", "a", " a ", "\ta\t", "a  b", "\n\n", "x\u000By",
+      "\r\na b\tc ") ++
+      (1 to 500).map(_ => (0 until rnd.nextInt(30))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    cases.foreach { s =>
+      // the regex form the scanner replaces: space-trim then Java \s+ split
+      val expect = {
+        var from = 0; var to = s.length
+        while (from < to && s.charAt(from) == ' ') from += 1
+        while (to > from && s.charAt(to - 1) == ' ') to -= 1
+        s.substring(from, to).split("\\s+", -1).toSeq
+      }
+      assert(Tokenize.tokens(s).toSeq == expect,
+        s"input codepoints=${s.map(_.toInt).mkString(",")}")
+    }
+    // and the COLUMN twin agrees with the old split(trim(…)) form through
+    // the engine (codegen path)
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    df.select(TextAnalysis.tokens(col("text")).as("nw"),
+        split(trim(col("text")), "\\s+").as("old")).collect()
+      .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("Bpe.learnMerges: weighted argmax, leftmost non-overlapping merge, " +
       "UTF-8 tiebreak, early stop") {
     // (a,b) = 2·2 + 3 = 7 beats (b,a) = 2 and (b,c) = 3; then (ab,c) = 3
