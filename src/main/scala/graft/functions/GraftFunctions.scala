@@ -52,6 +52,12 @@ object GraftFunctions {
         case es => throw new IllegalArgumentException(
           s"simhash_sig(array<string>), got ${es.size} args")
       }),
+    ("whitespace_tokens", "whitespace_tokens(str) - trim + \\s+ tokenization (the engine's shared scanner)",
+      {
+        case Seq(child) => WhitespaceTokens(child)
+        case es => throw new IllegalArgumentException(
+          s"whitespace_tokens(<string>), got ${es.size} args")
+      }),
     ("text_profile", "text_profile(str) - token/length/punctuation quality profile struct",
       {
         case Seq(child) => TextProfile(child)

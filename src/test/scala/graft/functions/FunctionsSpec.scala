@@ -596,6 +596,8 @@ class FunctionsSpec extends SparkSpec {
     assert(sig.length == 16)
     assert(spark.sql("SELECT simhash_sig(array('foo', 'bar'))").head().get(0) != null)
     assert(spark.sql("SELECT text_profile('a b c').n_tokens").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT whitespace_tokens(' a  b ')")
+      .head().getSeq[String](0) == Seq("a", "b"))
     assert(spark.sql("SELECT word_shingles('a b c d', 3)").head().getSeq[String](0).length == 2)
     assert(spark.sql("SELECT sign_band_keys(array(1.0D, -1.0D), 16, 4)")
       .head().getSeq[Long](0).length == 4)
