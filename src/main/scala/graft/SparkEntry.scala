@@ -139,6 +139,48 @@ object SparkEntry {
       |FROM done GROUP BY doc_id""".stripMargin
   }
 
+  /** Train (CTE chain), then rank-ordered BPE encode: every document's
+    * words re-enter the SAME delimiter-wrapped symbol-string form the
+    * trainer used, and each learned rank applies as one literal replace()
+    * — identical merge semantics by construction. A rank whose m_i is
+    * empty (corpus exhausted its pairs early) must be an IDENTITY pass,
+    * not a NULL cascade, so the pattern/replacement coalesce to chr(2) —
+    * replace(st, c, c) is the identity for ANY c. Piece count per word is
+    * half the delimiter count; the pieces string strips the wrapping
+    * (piece boundaries are exactly chr(1)chr(1) — words contain no
+    * whitespace, so ' ' is a safe piece separator).
+    */
+  private[graft] def bpeEncodeOracle: String = {
+    val d = "chr(1)"
+    val steps = (1 to BpeMergeRounds).map { i =>
+      val a = s"(SELECT a FROM m$i)"
+      val b = s"(SELECT b FROM m$i)"
+      val prev = if (i == 1) "ws" else s"e${i - 1}"
+      s"""e$i AS MATERIALIZED (SELECT doc_id, wi, replace(st,
+         |    coalesce($d || $a || $d || $d || $b || $d, chr(2)),
+         |    coalesce($d || $a || $b || $d, chr(2))) AS st FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val last = s"e$BpeMergeRounds"
+    raw"""WITH
+      |$bpeTrainCtes,
+      |w AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS word,
+      |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS wi
+      |  FROM documents),
+      |ws AS (SELECT doc_id, wi,
+      |    regexp_replace(word, '(.)', $d || '\1' || $d, 'g') AS st FROM w),
+      |$steps,
+      |p AS (SELECT doc_id, wi,
+      |    CAST((length(st) - length(replace(st, $d, ''))) / 2 AS BIGINT) AS np,
+      |    replace(replace(st, $d || $d, ' '), $d, '') AS ps
+      |  FROM $last)
+      |SELECT doc_id,
+      |  CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pieces,
+      |  md5(coalesce(string_agg(ps, ' ' ORDER BY wi) FILTER (WHERE np > 0), ''))
+      |    AS pieces_md5
+      |FROM p GROUP BY doc_id""".stripMargin
+  }
+
   private[graft] val classifierWeights: Array[Double] =
     Array.tabulate(256)(b =>
       ((b.toLong * 2654435761L + 12345L) % 1000003L).toDouble / 1000003.0 - 0.5)
@@ -1467,6 +1509,19 @@ object SparkEntry {
         md5(concat_ws(" ", pieces)).as("pieces_md5"))
     }),
 
+    // ——— tokenizer lifecycle, RANK-ORDERED apply: standard BPE encoding
+    //     with the learned merges (vs q_bpe_apply's greedy longest-match —
+    //     the two diverge on nested pieces). Oracle replays train, then
+    //     the encode as one chained replace() per rank over the same
+    //     delimiter-wrapped word states the trainer uses ———
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = SparkEntry.bpeMerges(s, dir).map(m => (m.left, m.right))
+      val pieces = graft.functions.BpeEncode(col("text"), merges)
+      t(s, dir, "documents").select(col("doc_id"),
+        size(pieces).cast("long").as("n_pieces"),
+        md5(concat_ws(" ", pieces)).as("pieces_md5"))
+    }),
+
     // ——— dedup: exact (hash groupBy) ———
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq(col("text")))
@@ -2421,6 +2476,10 @@ object SparkEntry {
     // train (CTE chain) → apply (q_subword's recursive-CTE greedy replay
     // against the LEARNED vocab)
     "q_bpe_apply" -> bpeApplyOracle,
+
+    // train (CTE chain) → RANK-ORDERED encode (one chained replace per
+    // learned rank over the wrapped word states — see bpeEncodeOracle)
+    "q_bpe_encode" -> bpeEncodeOracle,
 
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",

@@ -68,6 +68,54 @@ object Bpe {
   def vocab(merges: Seq[Merge]): Seq[String] =
     merges.map(m => m.left + m.right).distinct
 
+  /** Rank-ordered BPE ENCODING — the standard BPE apply, vs
+    * [[GreedySubwords]]' WordPiece-style longest match (the two diverge on
+    * nested pieces: merges {(b,c),(a,b)} encode "abc" as [a, bc], greedy
+    * over the same piece set takes [ab, c]; both ship, both oracle-gated).
+    * One left-to-right pass per merge suffices: merging (a,b) can only
+    * create pairs CONTAINING the new symbol ab, and any merge involving ab
+    * was necessarily learned AFTER (a,b) — so sequential rank order is
+    * exactly the priority order, and exactly the chained-replace() replay
+    * the oracle runs. Skips a merge in O(1) when its pair is absent (the
+    * adjacent-pair set), so cost is O(merges + applied·|word|), not
+    * O(merges·|word|) — the shape a real 32k-merge model needs.
+    */
+  def encode(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] =
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    if (syms.length < 2) return syms
+    var present = adjacentPairs(syms)
+    for ((a, b) <- merges if syms.length > 1 && present.contains((a, b))) {
+      syms = applyMerge(syms, a, b)
+      present = adjacentPairs(syms)
+    }
+    syms
+  }
+
+  private def adjacentPairs(syms: Array[String]): scala.collection.Set[(String, String)] = {
+    val s = scala.collection.mutable.HashSet.empty[(String, String)]
+    var i = 0
+    while (i < syms.length - 1) { s += ((syms(i), syms(i + 1))); i += 1 }
+    s
+  }
+
+  /** Merge every (a, b) occurrence leftmost-first, non-overlapping,
+    * resuming after each substitution — the one application semantics the
+    * trainer, the encoder, and the SQL replace() replay all share.
+    */
+  private[functions] def applyMerge(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val m = a + b
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        buf += m; j += 2
+      } else { buf += syms(j); j += 1 }
+    }
+    buf.toArray
+  }
+
   /** The classic BPE loop over a weighted lexicon. Symbols start as single
     * codepoints; each round counts adjacent pairs weighted by word
     * frequency, picks the most frequent — ties on the smaller
@@ -107,24 +155,13 @@ object Bpe {
         }
         val ((a, b), n) = best
         out += Merge(r, a, b, n)
-        val m = a + b
         words = words.map { case (syms, f) =>
           var hit = false
           var i = 0
           while (!hit && i < syms.length - 1) {
             hit = syms(i) == a && syms(i + 1) == b; i += 1
           }
-          if (!hit) (syms, f)
-          else {
-            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-            var j = 0
-            while (j < syms.length) {
-              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
-                buf += m; j += 2
-              } else { buf += syms(j); j += 1 }
-            }
-            (buf.toArray, f)
-          }
+          if (hit) (applyMerge(syms, a, b), f) else (syms, f)
         }
         r += 1
       }

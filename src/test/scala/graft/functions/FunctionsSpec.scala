@@ -939,6 +939,20 @@ class FunctionsSpec extends SparkSpec {
       Bpe.Merge(1, "a", "b", 1L))
   }
 
+  test("Bpe.encode: rank-ordered apply, exhaustive leftmost pass per rank, " +
+      "and the documented divergence from greedy longest-match") {
+    // rank 1 (b,c) consumes the b before rank 2 (a,b) ever sees it
+    assert(Bpe.encode("abc", Seq(("b", "c"), ("a", "b"))).toSeq == Seq("a", "bc"))
+    // greedy over the same piece set takes the leftmost longest piece
+    assert(GreedySubwords.compute("abc", GreedySubwords.Model(Seq("bc", "ab")))
+      .array.map(_.toString).toSeq == Seq("ab", "c"))
+    // later ranks compose earlier merge outputs
+    assert(Bpe.encode("abcab", Seq(("a", "b"), ("ab", "c"))).toSeq == Seq("abc", "ab"))
+    // one pass per rank is leftmost-first non-overlapping
+    assert(Bpe.encode("aaa", Seq(("a", "a"))).toSeq == Seq("aa", "a"))
+    assert(Bpe.encode("", Seq(("a", "b"))).toSeq == Seq())
+  }
+
   test("Bpe.lexicon: frequency-ranked, empty and delimiter tokens excluded " +
       "before the top-K") {
     val docs = Seq((1L, "x y x"), (2L, "  "), (3L, "x \u0001bad\u0001 z"))
