@@ -148,7 +148,12 @@ object SparkEntry {
     * replace(st, c, c) is the identity for ANY c. Piece count per word is
     * half the delimiter count; the pieces string strips the wrapping
     * (piece boundaries are exactly chr(1)chr(1) — words contain no
-    * whitespace, so ' ' is a safe piece separator).
+    * whitespace, so ' ' is a safe piece separator). Words whose CONTENT
+    * contains the reserved delimiter chr(1) would corrupt the wrapped
+    * state, so they bypass the replace chain and emit bare codepoints —
+    * exactly the engine's reservation rule ([[graft.functions.BpeEncode]])
+    * and the same exclusion [[graft.functions.Bpe.lexicon]] applies at
+    * training time.
     */
   private[graft] def bpeEncodeOracle: String = {
     val d = "chr(1)"
@@ -168,12 +173,17 @@ object SparkEntry {
       |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS wi
       |  FROM documents),
       |ws AS (SELECT doc_id, wi,
-      |    regexp_replace(word, '(.)', $d || '\1' || $d, 'g') AS st FROM w),
+      |    regexp_replace(word, '(.)', $d || '\1' || $d, 'g') AS st FROM w
+      |  WHERE strpos(word, $d) = 0),
       |$steps,
       |p AS (SELECT doc_id, wi,
       |    CAST((length(st) - length(replace(st, $d, ''))) / 2 AS BIGINT) AS np,
       |    replace(replace(st, $d || $d, ' '), $d, '') AS ps
-      |  FROM $last)
+      |  FROM $last
+      |  UNION ALL
+      |  SELECT doc_id, wi, CAST(length(word) AS BIGINT) AS np,
+      |    rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) AS ps
+      |  FROM w WHERE strpos(word, $d) > 0)
       |SELECT doc_id,
       |  CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pieces,
       |  md5(coalesce(string_agg(ps, ' ' ORDER BY wi) FILTER (WHERE np > 0), ''))

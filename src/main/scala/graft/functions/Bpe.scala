@@ -68,19 +68,124 @@ object Bpe {
   def vocab(merges: Seq[Merge]): Seq[String] =
     merges.map(m => m.left + m.right).distinct
 
+  /** Pre-indexed merge model: pair → rank as two-level string hash probes
+    * (no per-lookup tuple allocation). Built once per expression instance
+    * and shipped into generated code as the reference object, so the
+    * per-word encode never scans the merge list — the shape a real
+    * 32k-merge model needs. The index is injective both ways (rank ↦ one
+    * pair), which is what lets the encoder validate stale heap entries by
+    * a single rank comparison.
+    */
+  final class RankIndex(val merges: Array[(String, String)]) extends Serializable {
+    require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
+      "bpe merges must be pairs of non-empty symbols")
+    // rebuilt lazily after plan serialization; the array is the payload
+    @transient private lazy val byLeft: java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+      val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+      var r = 0
+      while (r < merges.length) {
+        val (a, b) = merges(r)
+        var inner = m.get(a)
+        if (inner == null) { inner = new java.util.HashMap[String, Integer](); m.put(a, inner) }
+        // first occurrence wins: a duplicated pair can only apply at its
+        // earliest rank (the later copy is a no-op in the sequential replay)
+        if (!inner.containsKey(b)) inner.put(b, Integer.valueOf(r))
+        r += 1
+      }
+      m
+    }
+    def size: Int = merges.length
+    /** Rank of (a, b), or -1 when the pair is not a merge. */
+    def rank(a: String, b: String): Int = {
+      val inner = byLeft.get(a)
+      if (inner == null) -1
+      else {
+        val r = inner.get(b)
+        if (r == null) -1 else r.intValue()
+      }
+    }
+  }
+
   /** Rank-ordered BPE ENCODING — the standard BPE apply, vs
     * [[GreedySubwords]]' WordPiece-style longest match (the two diverge on
     * nested pieces: merges {(b,c),(a,b)} encode "abc" as [a, bc], greedy
     * over the same piece set takes [ab, c]; both ship, both oracle-gated).
-    * One left-to-right pass per merge suffices: merging (a,b) can only
-    * create pairs CONTAINING the new symbol ab, and any merge involving ab
-    * was necessarily learned AFTER (a,b) — so sequential rank order is
-    * exactly the priority order, and exactly the chained-replace() replay
-    * the oracle runs. Skips a merge in O(1) when its pair is absent (the
-    * adjacent-pair set), so cost is O(merges + applied·|word|), not
-    * O(merges·|word|) — the shape a real 32k-merge model needs.
+    *
+    * Semantics are the sequential rank scan (exactly the chained
+    * `replace()` replay the oracle runs): ranks apply in increasing order,
+    * each as one leftmost-first non-overlapping pass. The implementation
+    * is a min-heap over the PRESENT pairs of the word — (rank, position)
+    * entries over a doubly-linked symbol list, lazily invalidated — so
+    * cost is O(|word| · log |word|) regardless of merge count, not
+    * O(merges) per word. The monotone `floor` pins heap order to the
+    * sequential scan: a pair whose rank is below the last applied rank is
+    * one the scan has already passed, so it is discarded — for any
+    * training-produced merge list the floor never fires (a merge's output
+    * symbol only appears in LATER merges), making this also the standard
+    * min-rank-first BPE; the floor only matters for hand-built adversarial
+    * lists, where the documented sequential semantics win.
     */
-  def encode(word: String, merges: Seq[(String, String)]): Array[String] = {
+  def encode(word: String, index: RankIndex): Array[String] = {
+    val syms: Array[String] =
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    val n = syms.length
+    if (n < 2 || index.size == 0) return syms
+    // doubly-linked list over positions; merged-away slots go dead
+    val next = Array.tabulate(n)(i => if (i == n - 1) -1 else i + 1)
+    val prev = Array.tabulate(n)(i => i - 1)
+    val alive = Array.fill(n)(true)
+    // (rank, leftPos) packed into one long: heap order = rank, then
+    // position — same-rank occurrences pop leftmost-first
+    val pq = new java.util.PriorityQueue[java.lang.Long]()
+    def push(p: Int): Unit = {
+      val q = next(p)
+      if (q != -1) {
+        val r = index.rank(syms(p), syms(q))
+        if (r >= 0) pq.add(java.lang.Long.valueOf((r.toLong << 32) | p.toLong))
+      }
+    }
+    var i = 0
+    while (i < n - 1) { push(i); i += 1 }
+    var floor = 0
+    while (!pq.isEmpty) {
+      val e = pq.poll().longValue()
+      val r = (e >>> 32).toInt
+      val p = (e & 0xffffffffL).toInt
+      // valid iff the slot is live and STILL holds the rank-r pair (ranks
+      // are injective per pair, so one comparison re-verifies the pair)
+      if (r >= floor && alive(p)) {
+        val q = next(p)
+        if (q != -1 && index.rank(syms(p), syms(q)) == r) {
+          floor = r
+          syms(p) = syms(p) + syms(q)
+          alive(q) = false
+          val nq = next(q)
+          next(p) = nq
+          if (nq != -1) prev(nq) = p
+          val pp = prev(p)
+          if (pp != -1) push(pp)
+          push(p)
+        }
+      }
+    }
+    val out = Array.newBuilder[String]
+    var h = 0
+    while (h != -1) { out += syms(h); h = next(h) }
+    out.result()
+  }
+
+  /** Convenience overload building a transient [[RankIndex]] — fine for
+    * tests and one-off calls; [[BpeEncode]] caches the index per
+    * expression instance so the corpus scan pays it once.
+    */
+  def encode(word: String, merges: Seq[(String, String)]): Array[String] =
+    encode(word, new RankIndex(merges.toArray))
+
+  /** The literal sequential rank scan — O(merges) per word — kept as the
+    * semantic reference for the heap encoder's equivalence spec.
+    */
+  private[functions] def encodeRankScan(word: String,
+      merges: Seq[(String, String)]): Array[String] = {
     var syms: Array[String] =
       word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     if (syms.length < 2) return syms

@@ -11,18 +11,28 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Rank-ordered BPE encoding of a document: whitespace words
   * ([[Tokenize]]'s shared prologue) each encoded by applying the learned
   * merges in rank order ([[Bpe.encode]]), pieces flattened in document
-  * order. The merge list is the model — it rides into generated code as a
-  * reference object (the [[GreedySubwords]]/[[HashedBagLinear]] pattern),
-  * so encoding is a narrow in-scan projection: zero shuffle, the corpus
-  * never moves. This is the standard BPE apply; [[GreedySubwords]] is the
-  * WordPiece-style greedy alternative — the two diverge on nested pieces
-  * and both are oracle-gated.
+  * order. The merge model rides into generated code as a pre-indexed
+  * [[Bpe.RankIndex]] reference object (the
+  * [[GreedySubwords]]/[[NearestCentroid]] pattern — a named model class,
+  * never a raw `Array[(…)]` whose JVM binary name `[L…;` is not valid Java
+  * source and would break codegen compilation), so encoding is a narrow
+  * in-scan projection: zero shuffle, the corpus never moves, and per-word
+  * cost is O(|word| log |word|) independent of merge count.
+  *
+  * Two edge rules, both mirrored by the oracle: an EMPTY merge list is
+  * legal and degenerates to per-codepoint symbols (a corpus can exhaust
+  * its pairs before learning a single merge); and words containing the
+  * reserved trainer delimiter U+0001 — which [[Bpe.lexicon]] excludes from
+  * training on both sides — take no merges and emit bare codepoints, so a
+  * content control char can never diverge engine from replay.
+  * [[GreedySubwords]] is the WordPiece-style greedy alternative — the two
+  * diverge on nested pieces and both are oracle-gated.
   */
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
 
-  require(merges.nonEmpty && merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
-    "bpe_encode: merges must be non-empty symbol pairs")
+  require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
+    "bpe_encode: merges must be pairs of non-empty symbols")
 
   // compact plan rendering: a 32k-merge model must not inline into every
   // explain/UI string (see NearestCentroid.stringArgs)
@@ -38,15 +48,16 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
         s"bpe_encode requires string, got $t")
     }
 
-  @transient private lazy val model: Array[(String, String)] = merges.toArray
+  @transient private lazy val model: Bpe.RankIndex =
+    new Bpe.RankIndex(merges.toArray)
 
   override protected def nullSafeEval(input: Any): Any =
     BpeEncode.compute(input.toString, model)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val m = ctx.addReferenceObj("merges", model,
-        classOf[Array[(String, String)]].getName)
+      val m = ctx.addReferenceObj("bpeIndex", model,
+        classOf[Bpe.RankIndex].getName)
       s"${ev.value} = graft.functions.BpeEncode.compute($c.toString(), $m);"
     })
 
@@ -56,10 +67,17 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
 object BpeEncode {
 
-  def compute(s: String, merges: Array[(String, String)]): GenericArrayData = {
+  def compute(s: String, index: Bpe.RankIndex): GenericArrayData = {
     val pieces = scala.collection.mutable.ArrayBuffer.empty[Any]
     Tokenize.tokens(s).foreach { word =>
-      Bpe.encode(word, merges).foreach(p => pieces += UTF8String.fromString(p))
+      if (word.indexOf('\u0001') >= 0) {
+        // reserved trainer delimiter in content: excluded from training,
+        // excluded from merging — bare codepoints, same as the oracle
+        word.codePoints().forEach(cp =>
+          pieces += UTF8String.fromString(new String(Character.toChars(cp))))
+      } else {
+        Bpe.encode(word, index).foreach(p => pieces += UTF8String.fromString(p))
+      }
     }
     new GenericArrayData(pieces.toArray)
   }

@@ -951,6 +951,76 @@ class FunctionsSpec extends SparkSpec {
     // one pass per rank is leftmost-first non-overlapping
     assert(Bpe.encode("aaa", Seq(("a", "a"))).toSeq == Seq("aa", "a"))
     assert(Bpe.encode("", Seq(("a", "b"))).toSeq == Seq())
+    // empty merge lists are legal and degenerate to per-codepoint symbols
+    assert(Bpe.encode("abc", Nil).toSeq == Seq("a", "b", "c"))
+    // the heap encoder's monotone floor pins SEQUENTIAL semantics on
+    // adversarial (non-training-producible) lists: rank 1 (a,bc) only
+    // becomes present after rank 2 (b,c) applies, and the scan has already
+    // passed it — standard min-rank-first BPE would give [abc]
+    assert(Bpe.encode("abc", Seq(("a", "bc"), ("b", "c"))).toSeq == Seq("a", "bc"))
+    assert(Bpe.encodeRankScan("abc", Seq(("a", "bc"), ("b", "c"))).toSeq == Seq("a", "bc"))
+  }
+
+  test("Bpe.encode heap ≡ sequential rank scan on a 1k-merge trained model " +
+      "(merge-count-scalable path, bitwise-equal output)") {
+    // a lexicon rich enough to learn 1000 merges: deterministic pseudo-
+    // random words over a 6-letter alphabet with skewed frequencies
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abcdef"
+    val lex = (0 until 4000).map { _ =>
+      val len = 3 + rnd.nextInt(10)
+      val w = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      (w, (1 + rnd.nextInt(50)).toLong)
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+    val merges = Bpe.learnMerges(lex, numMerges = 1000).map(m => (m.left, m.right))
+    assert(merges.size == 1000, s"fixture must actually learn 1k merges, got ${merges.size}")
+    val index = new Bpe.RankIndex(merges.toArray)
+    val words = lex.map(_._1).take(300) ++
+      (0 until 100).map(_ => (0 until 2 + rnd.nextInt(24))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      Seq("", "a", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "zzz", "abcdefabcdef")
+    words.foreach { w =>
+      val heap = Bpe.encode(w, index).toSeq
+      val scan = Bpe.encodeRankScan(w, merges).toSeq
+      assert(heap == scan, s"word=$w heap=$heap scan=$scan")
+      assert(heap.mkString == w) // concatenation-preserving
+    }
+  }
+
+  test("BpeEncode: generated code COMPILES (the model reference object " +
+      "must carry a Java-source-valid type name), matches interpreted eval, " +
+      "accepts empty merges, and reserves U+0001 words to bare codepoints") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val expr = BpeEncode(BoundReference(0, StringType, nullable = true), merges)
+    // GenerateUnsafeProjection compiles via janino with NO interpreted
+    // fallback at this layer — a codegen-invalid reference-object type
+    // name (e.g. the '[Lscala.Tuple2;' binary name) throws right here
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val out = proj(InternalRow(UTF8String.fromString("abc xy ab")))
+      .getArray(0)
+    val pieces = (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+    assert(pieces == Seq("abc", "x", "y", "ab"))
+    // codegen ≡ interpreted
+    val interp = expr.eval(InternalRow(UTF8String.fromString("abc xy ab")))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until interp.numElements()).map(i => interp.getUTF8String(i).toString) == pieces)
+
+    // empty merge list: legal, per-codepoint degeneration (oracle identity)
+    val empty = Seq((7L, "ab c")).toDF("doc_id", "text")
+      .select(BpeEncode(col("text"), Nil).as("p")).head().getSeq[String](0)
+    assert(empty == Seq("a", "b", "c"))
+
+    // U+0001 (the trainer's reserved delimiter) in content: the word takes
+    // no merges on the engine side, mirroring the oracle's bypass branch
+    val raw = Seq((8L, "ab a\u0001b \u0001")).toDF("doc_id", "text")
+      .select(BpeEncode(col("text"), merges).as("p")).head().getSeq[String](0)
+    assert(raw == Seq("ab", "a", "\u0001", "b", "\u0001"))
   }
 
   test("Bpe.lexicon: frequency-ranked, empty and delimiter tokens excluded " +
