@@ -1791,6 +1791,25 @@ object SparkEntry {
       // GC-sensitive cost of the whole gate (16–26 cpu-s run-to-run).
       // Planted ids sit above every original id, so (orig, planted) is
       // already the (id_a < id_b) pair convention.
+      //
+      // FIXTURE GUARD: that soundness argument dies silently if the
+      // fixture ever gains a natural ≥0.95 pair (the gate would stop
+      // measuring it), so assert the assumption on a deterministic
+      // ~512-vector sample — all-pairs exact cosine, ≤131k dot products
+      // regardless of corpus size, loud on drift. An eager bounded action,
+      // the kmeansCentroidsLocal pattern.
+      val stride = math.max(1L, plantOffset / 512L)
+      val samp = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+        .select(col("vec_id").as("sid"), col("embedding").as("sv"))
+      val naturals = samp.as("x")
+        .join(broadcast(samp.as("y")), col("x.sid") < col("y.sid"))
+        .where(Similarity.cosine(col("x.sv"), col("y.sv")) >= lit(0.95))
+        .count()
+      require(naturals == 0L,
+        s"q_semdedup_recall fixture drift: $naturals natural cosine≥0.95 " +
+          "pair(s) in the raw embeddings sample — the planted-pair truth " +
+          "side is no longer the 0.95-closure; restore the exact grid " +
+          "truth join or regenerate the fixture")
       val exact = emb.where(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("id_a"), col("embedding").as("ov"))
         .join(broadcast(planted.select(col("vec_id").as("id_b"),

@@ -325,6 +325,22 @@ class PlanSpec extends SparkSpec {
     assert(ids == Set(1L, 4L), s"expected gen+loose neighbors of query 0, got $ids")
   }
 
+  test("q_semdedup_recall fixture guard: a natural cosine≥0.95 pair in the " +
+      "raw embeddings fails LOUDLY instead of hollowing out the gate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("semguard").toString
+    // two identical vectors = a natural exact-duplicate pair the
+    // planted-pair truth side would silently stop measuring
+    Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_semdedup_recall")(spark, tmp)
+    }
+    assert(e.getMessage.contains("fixture drift"), e.getMessage)
+  }
+
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
