@@ -55,10 +55,12 @@ object Bench {
       batches: Int, sec: Double, stage1Sec: Double, stage2Sec: Double) {
     def rps: Double = if (sec > 0) rowsIn / sec else 0.0
     // per-stage seconds live in the sidecar only: every stdout-line byte
-    // counts against the driver's 2KB tail window (see the length guard)
+    // counts against the driver's 2KB tail window (see the length guard).
+    // Keys match the big leg's compact form (rows/sec/rps — r14 renamed
+    // rows_in/rows_per_sec, ~12 bytes toward the ≤1700 clean-line goal).
     def frag: String =
-      s"""{"rows_in":$rowsIn,"batches":$batches,"sec":${f2(sec)},""" +
-        s""""rows_per_sec":${f1(rps)}"""
+      s"""{"rows":$rowsIn,"batches":$batches,"sec":${f2(sec)},""" +
+        s""""rps":${f1(rps)}"""
     def detail: String = frag +
       s""","stage1_sec":${f2(stage1Sec)},"stage2_sec":${f2(stage2Sec)}""" +
       s""","traces_out":$tracesOut,"windows_out":$windowsOut}"""
@@ -175,6 +177,15 @@ object Bench {
     */
   private def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
   private def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+
+  /** Stdout-line key: the fixed "q_" prefix carries no information on a
+    * line where every byte counts (84 queries × 2 chars ≈ 160 of the 1860
+    * budget), so line keys drop it; the sidecar keeps full names. Safe
+    * because every declared query except `q1_agg` starts with "q_", so the
+    * stripped keys cannot collide.
+    */
+  private[graft] def lineKey(k: String): String =
+    if (k.startsWith("q_")) k.substring(2) else k
   /** Host 1/5/15-min load averages as a JSON array — recorded before and
     * after the run so a number taken under outside load is self-labeling:
     * wall time up while process-CPU time and the historical quiet-host
@@ -312,96 +323,9 @@ object Bench {
       // a query that failed in EITHER pass is broken or flaky — surface it
       (name, wall, cpu, runs.flatMap(_._5).headOption)
     }
+    require(results.map(r => lineKey(r._1)).distinct.size == results.size,
+      "bench line keys collide after q_ stripping — rename the new query")
     def jstr(s: String): String = Verify.jstr(s) // shared driver-JSON escaper
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
-    // process-CPU seconds per query as an array POSITIONALLY ALIGNED with
-    // the (sorted) `queries` keys: under a 32-thread local run CPU can
-    // legitimately reach 32x wall, but a WALL-up/CPU-flat delta vs the
-    // previous round is outside host load, not a code regression (see
-    // README "Reading the bench JSON"). An array instead of a second
-    // name→value map keeps the line inside the driver's tail window.
-    val cpus_q = results.map { case (_, _, c, _) => f1(c) }
-      .mkString("[", ",", "]")
-    // a failed query's elapsed time is ~planning cost, not a result — the
-    // errors map (and nonzero exit) is what distinguishes fast from broken.
-    // Only FAILED queries are listed ({} = all passed), and messages are
-    // capped at 100 chars HERE so the line survives a failure inside the
-    // driver's 2KB tail (~1790 chars clean + ~130/failure); the sidecar and
-    // stderr carry the longer message.
-    val errs = results.collect { case (k, _, _, Some(e)) =>
-      s"\"" + k + "\":" + jstr(e.take(100))
-    }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // streaming leg 1 runs at sf0.01 regardless of the timed dir (the
-    // fixed-floor point); leg 2 re-runs the identical pipeline on the timed
-    // dir's rows (~10×) through the SAME batch count, so the pair of
-    // rows_per_sec values in the line demonstrates the per-batch floor
-    // amortizing (see streamingBench's doc)
-    val streamDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
-    var streamErr: Option[String] = None
-    def streamLeg(dir: java.io.File, tag: String): Option[StreamStats] =
-      if (!dir.isDirectory || streamErr.isDefined) None
-      else try { spark.catalog.clearCache(); Some(streamingBench(spark, dir.getAbsolutePath, tag)) }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming leg $tag failed: $e")
-        streamErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
-        None
-      }
-    val streamSmall = streamLeg(streamDir, "small")
-    // skip the big leg when the timed dir IS sf0.01 (it would duplicate leg
-    // 1) or when leg 1 never ran (sf0.01 absent): the line and sidecar
-    // report "big" only alongside "small", so running it alone would spend
-    // bench time on stats that are then discarded
-    val streamBig =
-      if (streamSmall.isEmpty ||
-        new java.io.File(sfDir).getCanonicalPath == streamDir.getCanonicalPath) None
-      else streamLeg(new java.io.File(sfDir), "big")
-    // compact "big" object: only what the amortization claim needs — the
-    // sidecar carries the rest
-    val bigFrag = streamBig.map(b =>
-      s""","big":{"rows":${b.rowsIn},"sec":${f2(b.sec)},"rps":${f1(b.rps)}}""").getOrElse("")
-    val streamJson = streamSmall.map(_.frag + bigFrag + "}").getOrElse("null")
-    // key present only on failure — every byte of the stdout line counts
-    // against the driver's tail window
-    val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e.take(100))}""").getOrElse("")
-    val loadAfter = loadavgJson()
-    def mkLine(qjson: String, cpuJson: String = cpus_q, errJson: String = errs,
-        streaming: String = streamJson): String =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpuJson,"errors":$errJson,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streaming$streamErrJson,"sf":${jstr(sfDir)}}"""
-    // degrade ladder, CHECKED at each tier (a long line is worthless — the
-    // driver keeps only the last ~2KB of stdout, and an overflow loses the
-    // whole result exactly when it carries failure diagnostics): full
-    // precision → 1-decimal queries → integer cpu → drop cpu (sidecar +
-    // stderr keep it) → drop the query map too with error KEYS only →
-    // error count alone. The per-QUERY wall map is the last thing
-    // sacrificed — it is the round-over-round comparison surface, and at
-    // 60+ queries the full-precision line started overflowing, which
-    // under the old ladder silently dropped the whole map.
-    val q1dec = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f1(v) }
-      .mkString("{", ",", "}")
-    val cpuInt = results.map { case (_, _, c, _) => math.round(c).toString }
-      .mkString("[", ",", "]")
-    val line = Seq(
-      () => mkLine(qs),
-      () => mkLine(q1dec),
-      () => mkLine(q1dec, cpuInt),
-      () => mkLine(q1dec, "[]"),
-      // the streaming object shrinks BEFORE the query map drops (sidecar +
-      // stderr keep the full form): at 73 queries the 1-decimal map alone
-      // is ~1.5 KB and the ~200-byte streaming frag was what pushed the
-      // line past budget. First tier keeps the amortization evidence as
-      // two bare rates (~45 B); only then is streaming nulled entirely —
-      // the per-query map is still the last thing sacrificed
-      () => mkLine(q1dec, "[]", errs, streamSmall.map(sm =>
-        s"""{"small_rps":${f1(sm.rps)}${streamBig.map(b =>
-          s""","big_rps":${f1(b.rps)}""").getOrElse("")}}""").getOrElse("null")),
-      () => mkLine(q1dec, "[]", errs, "null"),
-      () => mkLine("{}", "[]", results.collect {
-        case (k, _, _, Some(_)) => s"\"" + k + "\":\"\"" }.mkString("{", ",", "}")),
-      () => mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}""")
-    ).view.map(_()).find(_.length <= 1860)
-      .getOrElse(mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}"""))
     // mechanical per-query cpu adjudication: tools/bench_cpu_floor.tsv holds
     // each query's quiet-host min-of-2 process-cpu floor (committed; refresh
     // it when a query's cost legitimately changes). Process-cpu is NOT
@@ -415,7 +339,13 @@ object Bench {
     // ~1.0, identical to a raw floor check; busy host ⇒ the uniform
     // inflation cancels instead of flagging everything.
     // floors were measured at sf0.1 (the driver's per-round bench scale) —
-    // at any other scale the ratio is meaningless, so the gate stays silent
+    // at any other scale the ratio is meaningless, so the gate stays silent.
+    // Computed BEFORE the stdout line is built: the flag COUNT rides inside
+    // the JSON line itself ("cpu_flags") because in r13 the five stderr
+    // REGRESSION lines printed before the line were evicted from the
+    // driver's 2000-char tail by the line + sbt trailer — the official
+    // record showed a clean run while the sidecar carried 5 flags. stderr
+    // keeps the per-query detail for humans; the line carries the alarm.
     val cpuFloors: Map[String, Double] =
       if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
       else try {
@@ -451,6 +381,101 @@ object Bench {
       System.err.println(
         f"[bench] CPU REGRESSION $k: min cpu_sec $c%.1f > 1.3x floor $f%.1f (host factor $cpuHostFactor%.2f)")
     }
+    // line keys drop the fixed "q_" prefix (84 queries × 2 chars ≈ 160
+    // bytes of budget back); the sidecar keeps full names, and the one
+    // un-prefixed query (q1_agg) passes through unchanged — no collisions
+    // because every other declared query starts with "q_"
+    val qs = results.map { case (k, v, _, _) => s"\"" + lineKey(k) + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    // process-CPU seconds per query as an array POSITIONALLY ALIGNED with
+    // the (sorted) `queries` keys: under a 32-thread local run CPU can
+    // legitimately reach 32x wall, but a WALL-up/CPU-flat delta vs the
+    // previous round is outside host load, not a code regression (see
+    // README "Reading the bench JSON"). An array instead of a second
+    // name→value map keeps the line inside the driver's tail window.
+    val cpus_q = results.map { case (_, _, c, _) => f1(c) }
+      .mkString("[", ",", "]")
+    // a failed query's elapsed time is ~planning cost, not a result — the
+    // errors map (and nonzero exit) is what distinguishes fast from broken.
+    // Only FAILED queries are listed ({} = all passed), and messages are
+    // capped at 100 chars HERE so the line survives a failure inside the
+    // driver's 2KB tail (~1790 chars clean + ~130/failure); the sidecar and
+    // stderr carry the longer message.
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      s"\"" + lineKey(k) + "\":" + jstr(e.take(100))
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // streaming leg 1 runs at sf0.01 regardless of the timed dir (the
+    // fixed-floor point); leg 2 re-runs the identical pipeline on the timed
+    // dir's rows (~10×) through the SAME batch count, so the pair of
+    // rows_per_sec values in the line demonstrates the per-batch floor
+    // amortizing (see streamingBench's doc)
+    val streamDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+    var streamErr: Option[String] = None
+    def streamLeg(dir: java.io.File, tag: String): Option[StreamStats] =
+      if (!dir.isDirectory || streamErr.isDefined) None
+      else try { spark.catalog.clearCache(); Some(streamingBench(spark, dir.getAbsolutePath, tag)) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming leg $tag failed: $e")
+        streamErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+        None
+      }
+    val streamSmall = streamLeg(streamDir, "small")
+    // skip the big leg when the timed dir IS sf0.01 (it would duplicate leg
+    // 1) or when leg 1 never ran (sf0.01 absent): the line and sidecar
+    // report "big" only alongside "small", so running it alone would spend
+    // bench time on stats that are then discarded
+    val streamBig =
+      if (streamSmall.isEmpty ||
+        new java.io.File(sfDir).getCanonicalPath == streamDir.getCanonicalPath) None
+      else streamLeg(new java.io.File(sfDir), "big")
+    // compact "big" object: only what the amortization claim needs — the
+    // sidecar carries the rest
+    val bigFrag = streamBig.map(b =>
+      s""","big":{"rows":${b.rowsIn},"sec":${f2(b.sec)},"rps":${f1(b.rps)}}""").getOrElse("")
+    val streamJson = streamSmall.map(_.frag + bigFrag + "}").getOrElse("null")
+    // key present only on failure — every byte of the stdout line counts
+    // against the driver's tail window
+    val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e.take(100))}""").getOrElse("")
+    val loadAfter = loadavgJson()
+    // ALWAYS present (even 0): the alarm channel must be provably alive in
+    // a clean run, not distinguishable-from-evicted only when it fires
+    def mkLine(qjson: String, cpuJson: String = cpus_q, errJson: String = errs,
+        streaming: String = streamJson): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpuJson,"cpu_flags":${cpuRegressions.size},"errors":$errJson,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streaming$streamErrJson,"sf":${jstr(sfDir)}}"""
+    // degrade ladder, CHECKED at each tier (a long line is worthless — the
+    // driver keeps only the last ~2KB of stdout, and an overflow loses the
+    // whole result exactly when it carries failure diagnostics): full
+    // precision → 1-decimal queries → integer cpu → drop cpu (sidecar +
+    // stderr keep it) → drop the query map too with error KEYS only →
+    // error count alone. The per-QUERY wall map is the last thing
+    // sacrificed — it is the round-over-round comparison surface, and at
+    // 60+ queries the full-precision line started overflowing, which
+    // under the old ladder silently dropped the whole map.
+    val q1dec = results.map { case (k, v, _, _) => s"\"" + lineKey(k) + "\":" + f1(v) }
+      .mkString("{", ",", "}")
+    val cpuInt = results.map { case (_, _, c, _) => math.round(c).toString }
+      .mkString("[", ",", "]")
+    val line = Seq(
+      () => mkLine(qs),
+      () => mkLine(q1dec),
+      () => mkLine(q1dec, cpuInt),
+      () => mkLine(q1dec, "[]"),
+      // the streaming object shrinks BEFORE the query map drops (sidecar +
+      // stderr keep the full form): at 73 queries the 1-decimal map alone
+      // is ~1.5 KB and the ~200-byte streaming frag was what pushed the
+      // line past budget. First tier keeps the amortization evidence as
+      // two bare rates (~45 B); only then is streaming nulled entirely —
+      // the per-query map is still the last thing sacrificed
+      () => mkLine(q1dec, "[]", errs, streamSmall.map(sm =>
+        s"""{"small_rps":${f1(sm.rps)}${streamBig.map(b =>
+          s""","big_rps":${f1(b.rps)}""").getOrElse("")}}""").getOrElse("null")),
+      () => mkLine(q1dec, "[]", errs, "null"),
+      () => mkLine("{}", "[]", results.collect {
+        case (k, _, _, Some(_)) => s"\"" + lineKey(k) + "\":\"\"" }.mkString("{", ",", "}")),
+      () => mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}""")
+    ).view.map(_()).find(_.length <= 1860)
+      .getOrElse(mkLine("{}", "[]", s"""{"_failed":${results.count(_._4.isDefined)}}"""))
     // full-precision per-query wall+CPU detail for BOTH passes goes to a
     // sidecar file (the stdout line is the driver's parse target and must
     // fit its tail window)

@@ -85,6 +85,15 @@ final class BenchSpec extends AnyFunSuite {
     assert(flagged == Seq(("c", 21.0, 10.0))) // 21 > 10*1.5*1.3+0.5 = 20.0
   }
 
+  test("lineKey strips exactly the fixed q_ prefix and nothing else") {
+    assert(Bench.lineKey("q_dedup_exact") == "dedup_exact")
+    assert(Bench.lineKey("q1_agg") == "q1_agg") // the one un-prefixed query
+    assert(Bench.lineKey("quality") == "quality") // prefix, not substring
+    // the stripped namespace stays collision-free across the declared suite
+    val keys = SparkEntry.queries.keys.toSeq.map(Bench.lineKey)
+    assert(keys.distinct.size == keys.size)
+  }
+
   test("sub-second queries ride the +0.5s absolute slack") {
     // others at floor pin the host factor to 1; d is 2.25x relative
     // (floor 0.4, measured 0.9) but within the 0.4*1.3+0.5 = 1.02 slack
