@@ -104,6 +104,19 @@ class PlanSpec extends SparkSpec {
         "(the * prefix marks whole-stage codegen)")
   }
 
+  test("q_bpe_encode: whole-stage-codegen in-scan projection, zero Exchange") {
+    val plan = SparkEntry.queries("q_bpe_encode")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "the merge model rides as a reference object; the corpus must not move")
+    assert(plan.contains("*(1) Project"),
+      "BpeEncode must stay inside the generated scan loop — with the " +
+        "codegen-compiles sweep this pins the expression's codegen " +
+        "integration end to end")
+    // the 12-merge model must render compactly, never inline (stringArgs)
+    assert(plan.contains("<12 merges>"), plan.take(400))
+  }
+
   test("q_approx_distinct: HLL sketch aggregation keeps map-side partials") {
     val plan = explain("q_approx_distinct")
     assert(plan.contains("partial_hll_sketch_agg"),
