@@ -73,7 +73,7 @@ object Bench {
     * stage boundary mirrors the reference's `zipkin-dependency` topic (and
     * Spark drops event-time lineage across the typed flatMap anyway).
     * Runs twice per bench — sf0.01 and the timed dir — with the SAME batch
-    * count, so the two `rows_per_sec` values together show the per-batch
+    * count, so the two `rps` values together show the per-batch
     * fixed cost (state-store commits, ~250 ms floor documented in DESIGN.md)
     * amortizing away: 10× the rows through the same 5 batches must yield
     * ≫1× the throughput, or per-BATCH cost, not per-ROW cost, would be
@@ -408,7 +408,7 @@ object Bench {
     // streaming leg 1 runs at sf0.01 regardless of the timed dir (the
     // fixed-floor point); leg 2 re-runs the identical pipeline on the timed
     // dir's rows (~10×) through the SAME batch count, so the pair of
-    // rows_per_sec values in the line demonstrates the per-batch floor
+    // rps values in the line demonstrates the per-batch floor
     // amortizing (see streamingBench's doc)
     val streamDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
     var streamErr: Option[String] = None
@@ -438,11 +438,17 @@ object Bench {
     // against the driver's tail window
     val streamErrJson = streamErr.map(e => s""","streaming_error":${jstr(e.take(100))}""").getOrElse("")
     val loadAfter = loadavgJson()
-    // ALWAYS present (even 0): the alarm channel must be provably alive in
-    // a clean run, not distinguishable-from-evicted only when it fires
+    // ALWAYS present: the alarm channel must be provably alive in a clean
+    // run, not distinguishable-from-evicted only when it fires. 0 means
+    // "gate armed, no flags"; -1 means "gate NOT armed" (non-sf0.1 scale,
+    // or the floor file failed to load) — without the sentinel a silently
+    // disarmed gate would read as a clean pass, the exact failure mode
+    // this field exists to expose.
+    val cpuFlagsJson =
+      if (cpuFloors.isEmpty) "-1" else cpuRegressions.size.toString
     def mkLine(qjson: String, cpuJson: String = cpus_q, errJson: String = errs,
         streaming: String = streamJson): String =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpuJson,"cpu_flags":${cpuRegressions.size},"errors":$errJson,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streaming$streamErrJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpuJson,"cpu_flags":$cpuFlagsJson,"errors":$errJson,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streaming$streamErrJson,"sf":${jstr(sfDir)}}"""
     // degrade ladder, CHECKED at each tier (a long line is worthless — the
     // driver keeps only the last ~2KB of stdout, and an overflow loses the
     // whole result exactly when it carries failure diagnostics): full

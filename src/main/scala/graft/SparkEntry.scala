@@ -1798,7 +1798,7 @@ object SparkEntry {
       // ~512-vector sample — all-pairs exact cosine, ≤131k dot products
       // regardless of corpus size, loud on drift. An eager bounded action,
       // the kmeansCentroidsLocal pattern.
-      val stride = math.max(1L, plantOffset / 512L)
+      val stride = math.max(1L, (plantOffset + 511L) / 512L)
       val samp = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
         .select(col("vec_id").as("sid"), col("embedding").as("sv"))
       val naturals = samp.as("x")

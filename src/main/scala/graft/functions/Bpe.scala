@@ -79,6 +79,15 @@ object Bpe {
   final class RankIndex(val merges: Array[(String, String)]) extends Serializable {
     require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
       "bpe merges must be pairs of non-empty symbols")
+    // duplicates are REJECTED, not first-occurrence-resolved: with a
+    // duplicated pair the sequential replay can apply the LATER copy (the
+    // pair may be absent at its first rank and reform by then via other
+    // merges of identical symbols), which a rank-unique index cannot
+    // express — and training can never emit duplicates (a merged-out pair
+    // cannot reform, see encode's floor note), so rejecting loudly beats
+    // silently encoding differently from the oracle's replace() chain.
+    require(merges.distinct.length == merges.length,
+      "bpe merges must not contain duplicate pairs")
     // rebuilt lazily after plan serialization; the array is the payload
     @transient private lazy val byLeft: java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
       val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
@@ -87,9 +96,7 @@ object Bpe {
         val (a, b) = merges(r)
         var inner = m.get(a)
         if (inner == null) { inner = new java.util.HashMap[String, Integer](); m.put(a, inner) }
-        // first occurrence wins: a duplicated pair can only apply at its
-        // earliest rank (the later copy is a no-op in the sequential replay)
-        if (!inner.containsKey(b)) inner.put(b, Integer.valueOf(r))
+        inner.put(b, Integer.valueOf(r))
         r += 1
       }
       m

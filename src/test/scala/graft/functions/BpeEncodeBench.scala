@@ -17,7 +17,10 @@ object BpeEncodeBench {
       ((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString,
         (1 + rnd.nextInt(50)).toLong)
     }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
-    val words = Array.fill(200000)(lex(rnd.nextInt(lex.size))._1)
+    // indexed picks over an Array — List apply/size are O(n) traversals
+    // and 200k picks over a ~29k List would cost ~1e10 node hops of setup
+    val lexArr = lex.toArray
+    val words = Array.fill(200000)(lexArr(rnd.nextInt(lexArr.length))._1)
     for (n <- Seq(100, 1000, 4000, 16000)) {
       val merges = Bpe.learnMerges(lex, numMerges = n).map(m => (m.left, m.right))
       if (merges.size < n)

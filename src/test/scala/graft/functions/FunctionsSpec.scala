@@ -953,6 +953,16 @@ class FunctionsSpec extends SparkSpec {
     assert(Bpe.encode("", Seq(("a", "b"))).toSeq == Seq())
     // empty merge lists are legal and degenerate to per-codepoint symbols
     assert(Bpe.encode("abc", Nil).toSeq == Seq("a", "b", "c"))
+    // duplicated pairs are rejected loudly: the sequential replay can
+    // apply the LATER copy (the pair reforms by rank 2 via the identical-
+    // symbol merge below), which a rank-unique index cannot express —
+    // and training can never emit duplicates, so this is a caller bug
+    val dup = intercept[IllegalArgumentException] {
+      Bpe.encode("xyz", Seq(("xy", "z"), ("x", "y"), ("xy", "z")))
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    assert(Bpe.encodeRankScan("xyz",
+      Seq(("xy", "z"), ("x", "y"), ("xy", "z"))).toSeq == Seq("xyz"))
     // the heap encoder's monotone floor pins SEQUENTIAL semantics on
     // adversarial (non-training-producible) lists: rank 1 (a,bc) only
     // becomes present after rank 2 (b,c) applies, and the scan has already
