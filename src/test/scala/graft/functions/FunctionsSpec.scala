@@ -1033,6 +1033,43 @@ class FunctionsSpec extends SparkSpec {
     assert(raw == Seq("ab", "a", "\u0001", "b", "\u0001"))
   }
 
+  test("Bpe.encode heap ≡ rank scan on RANDOM duplicate-free merge lists " +
+      "(generative — includes non-trained adversarial orders where the " +
+      "monotone floor is what preserves the sequential semantics)") {
+    // tiny alphabet + short symbols maximizes pair collisions and
+    // later-rank-creates-earlier-pair constellations — the cases where a
+    // plain min-rank heap WOULD diverge from the sequential replay
+    val rnd = new scala.util.Random(99L)
+    val alphabet = "abcd"
+    def randSym(maxLen: Int): String =
+      (0 to rnd.nextInt(maxLen)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    var floorMattered = 0
+    for (_ <- 1 to 400) {
+      val merges = Seq.fill(1 + rnd.nextInt(12))((randSym(2), randSym(2))).distinct
+      val index = new Bpe.RankIndex(merges.toArray)
+      (0 until 20).foreach { _ =>
+        val w = (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        val heap = Bpe.encode(w, index).toSeq
+        val scan = Bpe.encodeRankScan(w, merges).toSeq
+        assert(heap == scan, s"merges=$merges word=$w heap=$heap scan=$scan")
+        assert(heap.mkString == w)
+        // count cases where an UNFLOORED min-rank heap would have had a
+        // lower-rank pair become present late — i.e. the floor decided
+        if (heap.size > 1) {
+          val lastSyms = heap
+          val lateLow = lastSyms.indices.dropRight(1).exists { i =>
+            val r = index.rank(lastSyms(i), lastSyms(i + 1)); r >= 0
+          }
+          if (lateLow) floorMattered += 1
+        }
+      }
+    }
+    // the fixture must actually exercise the adversarial region, not just
+    // vacuously pass on trained-shaped lists
+    assert(floorMattered > 0,
+      "generator never produced a floor-deciding case — strengthen it")
+  }
+
   test("codegen sweep: every custom expression with a real doGenCode " +
       "COMPILES under GenerateUnsafeProjection and matches interpreted eval") {
     // BpeEncode's '[Lscala.Tuple2;' reference-type bug shipped for a round
