@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ×N scale-proof leg (opt-in, not part of the driver's per-round bench):
+  * self-amplifies the sf dir's `documents`/`embeddings` ~N× IN-ENGINE and
+  * re-times the heavy LLM-pipeline family on the amplified corpus,
+  * asserting wall grows ≤ ~1.3·N for ×N data — the measurement that turns
+  * "the dedup/ANN families are banded/celled, never all-pairs" from an
+  * audit opinion into a recorded number (`BENCH_scale.json`).
+  *
+  * Amplification preserves the corpus' STATISTICAL shape instead of its
+  * literal bytes — naive replication would plant C(N,2) near-duplicate
+  * pairs per original row and explode every pair-finding query's OUTPUT
+  * quadratically, measuring fixture pathology rather than scaling:
+  *   - documents: replica k>0 suffixes every token with `_k`, so each
+  *     replica's shingle universe is disjoint from every other's —
+  *     intra-replica duplicate structure replicates ×N (like N new
+  *     same-shaped corpora), cross-replica Jaccard is 0.
+  *   - embeddings: replica k is the vector cyclically rotated by k — an
+  *     orthogonal map, so intra-replica cosines are EXACT while
+  *     cross-replica cosines of these near-random directions are ≈ random
+  *     (no planted cosine-1 pairs).
+  * Ids remap to `id·N + k`, keeping them unique longs and keeping the
+  * `vec_id < 10` ANN query set non-empty.
+  *
+  * Per leg each query gets one untimed run (JIT/codegen warm + lazy store
+  * build + output row count) and two timed runs (min — the Bench
+  * statistic). Spill bytes are listener-summed per leg: a query can stay
+  * inside the wall bound by spilling its way through, and that failure
+  * mode must be visible in the record.
+  *
+  * `SPARK_GRAFT_SF_DIR` (default /root/testdata/sf0.1),
+  * `SPARK_GRAFT_SCALE` (default 10), `SPARK_GRAFT_SCALE_BOUND` (default
+  * 13.0 — ~1.3·N for N=10: linear growth plus the same 1.3× jitter margin
+  * the cpu gate uses), output `BENCH_scale.json`.
+  */
+object BenchScale {
+
+  /** The six heaviest pipeline queries — the ones whose 100 TB posture the
+    * verdicts adjudicate: sub-quadratic dedup (shingle join, LSH banding),
+    * celled ANN + SemDeDup, in-scan BPE encode, streamed greedy packing.
+    */
+  private val Heavy = Seq("q_dedup_ngram", "q_dedup_minhash", "q_semdedup",
+    "q_ann_ivf", "q_bpe_encode", "q_pack_seq")
+
+  private final class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  private def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val bound = sys.env.getOrElse("SPARK_GRAFT_SCALE_BOUND", "13.0").toDouble
+    require(rep >= 2, s"SPARK_GRAFT_SCALE must be >= 2, got $rep")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val spill = new SpillListener
+    spark.sparkContext.addSparkListener(spill)
+
+    def loadavg1(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").head
+      catch { case _: Throwable => "null" }
+    val loadStart = loadavg1()
+
+    // ——— amplified dir build (UNTIMED — store-build-equivalent cost) ———
+    val ampRoot = new java.io.File(s"target/bench_scale/amp$rep")
+    if (ampRoot.exists()) rmrf(ampRoot)
+    val ampDir = ampRoot.getAbsolutePath
+    val reps = broadcast(spark.range(rep).select(col("id").cast("int").as("k")))
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") * rep + col("k"))
+      .withColumn("text", when(col("k") === 0, col("text"))
+        .otherwise(concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            t => concat(t, lit("_"), col("k"))))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val d = size(col("embedding"))
+    val s = pmod(col("k"), d)
+    emb.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") * rep + col("k"))
+      .withColumn("embedding", when(col("k") === 0, col("embedding"))
+        .otherwise(concat(slice(col("embedding"), s + 1, d - s),
+          slice(col("embedding"), lit(1), s))))
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$ampDir/embeddings.parquet")
+
+    val baseDocs = docs.count(); val baseEmb = emb.count()
+    val ampDocs = spark.read.parquet(s"$ampDir/documents.parquet").count()
+    val ampEmb = spark.read.parquet(s"$ampDir/embeddings.parquet").count()
+    require(ampDocs == baseDocs * rep && ampEmb == baseEmb * rep,
+      s"amplification wrote $ampDocs/$ampEmb rows, expected ${baseDocs * rep}/${baseEmb * rep}")
+
+    // ——— warmup: the Bench pattern — run the family once at the smallest
+    // sf so the timed legs never absorb one-time JIT/janino cost ———
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (warmDir.isDirectory)
+      Heavy.foreach { name =>
+        try SparkEntry.queries(name)(spark, warmDir.getAbsolutePath)
+          .queryExecution.toRdd.foreach(_ => ())
+        catch { case _: Throwable => () }
+      }
+
+    // (wall_min, output_rows, mem_spill, disk_spill, error) per query
+    def leg(dir: String): Seq[(String, Double, Long, Long, Long, Option[String])] =
+      Heavy.map { name =>
+        val fn = SparkEntry.queries(name)
+        try {
+          spark.catalog.clearCache()
+          val rows = fn(spark, dir).count() // untimed: warm + lazy stores + size
+          val m0 = spill.memSpill.get(); val d0 = spill.diskSpill.get()
+          val walls = (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
+            (System.nanoTime() - t0) / 1e9
+          }
+          // spill read AFTER the timed runs (listener lag ≤ the next query's
+          // untimed run — per-leg attribution is what the record needs)
+          (name, walls.min, rows, spill.memSpill.get() - m0,
+            spill.diskSpill.get() - d0, None)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench_scale] $name failed on $dir: $e")
+          (name, -1.0, -1L, 0L, 0L,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)))
+        }
+      }
+
+    val base = leg(sfDir)
+    val scaled = leg(ampDir)
+
+    var anyBad = false
+    val perQuery = base.zip(scaled).map { case ((name, bw, brows, _, _, berr),
+        (_, sw, srows, smem, sdisk, serr)) =>
+      val err = berr.orElse(serr)
+      val factor = if (bw > 0 && sw > 0) sw / bw else -1.0
+      // +1.0 s absolute allowance: a sub-second base wall is mostly fixed
+      // per-query overhead (planning, job launch), which does not scale
+      // with data and must not fail the growth bound
+      val ok = err.isEmpty && sw >= 0 && sw <= bw * bound + 1.0
+      if (!ok) anyBad = true
+      val errJson = err.map(e => s""","error":${Verify.jstr(e)}""").getOrElse("")
+      s""""$name":{"base_sec":${f2(bw)},"scaled_sec":${f2(sw)},"factor":${f2(factor)},""" +
+        s""""base_rows":$brows,"scaled_rows":$srows,""" +
+        s""""scaled_spill_mem_mb":${smem / (1024 * 1024)},"scaled_spill_disk_mb":${sdisk / (1024 * 1024)},"ok":$ok$errJson}"""
+    }
+    val maxFactor = base.zip(scaled).collect {
+      case ((_, bw, _, _, _, None), (_, sw, _, _, _, None)) if bw > 0 => sw / bw
+    }.foldLeft(0.0)(math.max)
+    val json =
+      s"""{"metric":"scale_proof","replication":$rep,"bound":${f2(bound)},""" +
+        s""""max_factor":${f2(maxFactor)},"ok":${!anyBad},""" +
+        s""""base_docs":$baseDocs,"scaled_docs":$ampDocs,"base_emb":$baseEmb,"scaled_emb":$ampEmb,""" +
+        s""""queries":{${perQuery.mkString(",")}},""" +
+        s""""load":[$loadStart,${loadavg1()}],"sf":${Verify.jstr(sfDir)}}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try w.println(json) finally w.close()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(json)
+    spark.stop()
+    if (anyBad) sys.exit(1)
+  }
+}

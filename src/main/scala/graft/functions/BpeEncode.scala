@@ -33,6 +33,13 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
     "bpe_encode: merges must be pairs of non-empty symbols")
+  // duplicate pairs rejected HERE, at plan construction on the driver —
+  // [[Bpe.RankIndex]] re-checks, but `model` is transient-lazy and would
+  // only fire at first eval, turning a caller bug into a mid-job task
+  // failure instead of an immediate analysis-time error (see RankIndex's
+  // doc for why duplicates are unrepresentable rather than first-wins)
+  require(merges.distinct.length == merges.length,
+    "bpe_encode: merges must not contain duplicate pairs")
 
   // compact plan rendering: a 32k-merge model must not inline into every
   // explain/UI string (see NearestCentroid.stringArgs)

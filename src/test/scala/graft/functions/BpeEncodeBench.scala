@@ -2,29 +2,31 @@ package graft.functions
 
 /** Ad-hoc A/B timer for the BPE encoders (test scope only, the
   * [[graft.TimeQueries]] pattern): heap encoder vs the literal sequential
-  * rank scan across merge-model sizes, on a synthetic trained model. This
-  * is the evidence for the merge-count-scalability claim — the scan
-  * prices O(merges) per word, the heap O(|word| log |word|).
+  * rank scan across merge-model sizes, on the SHARED [[BpeFixture]] corpus
+  * — the same corpus whose 1k-merge prefix the equivalence spec pins, so
+  * the model the bench prices is the model the specs verified. This is
+  * the evidence for the merge-count-scalability claim — the scan prices
+  * O(merges) per word, the heap O(|word| log |word|).
   *
   * `sbt "Test/runMain graft.functions.BpeEncodeBench"`
   */
 object BpeEncodeBench {
   def main(args: Array[String]): Unit = {
+    val lexArr = BpeFixture.lexicon.toArray
     val rnd = new scala.util.Random(7L)
-    val alphabet = "abcdefghij"
-    val lex = (0 until 30000).map { _ =>
-      val len = 3 + rnd.nextInt(12)
-      ((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString,
-        (1 + rnd.nextInt(50)).toLong)
-    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
     // indexed picks over an Array — List apply/size are O(n) traversals
-    // and 200k picks over a ~29k List would cost ~1e10 node hops of setup
-    val lexArr = lex.toArray
+    // and 200k picks over a ~4k List would cost ~1e9 node hops of setup
     val words = Array.fill(200000)(lexArr(rnd.nextInt(lexArr.length))._1)
-    for (n <- Seq(100, 1000, 4000, 16000)) {
-      val merges = Bpe.learnMerges(lex, numMerges = n).map(m => (m.left, m.right))
-      if (merges.size < n)
-        println(s"n=$n: lexicon exhausted at ${merges.size} merges")
+    // learnMerges is prefix-deterministic: one deep training run serves
+    // every size via take(n) (the old per-size retrain wasted ~4x the
+    // setup and — worse — priced models no spec had ever pinned)
+    val sizes = Seq(100, 1000, 4000, 16000)
+    val all = Bpe.learnMerges(BpeFixture.lexicon, sizes.max)
+      .map(m => (m.left, m.right))
+    if (all.size < sizes.max)
+      println(s"lexicon exhausted at ${all.size} merges (asked ${sizes.max})")
+    for (n <- sizes) {
+      val merges = all.take(n)
       val index = new Bpe.RankIndex(merges.toArray)
       def time(tag: String)(f: String => Array[String]): Unit = {
         var sink = 0L

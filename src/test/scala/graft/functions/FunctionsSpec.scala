@@ -971,21 +971,22 @@ class FunctionsSpec extends SparkSpec {
     assert(Bpe.encodeRankScan("abc", Seq(("a", "bc"), ("b", "c"))).toSeq == Seq("a", "bc"))
   }
 
-  test("Bpe.encode heap ≡ sequential rank scan on a 1k-merge trained model " +
-      "(merge-count-scalable path, bitwise-equal output)") {
-    // a lexicon rich enough to learn 1000 merges: deterministic pseudo-
-    // random words over a 6-letter alphabet with skewed frequencies
-    val rnd = new scala.util.Random(20260814L)
-    val alphabet = "abcdef"
-    val lex = (0 until 4000).map { _ =>
-      val len = 3 + rnd.nextInt(10)
-      val w = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-      (w, (1 + rnd.nextInt(50)).toLong)
-    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
-    val merges = Bpe.learnMerges(lex, numMerges = 1000).map(m => (m.left, m.right))
+  test("Bpe.encode heap ≡ sequential rank scan on the SHARED 1k-merge " +
+      "fixture model (merge-count-scalable path, bitwise-equal output), " +
+      "and the trainer reproduces the committed fixture bit-for-bit") {
+    val merges = BpeFixture.merges(1000)
     assert(merges.size == 1000, s"fixture must actually learn 1k merges, got ${merges.size}")
+    // determinism pin: the committed resource is what BpeEncodeBench (and
+    // any future consumer) loads — a trainer change that shifts ANY merge
+    // fails here, and an INTENTIONAL change regens the file via
+    // `Test/runMain graft.functions.BpeFixture`
+    assert(merges == BpeFixture.committed1k,
+      "trained merges diverge from src/test/resources/graft/bpe_merges_1k.tsv — " +
+        "trainer determinism broke, or an intentional trainer change needs the fixture regenerated")
+    val rnd = new scala.util.Random(BpeFixture.Seed)
+    val alphabet = BpeFixture.Alphabet
     val index = new Bpe.RankIndex(merges.toArray)
-    val words = lex.map(_._1).take(300) ++
+    val words = BpeFixture.lexicon.map(_._1).take(300) ++
       (0 until 100).map(_ => (0 until 2 + rnd.nextInt(24))
         .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ++
       Seq("", "a", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "zzz", "abcdefabcdef")
