@@ -59,6 +59,48 @@ object BenchScale {
 
   private def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
 
+  /** ×rep document amplification: replica k>0 suffixes every whitespace
+    * token with `_k`, so replica shingle/token universes are pairwise
+    * DISJOINT (cross-replica Jaccard is exactly 0 — nothing planted for
+    * the pair-finding queries), while replica 0 keeps the original bytes
+    * and every replica keeps the original's token count and length
+    * SHAPE. `doc_id → doc_id·rep + k` is a bijection onto the amplified
+    * id space, so ids stay unique longs. Factored out of main() so the
+    * planted-nothing properties are spec-pinned (BenchScaleSpec).
+    */
+  private[graft] def amplifyDocs(docs: DataFrame, rep: Int): DataFrame = {
+    val reps = broadcast(docs.sparkSession.range(rep)
+      .select(col("id").cast("int").as("k")))
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") * rep + col("k"))
+      .withColumn("text", when(col("k") === 0, col("text"))
+        .otherwise(concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            t => concat(t, lit("_"), col("k"))))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("k")
+  }
+
+  /** ×rep embedding amplification: replica k is the vector cyclically
+    * rotated by k (mod dim) — an ORTHOGONAL map, so every intra-replica
+    * pairwise cosine equals the base corpus' exactly (norms and dot
+    * products are preserved), while cross-replica cosines of these
+    * near-random directions carry no planted cosine-1 pairs. `vec_id`
+    * remaps bijectively like doc_id.
+    */
+  private[graft] def amplifyEmbeddings(emb: DataFrame, rep: Int): DataFrame = {
+    val reps = broadcast(emb.sparkSession.range(rep)
+      .select(col("id").cast("int").as("k")))
+    val d = size(col("embedding"))
+    val s = pmod(col("k"), d)
+    emb.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") * rep + col("k"))
+      .withColumn("embedding", when(col("k") === 0, col("embedding"))
+        .otherwise(concat(slice(col("embedding"), s + 1, d - s),
+          slice(col("embedding"), lit(1), s))))
+      .drop("k")
+  }
+
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmrf)
     f.delete(): Unit
@@ -90,28 +132,13 @@ object BenchScale {
     val ampRoot = new java.io.File(s"target/bench_scale/amp$rep")
     if (ampRoot.exists()) rmrf(ampRoot)
     val ampDir = ampRoot.getAbsolutePath
-    val reps = broadcast(spark.range(rep).select(col("id").cast("int").as("k")))
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    docs.crossJoin(reps)
-      .withColumn("doc_id", col("doc_id") * rep + col("k"))
-      .withColumn("text", when(col("k") === 0, col("text"))
-        .otherwise(concat_ws(" ",
-          transform(split(col("text"), "\\s+"),
-            t => concat(t, lit("_"), col("k"))))))
-      .withColumn("n_chars", length(col("text")))
-      .drop("k")
+    amplifyDocs(docs, rep)
       .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val d = size(col("embedding"))
-    val s = pmod(col("k"), d)
-    emb.crossJoin(reps)
-      .withColumn("vec_id", col("vec_id") * rep + col("k"))
-      .withColumn("embedding", when(col("k") === 0, col("embedding"))
-        .otherwise(concat(slice(col("embedding"), s + 1, d - s),
-          slice(col("embedding"), lit(1), s))))
-      .drop("k")
+    amplifyEmbeddings(emb, rep)
       .write.mode("overwrite").parquet(s"$ampDir/embeddings.parquet")
 
     val baseDocs = docs.count(); val baseEmb = emb.count()

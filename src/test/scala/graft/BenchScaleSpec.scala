@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins BenchScale's planted-nothing amplification properties — the
+  * validity of BENCH_scale.json rests on the amplified corpus measuring
+  * SCALE, not fixture pathology:
+  *   - doc replicas have pairwise-DISJOINT token universes (cross-replica
+  *     Jaccard exactly 0 ⇒ no quadratic near-dup pair planting) while
+  *     replica 0 keeps the original bytes and every replica keeps the
+  *     token-count/length shape;
+  *   - embedding rotation is orthogonal: intra-replica pairwise cosines
+  *     equal the base corpus' exactly;
+  *   - id remaps are bijections (×rep row counts, all ids distinct).
+  */
+final class BenchScaleSpec extends SparkSpec {
+
+  private val Rep = 3
+
+  private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.lazyZip(b).map(_ * _).sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("amplifyDocs: xN rows, bijective ids, replica 0 verbatim, disjoint " +
+      "cross-replica token universes, per-replica token-count shape kept") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "pack my box with five dozen jugs"),
+      (2L, "the quick brown fox jumps"), // an intra-corpus exact dup — must replicate xN
+      (3L, "single"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val amp = BenchScale.amplifyDocs(base, Rep).cache()
+    try {
+      assert(amp.count() == base.count() * Rep)
+      assert(amp.select("doc_id").distinct().count() == base.count() * Rep)
+      // replica 0 (doc_id % Rep == 0) is the original corpus byte-for-byte
+      val rep0 = amp.filter(col("doc_id") % Rep === 0)
+        .select((col("doc_id") / Rep).cast("long").as("doc_id"), col("text"))
+      assert(rep0.except(base.select("doc_id", "text")).isEmpty &&
+        base.select("doc_id", "text").except(rep0).isEmpty)
+      // token universes of distinct replicas are pairwise disjoint
+      val toks = amp.select((col("doc_id") % Rep).as("k"),
+          explode(split(col("text"), "\\s+")).as("tok"))
+        .distinct().cache()
+      val overlap = toks.as("x").join(toks.as("y"),
+        col("x.tok") === col("y.tok") && col("x.k") =!= col("y.k")).count()
+      assert(overlap == 0L, "cross-replica token collision — amplification planted shared shingles")
+      // shape: every replica has the base corpus' total token count
+      val perK = amp.select((col("doc_id") % Rep).as("k"),
+          size(split(col("text"), "\\s+")).as("n"))
+        .groupBy("k").agg(sum("n").as("total")).collect()
+        .map(r => r.getLong(1)).toSet
+      assert(perK.size == 1, s"replica token totals diverge: $perK")
+      // n_chars recomputed to match the salted text
+      assert(amp.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+    } finally { amp.unpersist(); () }
+  }
+
+  test("amplifyEmbeddings: xN rows, bijective ids, replica 0 verbatim, " +
+      "intra-replica pairwise cosines match the base corpus' to fp rounding") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val dim = 8
+    val base = (0L until 5L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val amp = BenchScale.amplifyEmbeddings(base, Rep).cache()
+    try {
+      assert(amp.count() == 5L * Rep)
+      assert(amp.select("vec_id").distinct().count() == 5L * Rep)
+      def collectById(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+        df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+      val byId = collectById(amp)
+      val baseById = collectById(base)
+      // replica 0 is the original vector; replica k a cyclic rotation of it
+      for ((id, v) <- baseById) {
+        assert(byId(id * Rep) == v)
+        for (k <- 1 until Rep) {
+          val rot = byId(id * Rep + k)
+          val s = k % dim
+          assert(rot == v.drop(s) ++ v.take(s), s"replica $k of $id is not rot($s)")
+        }
+      }
+      // orthogonality: intra-replica cosines match the base to fp-rounding
+      // (rotation reorders the identical products inside the dot sum, so
+      // only summation-order rounding can differ)
+      for {
+        k <- 0 until Rep
+        a <- baseById.keys; b <- baseById.keys if a < b
+      } {
+        val c0 = cosine(baseById(a), baseById(b))
+        val ck = cosine(byId(a * Rep + k), byId(b * Rep + k))
+        assert(math.abs(ck - c0) < 1e-12, s"replica $k cosine($a,$b): $ck vs $c0")
+      }
+    } finally { amp.unpersist(); () }
+  }
+}
