@@ -200,7 +200,7 @@ object Bench {
     * sidecar): with min-of-2 walls the load numbers are corroboration, not
     * the primary contamination defence, and the line's byte budget is tight.
     */
-  private def loadavg1(): String =
+  private[graft] def loadavg1(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split("\\s+").head
     catch { case _: Throwable => "null" }

@@ -33,8 +33,9 @@ import org.apache.spark.sql.functions._
   *
   * `SPARK_GRAFT_SF_DIR` (default /root/testdata/sf0.1),
   * `SPARK_GRAFT_SCALE` (default 10), `SPARK_GRAFT_SCALE_BOUND` (default
-  * 13.0 — ~1.3·N for N=10: linear growth plus the same 1.3× jitter margin
-  * the cpu gate uses), output `BENCH_scale.json`.
+  * 1.3·N: linear growth plus the same 1.3× jitter margin the cpu gate
+  * uses — tracking N so the contract neither tightens nor loosens as the
+  * replication factor moves), output `BENCH_scale.json`.
   */
 object BenchScale {
 
@@ -67,6 +68,16 @@ object BenchScale {
     * SHAPE. `doc_id → doc_id·rep + k` is a bijection onto the amplified
     * id space, so ids stay unique longs. Factored out of main() so the
     * planted-nothing properties are spec-pinned (BenchScaleSpec).
+    *
+    * Disjointness caveat: a BASE token that already ends in `_<k>` for
+    * some replica k < rep equals that replica's salted form of its stem
+    * (`foo_2` ∈ replica 0 vs `foo`→`foo_2` ∈ replica 2), and no finite
+    * suffix scheme is collision-proof against arbitrary base tokens —
+    * so main() CHECKS the base corpus for such tokens before amplifying
+    * and refuses loudly rather than recording a contaminated scale
+    * proof. (Salted-vs-salted collisions across replicas j ≠ k are
+    * impossible: the digits after the final underscore ARE the replica
+    * number, so equal strings force j = k.)
     */
   private[graft] def amplifyDocs(docs: DataFrame, rep: Int): DataFrame = {
     val reps = broadcast(docs.sparkSession.range(rep)
@@ -81,14 +92,38 @@ object BenchScale {
       .drop("k")
   }
 
+  /** Base-corpus tokens that would collide with [[amplifyDocs]]' salt
+    * scheme at this replication factor (first 5, for the error message):
+    * any token ending in `_<k>` for 1 ≤ k < rep equals replica k's salted
+    * form of its stem, breaking cross-replica disjointness.
+    */
+  private[graft] def saltCollisions(docs: DataFrame, rep: Int): Seq[String] =
+    docs.select(explode(split(col("text"), "\\s+")).as("tok"))
+      // `when` guard, not a `&&` conjunct: regexp_extract yields '' on no
+      // match, which an ANSI cast to long REJECTS rather than nulling, and
+      // Catalyst may evaluate both sides of a conjunction — CaseWhen
+      // branches are the lazily-evaluated construct
+      .filter(when(col("tok").rlike("_[0-9]+$"),
+        regexp_extract(col("tok"), "_([0-9]+)$", 1).cast("long"))
+        .between(1, rep - 1))
+      .limit(5).collect().toSeq.map(_.getString(0))
+
   /** ×rep embedding amplification: replica k is the vector cyclically
     * rotated by k (mod dim) — an ORTHOGONAL map, so every intra-replica
     * pairwise cosine equals the base corpus' exactly (norms and dot
     * products are preserved), while cross-replica cosines of these
     * near-random directions carry no planted cosine-1 pairs. `vec_id`
-    * remaps bijectively like doc_id.
+    * remaps bijectively like doc_id. Requires rep ≤ dim: replica dim's
+    * rotation offset would wrap to 0 and reproduce every base vector
+    * verbatim — exactly the planted cosine-1 pathology this map exists
+    * to avoid.
     */
   private[graft] def amplifyEmbeddings(emb: DataFrame, rep: Int): DataFrame = {
+    emb.select(size(col("embedding"))).head(1).foreach { r =>
+      require(rep <= r.getInt(0),
+        s"SPARK_GRAFT_SCALE=$rep exceeds embedding dim ${r.getInt(0)} — " +
+          "rotation offsets would wrap to 0 and replicate base vectors verbatim")
+    }
     val reps = broadcast(emb.sparkSession.range(rep)
       .select(col("id").cast("int").as("k")))
     val d = size(col("embedding"))
@@ -101,16 +136,15 @@ object BenchScale {
       .drop("k")
   }
 
-  private def rmrf(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmrf)
-    f.delete(): Unit
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val rep = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
-    val bound = sys.env.getOrElse("SPARK_GRAFT_SCALE_BOUND", "13.0").toDouble
     require(rep >= 2, s"SPARK_GRAFT_SCALE must be >= 2, got $rep")
+    // default bound tracks N (linear growth + the cpu gate's 1.3× jitter
+    // margin) — a fixed constant would tighten/loosen the contract as the
+    // replication factor moves away from 10
+    val bound = sys.env.get("SPARK_GRAFT_SCALE_BOUND")
+      .map(_.toDouble).getOrElse(1.3 * rep)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
@@ -123,17 +157,27 @@ object BenchScale {
     val spill = new SpillListener
     spark.sparkContext.addSparkListener(spill)
 
-    def loadavg1(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+").head
-      catch { case _: Throwable => "null" }
-    val loadStart = loadavg1()
+    val loadStart = Bench.loadavg1()
 
     // ——— amplified dir build (UNTIMED — store-build-equivalent cost) ———
+    // Hadoop FS delete (the ensureStore pattern) instead of a hand-rolled
+    // java.io recursion — surfaces failures instead of silently ignoring
+    // them, and parquet writes below go through the same FS anyway
     val ampRoot = new java.io.File(s"target/bench_scale/amp$rep")
-    if (ampRoot.exists()) rmrf(ampRoot)
+    val ampPath = new org.apache.hadoop.fs.Path(ampRoot.getAbsolutePath)
+    ampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(ampPath, true): Unit
     val ampDir = ampRoot.getAbsolutePath
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // refuse a base corpus whose tokens collide with the salt scheme (see
+    // amplifyDocs' disjointness caveat) — a contaminated amplification
+    // must fail the run, not silently record fixture pathology
+    val collisions = saltCollisions(docs, rep)
+    require(collisions.isEmpty,
+      s"base corpus tokens ${collisions.mkString(", ")} end in _<k> for k < $rep — " +
+        "salted replicas would share shingles with replica 0; lower SPARK_GRAFT_SCALE " +
+        "or change the salt scheme")
     amplifyDocs(docs, rep)
       .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
 
@@ -157,24 +201,33 @@ object BenchScale {
         catch { case _: Throwable => () }
       }
 
+    // drained-bus spill snapshot (the Bench taskCpuNanos pattern): task-end
+    // events post asynchronously, and an undrained read either misses the
+    // untimed warm run's tail (inflating this query's spill delta) or bills
+    // timed-run stragglers to the NEXT query's leg
+    def spillSnapshot(): (Long, Long) = {
+      if (!org.apache.spark.GraftBenchBridge.drainListenerBus(spark.sparkContext, 10000L))
+        System.err.println("[bench_scale] WARNING: listener bus not drained in 10s — spill attribution may bleed across queries")
+      (spill.memSpill.get(), spill.diskSpill.get())
+    }
     // (wall_min, output_rows, mem_spill, disk_spill, error) per query
     def leg(dir: String): Seq[(String, Double, Long, Long, Long, Option[String])] =
       Heavy.map { name =>
-        val fn = SparkEntry.queries(name)
         try {
+          // lookup inside the try: a renamed Heavy entry must land in the
+          // record as this query's error, not abort the run recordless
+          val fn = SparkEntry.queries(name)
           spark.catalog.clearCache()
           val rows = fn(spark, dir).count() // untimed: warm + lazy stores + size
-          val m0 = spill.memSpill.get(); val d0 = spill.diskSpill.get()
+          val (m0, d0) = spillSnapshot()
           val walls = (1 to 2).map { _ =>
             spark.catalog.clearCache()
             val t0 = System.nanoTime()
             fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
             (System.nanoTime() - t0) / 1e9
           }
-          // spill read AFTER the timed runs (listener lag ≤ the next query's
-          // untimed run — per-leg attribution is what the record needs)
-          (name, walls.min, rows, spill.memSpill.get() - m0,
-            spill.diskSpill.get() - d0, None)
+          val (m1, d1) = spillSnapshot()
+          (name, walls.min, rows, m1 - m0, d1 - d0, None)
         } catch { case e: Throwable =>
           System.err.println(s"[bench_scale] $name failed on $dir: $e")
           (name, -1.0, -1L, 0L, 0L,
@@ -208,7 +261,7 @@ object BenchScale {
         s""""max_factor":${f2(maxFactor)},"ok":${!anyBad},""" +
         s""""base_docs":$baseDocs,"scaled_docs":$ampDocs,"base_emb":$baseEmb,"scaled_emb":$ampEmb,""" +
         s""""queries":{${perQuery.mkString(",")}},""" +
-        s""""load":[$loadStart,${loadavg1()}],"sf":${Verify.jstr(sfDir)}}"""
+        s""""load":[$loadStart,${Bench.loadavg1()}],"sf":${Verify.jstr(sfDir)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale.json")
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(json) finally w.close()

@@ -96,4 +96,23 @@ final class BenchScaleSpec extends SparkSpec {
       }
     } finally { amp.unpersist(); () }
   }
+
+  test("guards: rep > embedding dim is refused (rotation would wrap to " +
+      "identity), and salt-colliding base tokens are detected") {
+    import spark.implicits._
+    val emb = Seq((0L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("vec_id", "embedding")
+    // rep == dim is the last safe factor; dim+1 would give replica dim
+    // offset pmod(dim,dim)=0 — a verbatim base copy
+    BenchScale.amplifyEmbeddings(emb, 4).count()
+    val e = intercept[IllegalArgumentException] {
+      BenchScale.amplifyEmbeddings(emb, 5).count()
+    }
+    assert(e.getMessage.contains("embedding dim"))
+
+    val docs = Seq((0L, "clean tokens only"), (1L, "price_2 is fine at rep 2"))
+      .toDF("doc_id", "text")
+    // "price_2" collides only when replica 2 exists (k ranges 1..rep-1)
+    assert(BenchScale.saltCollisions(docs, 2).isEmpty)
+    assert(BenchScale.saltCollisions(docs, 3) == Seq("price_2"))
+  }
 }
