@@ -309,8 +309,11 @@ object SparkEntry {
     ensureStore(s, "deps", dir) { path =>
       val windows = SpanPipeline.dependencyWindows(
         SpanPipeline.dependencyLinks(eventTraces(s, dir)))
-      graft.store.StoreLayout.writeDependencyWindows(windows, path)
-      graft.store.StoreLayout.writeDependencyWindows(windows, path)
+      // same explicit batchId twice = a simulated micro-batch redelivery;
+      // the read-side full-row dedup must collapse it (batchId is required
+      // so a caller states retry-vs-fresh intent — see writeDependencyWindows)
+      graft.store.StoreLayout.writeDependencyWindows(windows, path, batchId = 0L)
+      graft.store.StoreLayout.writeDependencyWindows(windows, path, batchId = 0L)
     }
 
   /** Bucketed point-lookup store (S8/S9 routing analog): written once per
@@ -345,8 +348,10 @@ object SparkEntry {
     ensureStore(s, "cdeps", dir) { path =>
       val windows = SpanPipeline.dependencyWindows(
         SpanPipeline.dependencyLinks(eventTraces(s, dir)))
-      graft.store.StoreLayout.writeDependencyWindows(windows, path)
-      graft.store.StoreLayout.writeDependencyWindows(windows, path)
+      // simulated redelivery (same id), then compaction — the gate proves
+      // the collapse survives the generation rewrite
+      graft.store.StoreLayout.writeDependencyWindows(windows, path, batchId = 0L)
+      graft.store.StoreLayout.writeDependencyWindows(windows, path, batchId = 0L)
       graft.store.StoreLayout.compactDependencyWindowsBefore(s, path, CompactionWatermark)
     }
 

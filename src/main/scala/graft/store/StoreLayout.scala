@@ -99,7 +99,9 @@ object StoreLayout {
     */
   def readTraces(spark: SparkSession, path: String, endTs: Long, lookback: Long): DataFrame =
     readPartitioned(spark, path, "trace_date",
-      Some(utcLocalDate(endTs - lookback)), Some(utcLocalDate(endTs)))
+      Some(utcLocalDate(endTs - lookback)), Some(utcLocalDate(endTs)),
+      emptySchema = Some(org.apache.spark.sql.Encoders.product[Trace].schema
+        .add("trace_date", org.apache.spark.sql.types.DateType)))
       .where(col("trace_date").between(utcDate(endTs - lookback), utcDate(endTs)))
       .where(col("root_ts").between((endTs - lookback) * 1000, endTs * 1000))
 
@@ -190,12 +192,15 @@ object StoreLayout {
   }
 
   /** Compact the dependency-window store: drop replayed finals (full-row
-    * duplicates under one batch_id) then merge genuine partial sums into one
-    * row per (window, edge) — after which a range read carries no redundant
-    * rows to dedup. Compacted rows take batch_id −1 (a generation marker no
-    * real foreachBatch epoch uses). Delegates to the partition-scoped pass
-    * over every date; production runs [[compactDependencyWindowsBefore]] on
-    * closed dates only.
+    * duplicates under one batch_id) and collapse file fragmentation, KEEPING
+    * batch_id granularity — genuine partial sums stay one row per (window,
+    * edge, batch) and the query surface sums them, exactly as it does for
+    * uncompacted rows (see [[compactDependencyPartitions]] for why
+    * pre-summing across batches is unsafe under crash-replay). Delegates to
+    * the partition-scoped pass over every date; production runs
+    * [[compactDependencyWindowsBefore]] on closed dates only — noting that a
+    * wall-clock-closed date can still receive a replayed batch after a
+    * crash-restart, which is precisely the case batch granularity protects.
     */
   def compactDependencyWindows(spark: SparkSession, path: String): Unit =
     compactDependencyPartitions(spark, path,
@@ -208,23 +213,34 @@ object StoreLayout {
       listPartitionDates(spark, path, "window_date").filter(_.isBefore(before)))
 
   /** Partition-scoped window compaction ([[compactTracePartitions]]'s twin):
-    * a window's date is a function of window_start_ms, so dedup + re-sum
-    * never cross partitions and the per-date rewrite equals the whole-store
+    * a window's date is a function of window_start_ms, so the dedup never
+    * crosses partitions and the per-date rewrite equals the whole-store
     * pass restricted. Untouched partitions' files stay physically identical.
     *
-    * The window store is the one whose merge is NOT idempotent under
-    * re-reading absorbed inputs (a compacted row re-summed with its sources
-    * double-counts) — the `_absorbed` manifest exclusion is what makes the
-    * deferred-deletion grace safe for it (class doc).
+    * The window store's read-side merge (full-row dedup, then the query
+    * surface's sum) is idempotent under re-reading absorbed inputs ONLY
+    * because compaction preserves rows verbatim — the `_absorbed` manifest
+    * exclusion plus row preservation together make the deferred-deletion
+    * grace safe (class doc).
     */
   def compactDependencyPartitions(spark: SparkSession, path: String,
       dates: Seq[java.time.LocalDate]): Unit =
     compactPartitions(spark, path, "window_date", dates) { df =>
-      df.dropDuplicates()
-        .groupBy("window_start_ms", "parent", "child")
-        .agg(sum("call_count").as("call_count"), sum("error_count").as("error_count"))
-        .withColumn("batch_id", lit(-1L))
-        .coalesce(1)
+      // PHYSICAL collapse only (duplicate rows + file fragmentation) —
+      // deliberately NO cross-batch pre-summing. An earlier revision
+      // summed to a batch_id −1 marker row, which destroyed the
+      // idempotence key a crash-replayed micro-batch needs: batch N
+      // written → crash before the checkpoint commit → maintenance
+      // compacts the (wall-clock-closed) date absorbing N's rows into the
+      // summed marker → restart replays N as a fresh loose file → the
+      // read-side full-row dedup has nothing identical to collapse it
+      // against and every edge in the batch double-counts, permanently
+      // after the next pass. Keeping batch granularity makes the replayed
+      // rows bit-identical to the generation's rows, so
+      // [[readDependencyWindows]]'s dedup collapses them exactly as it
+      // does pre-compaction — and costs nothing: windows emit once at
+      // close, so rows per (window, edge) ≈ contributing batches ≈ 1–2.
+      df.dropDuplicates().coalesce(1)
     }
 
   /** Dates of the `col=` partition directories present under `path`
@@ -236,15 +252,26 @@ object StoreLayout {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith(s"$partitionCol="))
-      .flatMap { name =>
-        try Some(java.time.LocalDate.parse(name.stripPrefix(s"$partitionCol=")))
-        catch { case _: Exception => None }
-      }
-      .distinct
+    else datePartitionDirs(fs, root, partitionCol).map(_._1).distinct
   }
+
+  /** The `col=<ISO date>` partition directories directly under `root`,
+    * parsed — THE shared parse for the read, compaction-listing and
+    * retention paths (three call sites once drifted as three inlined
+    * copies). Non-date and foreign-prefix dirs are ignored rather than
+    * thrown on — they are not this store's partitions. Caller guards
+    * `fs.exists(root)`.
+    */
+  private def datePartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, partitionCol: String)
+      : Seq[(java.time.LocalDate, org.apache.hadoop.fs.Path)] =
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith(s"$partitionCol=")) None
+      else try Some((java.time.LocalDate.parse(name.stripPrefix(s"$partitionCol=")),
+        st.getPath))
+      catch { case _: Exception => None }
+    }
 
   // ───────────────────────── generation layout ─────────────────────────
 
@@ -369,19 +396,24 @@ object StoreLayout {
     */
   private[graft] def readPartitioned(spark: SparkSession, path: String,
       partitionCol: String, min: Option[java.time.LocalDate],
-      max: Option[java.time.LocalDate]): DataFrame = {
+      max: Option[java.time.LocalDate],
+      emptySchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val inRange = (d: java.time.LocalDate) =>
       min.forall(m => !d.isBefore(m)) && max.forall(m => !d.isAfter(m))
     val parts: Seq[(java.time.LocalDate, org.apache.hadoop.fs.Path)] =
       if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
-        val name = st.getPath.getName
-        if (!name.startsWith(s"$partitionCol=")) None
-        else try Some((java.time.LocalDate.parse(name.stripPrefix(s"$partitionCol=")),
-          st.getPath))
-        catch { case _: Exception => None }
+      else datePartitionDirs(fs, root, partitionCol)
+    // a store that was never written (absent root / no partition dir yet —
+    // e.g. the query surface probing before the first micro-batch commits)
+    // serves EMPTY, like the reference's empty RocksDB store, when the
+    // caller can state the schema; without one the discovery scan below
+    // would throw PATH_NOT_FOUND / unable-to-infer-schema
+    if (parts.isEmpty)
+      emptySchema.foreach { schema =>
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
     val selected = parts.filter(p => inRange(p._1))
     val resolved = resolveAll(fs, selected)
@@ -464,9 +496,18 @@ object StoreLayout {
     * compactor owns the partition → fail fast; a STALE one (crashed run,
     * see [[LeaseTtlMs]]) is reclaimed by renaming it to a per-claimant
     * tombstone first — rename is atomic, so of N claimants observing the
-    * same stale lease exactly one wins the reclaim; the rest fail without
-    * deleting the fresh lease the winner is about to create. The final
-    * claim is `create(overwrite = false)` — atomic, loser throws.
+    * same stale lease at most one rename succeeds per lease file. The
+    * rename alone is NOT enough: a slow second claimant's rename can land
+    * AFTER the winner already reclaimed-and-recreated, in which case its
+    * source is the winner's FRESH lease — so after renaming, the tombstone's
+    * mtime is re-checked, and a fresh tombstone is renamed back and the
+    * claim failed (without the re-check, the slow claimant would silently
+    * destroy the winner's lease and both would run full rewrites; the
+    * generation commit still arbitrates correctness — see [[LeaseTtlMs]] —
+    * but the duplicate pass is a 100 TB-scale waste). The restore leaves a
+    * sub-ms lease-absence window a third claimant could slip through —
+    * accepted, same arbitration. The final claim is
+    * `create(overwrite = false)` — atomic, loser throws.
     */
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path): Unit = {
@@ -480,6 +521,13 @@ object StoreLayout {
       if (!fs.rename(lease, tomb))
         throw new IllegalStateException(
           s"compaction refused: lost the race to reclaim stale $lease")
+      val tombAge = System.currentTimeMillis() - fs.getFileStatus(tomb).getModificationTime
+      if (tombAge <= LeaseTtlMs) {
+        fs.rename(tomb, lease): Unit
+        throw new IllegalStateException(
+          s"compaction refused: reclaim of $lease raced a faster claimant " +
+            "(renamed its fresh lease — restored)")
+      }
       fs.delete(tomb, false)
     }
     try fs.create(lease, false).close()
@@ -757,11 +805,32 @@ object StoreLayout {
     compactPartitions(spark, path, "seen_date", dates)(df =>
       collapseSetDeltas(df.select(col(keyCol), col(setCol)), keyCol, setCol).coalesce(1))
 
+  /** What [[writeDependencyWindows]] physically writes — the typed-empty
+    * schema a never-written window store serves (readers filter on these
+    * columns, so a schemaless empty frame would fail resolution).
+    */
+  private val windowStoreSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("window_start_ms", LongType),
+      StructField("parent", StringType),
+      StructField("child", StringType),
+      StructField("call_count", LongType),
+      StructField("error_count", LongType),
+      StructField("batch_id", LongType),
+      StructField("window_date", DateType)))
+  }
+
   /** Read a date-partitioned set-delta store through the generation layout
     * (full range — the serving shape collapses across all retained dates).
+    * `emptySchema` (including the `seen_date` column) lets a never-written
+    * store serve typed-empty instead of failing discovery — pass it where
+    * the caller knows its (key, set) shape.
     */
-  def readSetStore(spark: SparkSession, path: String): DataFrame =
-    readAll(spark, path, "seen_date").drop("seen_date")
+  def readSetStore(spark: SparkSession, path: String,
+      emptySchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    readPartitioned(spark, path, "seen_date", None, None, emptySchema)
+      .drop("seen_date")
 
   /** Dependency-window store partitioned by window date. Unlike
     * [[writeTraces]] there is no `filesPerDate` knob: window rows are tiny
@@ -773,9 +842,13 @@ object StoreLayout {
     * crash) must reuse the id of the attempt it repeats — foreachBatch's
     * epoch id has exactly this property — while a genuine incremental
     * backfill over different data passes a fresh id so its rows count even
-    * when the partial sums happen to be value-identical.
+    * when the partial sums happen to be value-identical. Deliberately NO
+    * default: a shared implicit id (the old `= 0L`, also a real foreachBatch
+    * epoch) let two independent backfills silently collapse value-identical
+    * partial sums into one, undercounting — the caller must state whether
+    * this write is a retry (reused id) or fresh data (fresh id).
     */
-  def writeDependencyWindows(windows: DataFrame, path: String, batchId: Long = 0L): Unit =
+  def writeDependencyWindows(windows: DataFrame, path: String, batchId: Long): Unit =
     windows
       .withColumn("batch_id", lit(batchId))
       .withColumn("window_date", expr(epochDayExpr("window_start_ms", 86400000L)))
@@ -797,7 +870,8 @@ object StoreLayout {
   def readDependencyWindows(spark: SparkSession, path: String, endTs: Long,
       lookback: Long): DataFrame =
     readPartitioned(spark, path, "window_date",
-      Some(utcLocalDate(endTs - lookback)), Some(utcLocalDate(endTs)))
+      Some(utcLocalDate(endTs - lookback)), Some(utcLocalDate(endTs)),
+      emptySchema = Some(windowStoreSchema))
       .where(col("window_date").between(utcDate(endTs - lookback), utcDate(endTs)))
       .where(col("window_start_ms").between(endTs - lookback, endTs))
       .dropDuplicates()
@@ -835,7 +909,16 @@ object StoreLayout {
     // miss the table (→ CREATE collision) exactly when escaping matters
     if (!spark.catalog.tableExists(tbl)) {
       val ddl = org.apache.spark.sql.Encoders.product[Trace].schema.toDDL
-      val loc = new java.io.File(path).getAbsolutePath
+      // Hadoop-FS qualification, NOT java.io.File: the write side hands
+      // `path` to the FS layer verbatim, so an object-store URI
+      // (s3a://bucket/x) must register as-is — java.io.File would mangle it
+      // into a nonexistent local path (/<cwd>/s3a:/bucket/x) and every
+      // lookup would silently return zero rows. makeQualified also
+      // absolutizes bare local paths against the session FS, matching what
+      // the writer resolved.
+      val p = new org.apache.hadoop.fs.Path(path)
+      val loc = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
         .replace("\\", "\\\\").replace("'", "\\'")
       spark.sql(
         s"""CREATE TABLE $tbl ($ddl) USING PARQUET
@@ -852,18 +935,15 @@ object StoreLayout {
     */
   def dropExpired(spark: SparkSession, path: String, partitionCol: String,
       olderThan: java.time.LocalDate): Seq[String] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prefix = s"$partitionCol="
-    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-      .filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith(prefix))
-    val expired = dirs.filter { d =>
-      val v = d.getPath.getName.stripPrefix(prefix)
-      try java.time.LocalDate.parse(v).isBefore(olderThan)
-      catch { case _: Exception => false }
-    }
-    expired.foreach(d => fs.delete(d.getPath, true))
-    expired.map(_.getPath.getName)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // exists guard like every other listing entry point: retention running
+    // before the store's first write is a no-op, not an aborted maintenance
+    // pass
+    if (!fs.exists(root)) return Seq.empty
+    val expired = datePartitionDirs(fs, root, partitionCol)
+      .filter(_._1.isBefore(olderThan))
+    expired.foreach(d => fs.delete(d._2, true))
+    expired.map(_._2.getName)
   }
 }

@@ -328,7 +328,18 @@ object StreamingPipeline {
     * and collapse together (the sets union across dates).
     */
   def readAutocompleteStore(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
+      path: String): DataFrame = {
+    // typed-empty schema: the query surface probing before the first
+    // micro-batch commits must see an empty store, not a discovery failure
+    val emptySchema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(
+        StructField("tag_key", StringType),
+        StructField("values", ArrayType(StringType)),
+        StructField("seen_date", DateType)))
+    }
     graft.store.StoreLayout.collapseSetDeltas(
-      graft.store.StoreLayout.readSetStore(spark, path), "tag_key", "values")
+      graft.store.StoreLayout.readSetStore(spark, path, Some(emptySchema)),
+      "tag_key", "values")
+  }
 }

@@ -184,15 +184,30 @@ class StoreLayoutSpec extends SparkSpec {
     // batch id — it must COUNT, not collapse as a retry
     StoreLayout.writeDependencyWindows(windows, dir, batchId = 8L)
     assert(served() == Seq(("api", "db", 10L, 2L)))
-    // compaction: replayed finals collapse physically, partial sums merge —
-    // 6 stored rows (2 windows × 3 appends) → 2. The window merge is NOT
-    // idempotent (re-summing a compacted row with its sources would double
-    // count), so this also pins that the absorbed loose files — still on
-    // disk in their grace cycle — are manifest-excluded from the read
+    // compaction: replayed finals collapse physically but BATCH GRANULARITY
+    // is kept — 6 stored rows (2 windows × 3 appends) → 4 (2 windows ×
+    // batches {7, 8}); cross-batch pre-summing would destroy the
+    // idempotence key a crash-replayed batch needs (see the replay test
+    // below). This also pins that the absorbed loose files — still on disk
+    // in their grace cycle — are manifest-excluded from the read
     StoreLayout.compactDependencyWindows(spark, dir)
     assert(looseFiles(dir, "window_date=2024-01-10").nonEmpty, "grace: absorbed files still on disk")
-    assert(StoreLayout.readAll(spark, dir, "window_date").count() == 2)
+    assert(StoreLayout.readAll(spark, dir, "window_date").count() == 4)
     assert(served() == Seq(("api", "db", 10L, 2L)))
+    // THE crash-replay regression (the r16 review finding): batch 7 was
+    // absorbed into the generation above; a checkpoint that never committed
+    // now replays batch 7 after restart as a fresh loose file. Its rows are
+    // bit-identical to the generation's batch-7 rows, so the read-side
+    // full-row dedup collapses them — under the old summed batch_id=-1
+    // rewrite there was nothing identical left and every edge in the batch
+    // double-counted permanently
+    StoreLayout.writeDependencyWindows(windows, dir, batchId = 7L)
+    assert(served() == Seq(("api", "db", 10L, 2L)),
+      "a micro-batch replayed AFTER its rows were compacted must not double count")
+    // and the next compaction keeps the collapse (nothing baked in)
+    StoreLayout.compactDependencyWindows(spark, dir)
+    assert(served() == Seq(("api", "db", 10L, 2L)))
+    assert(StoreLayout.readAll(spark, dir, "window_date").count() == 4)
   }
 
   test("compaction property: random partials+replays never change the served answer") {
@@ -771,5 +786,27 @@ class StoreLayoutSpec extends SparkSpec {
     assert(dropped == Seq("trace_date=2024-01-10"))
     val left = spark.read.parquet(dir).select("trace_id").as[String].collect()
     assert(left.toSeq == Seq("000000000000000b"))
+  }
+
+  test("never-written stores serve typed empty and retention no-ops " +
+      "(query surface probing before the first write must not crash)") {
+    val missing = Files.createTempDirectory("graft-missing").toString + "/nothing-here"
+    // trace store: empty with the full schema (callers filter on these cols)
+    val traces = StoreLayout.readTraces(spark, missing, endTs = day1Us / 1000,
+      lookback = 86400000L)
+    assert(traces.count() == 0)
+    assert(traces.columns.toSet == Set("trace_id", "spans", "root_ts", "trace_date"))
+    // window store: empty, and the full read-side pipeline (dedup + sum)
+    // resolves over it
+    val deps = graft.operators.TraceQueries.dependencies(
+      StoreLayout.readDependencyWindows(spark, missing, day1Us / 1000, 86400000L),
+      endTs = day1Us / 1000, lookback = 86400000L)
+    assert(deps.count() == 0)
+    // autocomplete set store: empty through the collapse
+    assert(graft.streaming.StreamingPipeline.readAutocompleteStore(spark, missing)
+      .count() == 0)
+    // retention: a no-op, not an aborted maintenance pass
+    assert(StoreLayout.dropExpired(spark, missing, "trace_date",
+      java.time.LocalDate.parse("2024-01-11")).isEmpty)
   }
 }
