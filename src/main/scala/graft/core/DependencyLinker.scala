@@ -94,7 +94,17 @@ object DependencyLinker {
       .filter(t => t.kind.contains("SERVER") &&
         (!t.isShared || !nonSharedIds.contains(t.id)))
       .flatMap(_.parent_id).toSet
-    val roots = spans.filter(_.parent_id.isEmpty)
+    // THE root, not "any other parentless span": zipkin's tree builder
+    // elects one root and attaches every other parentless node UNDER it
+    // (zipkin2.internal.SpanNode.Builder logs "attributing span missing
+    // parent to root"), so a two-root trace yields ONE directed edge
+    // root→orphan. A per-span `find(_.id != s.id)` fallback made each
+    // parentless SERVER adopt the OTHER root — emitting BOTH directions, a
+    // phantom dependency cycle. Election is earliest (timestamp, id) for
+    // permutation invariance (zipkin's is list order; ours must not depend
+    // on shuffle arrival — documented deviation like W2).
+    val theRoot = spans.filter(_.parent_id.isEmpty)
+      .sortBy(s => (s.timestamp.getOrElse(Long.MaxValue), s.id)).headOption
 
     for (s <- spans) {
       // Unknown-kind spans with both endpoints known act as client spans
@@ -119,9 +129,10 @@ object DependencyLinker {
       } else if (ServerKinds.contains(kind)) {
         val child = s.localServiceName
         val parent = s.remoteServiceName.orElse(ancestorService(s)).orElse {
-          // Orphan server span in a trace with a distinct root: attach under
-          // the root's service (zipkin places parentless nodes under the root).
-          roots.find(_.id != s.id).flatMap(_.localServiceName)
+          // Orphan server span: attach under THE elected root's service —
+          // unless s is itself that root (or its shared twin, same id): the
+          // tree root has no parent and emits no inbound edge.
+          theRoot.filter(_.id != s.id).flatMap(_.localServiceName)
         }
         for (p <- parent; c <- child) bump(p, c, s.tags.contains("error"))
       }

@@ -39,11 +39,17 @@ object Curation {
       .where(TextAnalysis.qualityFromProfile(col("__p")) >= minQuality &&
         TextAnalysis.repetitionKeep(col("__rp")))
       .drop("__p", "__rp")
+    // row_number, not `id === min(id) over (partition by text)`: with a
+    // fully duplicated row (same id AND text — at-least-once re-ingestion)
+    // both copies equal the min and both survive a min-filter; rank-1
+    // keeps exactly one representative per distinct text, matching
+    // [[Dedup.exact]]'s one-row-per-key semantics. Same single shuffle.
     val deduped = filtered
-      .withColumn("__rep", min(col(idCol)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))))
-      .where(col(idCol) === col("__rep"))
-      .drop("__rep")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(textCol)).orderBy(col(idCol))))
+      .where(col("__rn") === 1)
+      .drop("__rn")
     Dedup.decontaminate(deduped, idCol, textCol, benchmark, benchTextCol,
       decontamN, minOverlap)
   }

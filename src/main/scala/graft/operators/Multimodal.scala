@@ -18,7 +18,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** media table schema: one row per asset. */
+  /** media table schema: one row per asset. The authoritative contract the
+    * three builders (`wavFromDocuments`/`ppmFromDocuments`/
+    * `y4mFromDocuments`) must emit — MultimodalSpec pins each builder's
+    * schema against this value, so it cannot silently drift from what the
+    * stages (e.g. [[resizeAll]]'s `meta.format` dispatch) read.
+    */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("content", BinaryType),
@@ -28,8 +33,6 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("n_frames", IntegerType))))))
 
-  final case class MediaMeta(format: String, width: Int, height: Int, n_frames: Int)
-  final case class Media(media_id: Long, content: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, byte_len: Long, features: Seq[Double])
   final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
@@ -621,6 +624,9 @@ object Multimodal {
     * in [[extractFeatures]]).
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, maxFrames: Int = 4): Dataset[Frame] = {
+    // rejected HERE, not as a per-task ArithmeticException inside the
+    // stride division on every executor (the nShards guard pattern)
+    require(maxFrames >= 1, s"sampleFrames: maxFrames must be >= 1, got $maxFrames")
     import spark.implicits._
     media.select(col("media_id"), col("content"))
       .where(col("content").isNotNull) // null assets skipped, as in extractFeatures
@@ -634,16 +640,30 @@ object Multimodal {
       }
   }
 
-  /** Resize stage: metadata-driven, partition-preserving. For the audio
-    * format the "w × h" target (kept for inventory parity with the image
-    * shape) is the output FRAME COUNT — a real nearest-neighbour resample
-    * through [[WavCodec.resample]], decoded and re-encoded per asset.
+  /** Resize stage: metadata-driven (dispatches on `meta.format` — the
+    * column exists precisely so stages don't have to sniff payload bytes),
+    * partition-preserving. Images resize through [[PpmCodec.resize]]
+    * (nearest-neighbour 2-D); for audio the "w × h" target (kept for
+    * inventory parity with the image shape) is the output FRAME COUNT
+    * through [[WavCodec.resample]]. An asset of any other format fails its
+    * row loudly (the module's dead-letter contract, as in
+    * [[extractFeatures]]) — an earlier revision ignored the format column
+    * and decoded EVERYTHING as WAV, crashing whole image/video stages.
     */
   def resizeAll(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
     import spark.implicits._
-    media.select("media_id", "content").where(col("content").isNotNull)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, WavCodec.resample(bytes, w * h)) })
+    media.select(col("media_id"), col("content"), col("meta.format").as("format"))
+      .where(col("content").isNotNull)
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, format) =>
+        val resized = format match {
+          case "audio/wav" => WavCodec.resample(bytes, w * h)
+          case "image/ppm" => PpmCodec.resize(bytes, w, h)
+          case other => throw new IllegalArgumentException(
+            s"resizeAll: no resize for format '$other' (media_id=$id)")
+        }
+        (id, resized)
+      })
       .toDF("media_id", "resized")
   }
 }

@@ -142,4 +142,24 @@ class DependencyLinkerSpec extends AnyFunSuite {
     for (perm <- spans.permutations)
       assert(DependencyLinker.link(perm).toSet == expected)
   }
+
+  test("two parentless SERVER spans yield ONE root→orphan edge, never a " +
+      "mutual phantom cycle, in every span order") {
+    // two session partials that each lost their parent link: zipkin elects
+    // one tree root and attaches the other parentless node under it — the
+    // r16 review found the old per-span fallback made each root adopt the
+    // OTHER, emitting both directions
+    val spans = Seq(
+      Span(trace_id = "000000000000000a", id = "000000000000000a", kind = Some("SERVER"),
+        local_endpoint = ep("svcX"), timestamp = Some(1000L)),
+      Span(trace_id = "000000000000000a", id = "000000000000000b", kind = Some("SERVER"),
+        local_endpoint = ep("svcY"), timestamp = Some(2000L)))
+    // earliest (timestamp, id) is the root: svcX → svcY only
+    val expected = Set(DependencyLink("svcX", "svcY", 1, 0))
+    for (perm <- spans.permutations)
+      assert(DependencyLinker.link(perm).toSet == expected,
+        s"order ${perm.map(_.id)} must not change the elected root")
+    // a lone parentless SERVER (THE root itself) emits no inbound edge
+    assert(DependencyLinker.link(spans.take(1)).isEmpty)
+  }
 }

@@ -66,4 +66,22 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.writeTrainingShards(docs(3), "/tmp/unused", "doc_id", "text", 0))
   }
+
+  test("curate collapses FULLY duplicated rows (same id and text), not just " +
+      "distinct-id copies — the at-least-once re-ingestion shape") {
+    // long, clean texts so the quality/repetition gate keeps them; id 1's
+    // row is delivered twice verbatim, id 2/3 are a distinct-id dup pair
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      (2L, "the calm grey wolf walks under the bright morning sun across a wide green field"),
+      (3L, "the calm grey wolf walks under the bright morning sun across a wide green field"))
+    val docsDf = (base ++ base.take(1)).toDF("doc_id", "text")
+    val bench = Seq("completely unrelated benchmark line").toDF("bench_text")
+    val out = Curation.curate(docsDf, "doc_id", "text", bench, "bench_text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // one survivor per distinct text: id 1 once (the r16 review found the
+    // old min-over-window filter kept BOTH verbatim copies), and min id 2
+    // of the distinct-id pair
+    assert(out == Seq(1L, 2L))
+  }
 }

@@ -26,6 +26,14 @@ class MultimodalSpec extends SparkSpec {
       == "audio/wav")
   }
 
+  test("every media builder emits EXACTLY Multimodal.mediaSchema " +
+      "(the declared contract cannot drift from what the stages read)") {
+    for (m <- Seq(wavMedia, Multimodal.ppmFromDocuments(spark, docs), media))
+      assert(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+        m.schema, Multimodal.mediaSchema),
+        s"builder schema ${m.schema.treeString} != mediaSchema")
+  }
+
   test("WavCodec: encode → decode round-trips header fields and every sample") {
     val samples = Multimodal.sawtoothSamples(7L)
     val w = WavCodec.decode(WavCodec.encodeMono16(samples, 8000))
@@ -332,5 +340,33 @@ class MultimodalSpec extends SparkSpec {
     val src = Multimodal.sawtoothSamples(1L)
     val expected = Array.tabulate(100)(i => src((i.toLong * src.length / 100).toInt))
     assert(out.samples.toSeq == expected.toSeq)
+  }
+
+  test("resizeAll dispatches on meta.format: ppm assets resize as 2-D images, " +
+      "unknown formats dead-letter, mixed tables route per row") {
+    // an image table through the SAME stage that handles audio — the r16
+    // review found the stage decoded everything as WAV, crashing image jobs
+    val ppm = Multimodal.ppmFromDocuments(spark, docs)
+    val r = Multimodal.resizeAll(spark, ppm, 2, 2).collect()
+      .map(row => row.getAs[Long]("media_id") -> row.getAs[Array[Byte]]("resized")).toMap
+    val img = Multimodal.PpmCodec.decode(r(1L))
+    assert(img.width == 2 && img.height == 2)
+    // mixed wav+ppm table: each row routes by its own format
+    val mixed = Multimodal.resizeAll(spark, wavMedia.union(ppm), 2, 2).collect()
+    assert(mixed.length == docs.count() * 2)
+    // a format with no resize fails its row loudly (dead-letter contract)
+    val alien = media.limit(1) // video/y4m has no resize
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeAll(spark, alien, 2, 2).collect()
+    }
+    assert(e.getMessage.contains("no resize") ||
+      Option(e.getCause).exists(_.getMessage.contains("no resize")))
+  }
+
+  test("sampleFrames rejects maxFrames < 1 at call time, not per-task") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(spark, media, maxFrames = 0)
+    }
+    assert(e.getMessage.contains("maxFrames"))
   }
 }
