@@ -127,10 +127,12 @@ object EventSpans {
     * expressions out of the plan).
     */
   def spanFields(events: DataFrame): DataFrame = {
-    // the SAME regex as toSpan's PropsK — not get_json_object — so the
-    // relational and typed paths agree on every input, not just well-formed
-    // flat props (a quoted or nested "k" would otherwise diverge)
-    val kTag = regexp_extract(col("props"), """"k"\s*:\s*(\d+)""", 1)
+    // the SAME regex OBJECT as toSpan's PropsK — not get_json_object, and
+    // not a re-typed string literal (which could silently drift from the
+    // typed path's pattern) — so the relational and typed paths agree on
+    // every input, not just well-formed flat props (a quoted or nested "k"
+    // would otherwise diverge)
+    val kTag = regexp_extract(col("props"), PropsK.regex, 1)
     sessionized(events).select(
       col("event_type").as("service"),
       col("event_type").as("name"),

@@ -118,14 +118,32 @@ object ProtoSpans {
 
   private def boolOpt(v: Long): Option[Boolean] = if (v != 0) Some(true) else None
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
   private def hex(b: Array[Byte]): String = {
-    val sb = new StringBuilder(b.length * 2)
-    for (x <- b) sb.append(f"${x & 0xff}%02x")
-    sb.toString
+    // nibble table, not per-byte String.format: hex() runs 2-3× per decoded
+    // span (trace_id, id, parent_id) on the ingest hot path, and the
+    // f-interpolator costs a full Formatter pass per byte
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(2 * i) = HexChars((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
-  private def ipString(b: Array[Byte]): String =
+  private def ipString(b: Array[Byte]): String = {
+    // length-check FIRST: getByAddress throws UnknownHostException (an
+    // IOException) on a 3-byte "ipv4", which would escape the streaming
+    // boundary's malformed-record handling as a non-IAE — the proto field
+    // is malformed, so reject it in the same class the Reader hardening
+    // uses
+    require(b.length == 4 || b.length == 16,
+      s"ip field must be 4 or 16 bytes, got ${b.length}")
     java.net.InetAddress.getByAddress(b).getHostAddress
+  }
 
   /** Cursor over one (possibly nested) message. Every read is bounded by
     * `end` — a truncated or corrupt payload throws instead of zero-padding
@@ -238,8 +256,8 @@ object ProtoSpans {
   private def encodeEndpoint(e: Endpoint): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     e.service_name.foreach(n => writeLenDelimited(out, 1, n.getBytes("UTF-8")))
-    e.ipv4.foreach(ip => writeLenDelimited(out, 2, ipBytes(ip)))
-    e.ipv6.foreach(ip => writeLenDelimited(out, 3, ipBytes(ip)))
+    e.ipv4.flatMap(ipBytes).foreach(writeLenDelimited(out, 2, _))
+    e.ipv6.flatMap(ipBytes).foreach(writeLenDelimited(out, 3, _))
     e.port.foreach(p => writeVarintField(out, 4, p.toLong))
     out.toByteArray
   }
@@ -253,6 +271,12 @@ object ProtoSpans {
   }
 
   private def hexBytes(hex: String): Array[Byte] = {
+    // validated up front so a non-hex id (e.g. an EventSpans "<user>:<sess>"
+    // synthetic key) fails with the offending VALUE named, not a bare
+    // NumberFormatException from deep inside the encoder
+    require(hex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+      (c >= 'A' && c <= 'F')),
+      s"not a hex id, cannot proto-encode: '$hex'")
     val padded = if (hex.length % 2 == 0) hex else "0" + hex
     val out = new Array[Byte](padded.length / 2)
     for (i <- out.indices)
@@ -260,8 +284,21 @@ object ProtoSpans {
     out
   }
 
-  private def ipBytes(ip: String): Array[Byte] =
-    java.net.InetAddress.getByName(ip).getAddress
+  private val Ipv4Literal = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}""".r
+
+  /** Address-LITERAL bytes only, None otherwise — zipkin's own
+    * `Endpoint.Builder.parseIp` behavior (non-literal input leaves the
+    * field unset). A bare `getByName` on a hostname does a BLOCKING DNS
+    * lookup per span inside the encode task: seconds of stall per record
+    * and nondeterministic bytes from whatever the resolver answers. A
+    * hostname cannot contain ':' and an IPv6 literal always does, so the
+    * gate never resolves.
+    */
+  private def ipBytes(ip: String): Option[Array[Byte]] =
+    if (Ipv4Literal.matches(ip) || ip.contains(':'))
+      try Some(java.net.InetAddress.getByName(ip).getAddress)
+      catch { case _: java.net.UnknownHostException => None } // e.g. "999.0.0.1"
+    else None
 
   private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
     var v = v0
@@ -296,8 +333,21 @@ object ProtoSpans {
     * Malformed records are LOGGED AND SKIPPED, not thrown: in a streaming
     * query the checkpoint pins the offset, so a single corrupt record that
     * threw would crash-loop the whole topic forever (the JSON path drops
-    * malformed values the same way). [[decodeList]] itself still throws —
-    * batch callers validating a payload keep the strict contract.
+    * malformed values the same way). The catch is NonFatal, not
+    * IAE-only — the contract is "the topic never wedges on one record", and
+    * an unforeseen throw class (an early revision let a 3-byte ip's
+    * UnknownHostException through) must not void it. Null values
+    * (compacted-topic tombstones — routine, not corrupt) skip without the
+    * warn. [[decodeList]] itself still throws — batch callers validating a
+    * payload keep the strict contract.
+    *
+    * Streaming-surface canonicalization, mirroring the JSON path's
+    * `Spans.normalize`: trace ids take the lpad-16/32 form (a nonconforming
+    * writer stripping a leading zero byte must not split a trace across two
+    * session keys), and a span MISSING its required trace id (proto field 1
+    * absent — decodeList's forward-compat keeps it as "") is dropped here
+    * rather than letting every such span across the topic merge into one
+    * fabricated ""-keyed trace.
     */
   def envelopes(df: DataFrame): Dataset[SpanEnvelope] = {
     val spark = df.sparkSession
@@ -305,10 +355,16 @@ object ProtoSpans {
     df.select(col("timestamp"), col("value"))
       .as[(java.sql.Timestamp, Array[Byte])]
       .flatMap { case (ts, bytes) =>
-        try decodeList(bytes).map(SpanEnvelope(ts, _))
-        catch { case e: IllegalArgumentException =>
+        if (bytes == null) Nil
+        else try decodeList(bytes).collect {
+          case s if s.trace_id.nonEmpty =>
+            SpanEnvelope(ts, s.copy(
+              trace_id = graft.model.Spans.normalizeTraceId(s.trace_id)))
+        }
+        catch { case scala.util.control.NonFatal(e) =>
           org.slf4j.LoggerFactory.getLogger(ProtoSpans.getClass)
-            .warn(s"skipping undecodable proto record (${bytes.length} bytes): ${e.getMessage}")
+            .warn(s"skipping undecodable proto record (${bytes.length} bytes): " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
           Nil
         }
       }

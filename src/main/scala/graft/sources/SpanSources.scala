@@ -42,6 +42,10 @@ object SpanSources {
     // streams/SpanAggregationTopology.java); TraceMerge's longest-id rule
     // unifies them only where both forms meet in one span list (merge())
     Spans.normalize(flat)
+      // malformed JSON PERMISSIVE-parses to an all-null row; a null-keyed
+      // span NPEs TraceMerge's id resolution (or stores a null-id trace) —
+      // the streaming boundary drops invalid spans, like the proto path
+      .where(col("trace_id").isNotNull && col("id").isNotNull)
       .select(col("ingest_ts"),
         struct(Spans.schema.fieldNames.map(col): _*).as("span"))
       .as[SpanEnvelope]
@@ -86,6 +90,8 @@ object SpanSources {
   def fromJsonFiles(spark: SparkSession, path: String): Dataset[SpanEnvelope] = {
     import spark.implicits._
     Spans.normalize(spark.readStream.schema(Spans.schema).json(path))
+      // drop malformed (all-null) lines — see fromKafka's boundary filter
+      .where(col("trace_id").isNotNull && col("id").isNotNull)
       .select(coalesce(
           when(col("timestamp") > 0, timestamp_micros(col("timestamp"))),
           current_timestamp())
@@ -144,6 +150,13 @@ object SpanSources {
     spark.readStream.schema(linkHandoffSchema).json(path)
       .select(col("event_ts"), col("parent"), col("child"),
         col("callCount").as("call_count"), col("errorCount").as("error_count"))
+      // a malformed line PERMISSIVE-parses to nulls, and a null count NPEs
+      // the primitive-Long LinkEvent deserializer — which crash-loops the
+      // stage-2 query on the checkpoint-pinned file forever. Drop it like
+      // every other ingest boundary drops malformed records.
+      .where(col("event_ts").isNotNull && col("parent").isNotNull &&
+        col("child").isNotNull && col("call_count").isNotNull &&
+        col("error_count").isNotNull)
       .as[LinkEvent]
   }
 
@@ -164,6 +177,11 @@ object SpanSources {
         from_json(col("value").cast("string"), valueSchema).as("l"))
       .select(col("event_ts"), col("l.parent").as("parent"), col("l.child").as("child"),
         col("l.callCount").as("call_count"), col("l.errorCount").as("error_count"))
+      // non-JSON record → null struct → null counts → primitive-field NPE
+      // crash-loop (see linksFromJsonFiles); drop malformed records instead
+      .where(col("event_ts").isNotNull && col("parent").isNotNull &&
+        col("child").isNotNull && col("call_count").isNotNull &&
+        col("error_count").isNotNull)
       .as[LinkEvent]
   }
 }

@@ -146,4 +146,56 @@ class ProtoSpansSpec extends SparkSpec {
     val hugeField = Array(0x88, 0x80, 0x80, 0x80, 0x10, 0x01).map(_.toByte)
     intercept[IllegalArgumentException](ProtoSpans.decodeList(hugeField))
   }
+
+  test("envelopes boundary: tombstones skip, bad ip lengths skip, missing " +
+      "trace ids drop, short ids normalize — none of them wedge the stream") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    def list(spanBody: Array[Byte]): Array[Byte] =
+      Array(0x0a.toByte, spanBody.length.toByte) ++ spanBody
+    // span with a 3-byte ipv4 inside local_endpoint (field 8):
+    // trace_id=0x01, endpoint body = ipv4 field 2 len 3
+    val badIpEndpoint = Array(0x12, 0x03, 10, 0, 1).map(_.toByte)
+    val badIpSpan = Array[Byte](0x0a, 0x01, 0x01,
+      0x42.toByte, badIpEndpoint.length.toByte) ++ badIpEndpoint
+    // span missing required field 1 (trace_id): only id (field 3)
+    val noTraceId = Array(0x1a, 0x01, 0x05).map(_.toByte)
+    // 7-byte trace id — a nonconforming writer stripped a leading zero byte
+    val shortId = Array[Byte](0x0a, 0x07, 1, 2, 3, 4, 5, 6, 7)
+    val df = Seq(
+      (ts, null.asInstanceOf[Array[Byte]]), // compacted-topic tombstone
+      (ts, list(badIpSpan)),
+      (ts, list(noTraceId)),
+      (ts, list(shortId))).toDF("timestamp", "value")
+    val got = ProtoSpans.envelopes(df).collect()
+    // only the short-id span survives, NORMALIZED to the lpad-16 canonical
+    // form the JSON path produces — one trace, one session key across codecs
+    assert(got.map(_.span.trace_id).toSeq == Seq("0001020304050607"))
+    // strict batch contract: the bad ip rejects as IAE (not an escaping
+    // UnknownHostException), the trace-id-less span decodes leniently
+    intercept[IllegalArgumentException](ProtoSpans.decodeList(list(badIpSpan)))
+    assert(ProtoSpans.decodeList(list(noTraceId)).head.trace_id == "")
+  }
+
+  test("encode boundary: non-hex ids fail with the value named; hostname " +
+      "'ips' are omitted like zipkin's parseIp, never DNS-resolved") {
+    val e = intercept[IllegalArgumentException](
+      ProtoSpans.encodeList(Seq(Span(trace_id = "42:1", id = "01"))))
+    assert(e.getMessage.contains("42:1"))
+    // a hostname in the ipv4 field: the encoder must not block on DNS or
+    // write resolver-dependent bytes — the field is simply left unset
+    val span = Span(trace_id = "00000000000000aa", id = "01",
+      local_endpoint = Some(Endpoint(service_name = Some("svc"),
+        ipv4 = Some("gateway.internal"), ipv6 = Some("not-an-ip"))))
+    val decoded = ProtoSpans.decodeList(ProtoSpans.encodeList(Seq(span))).head
+    assert(decoded.local_endpoint.exists(ep =>
+      ep.service_name.contains("svc") && ep.ipv4.isEmpty && ep.ipv6.isEmpty))
+    // real literals still round-trip (the fixture also covers this)
+    val lit = Span(trace_id = "00000000000000ab", id = "02",
+      local_endpoint = Some(Endpoint(ipv4 = Some("192.168.99.101"),
+        ipv6 = Some("2001:db8::1"))))
+    val back = ProtoSpans.decodeList(ProtoSpans.encodeList(Seq(lit))).head
+    assert(back.local_endpoint.exists(ep =>
+      ep.ipv4.contains("192.168.99.101") && ep.ipv6.contains("2001:db8:0:0:0:0:0:1")))
+  }
 }

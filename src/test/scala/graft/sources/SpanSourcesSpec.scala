@@ -43,6 +43,40 @@ class SpanSourcesSpec extends SparkSpec {
     assert(fromPq.size == 3)
   }
 
+  test("malformed lines drop at the streaming boundary instead of " +
+      "crash-looping the checkpoint-pinned query") {
+    // span path: a garbage line PERMISSIVE-parses to an all-null row whose
+    // null trace_id would NPE TraceMerge (or store a null-keyed trace)
+    val spanDir = Files.createTempDirectory("graft-badspans")
+    Files.writeString(spanDir.resolve("spans.json"),
+      (fixtureLines :+ "%%% not json at all %%%").mkString("\n"))
+    val sq = SpanSources.fromJsonFiles(spark, spanDir.toString)
+      .writeStream.format("memory").queryName("bad_span_lines")
+      .outputMode(OutputMode.Append).start()
+    try {
+      sq.processAllAvailable()
+      assert(spark.table("bad_span_lines").count() == 3, "3 good spans, garbage dropped")
+    } finally sq.stop()
+    // link path: null counts would NPE LinkEvent's primitive Long fields
+    val linkDir = Files.createTempDirectory("graft-badlinks")
+    Files.writeString(linkDir.resolve("links.json"),
+      Seq(
+        """{"event_ts":"2024-01-05T10:00:00.000Z","parent":"a","child":"b","callCount":2,"errorCount":0}""",
+        """truncated garbag""",
+        """{"event_ts":"2024-01-05T10:00:01.000Z","parent":"b","child":"c","callCount":1}"""
+      ).mkString("\n"))
+    val lq = SpanSources.linksFromJsonFiles(spark, linkDir.toString)
+      .writeStream.format("memory").queryName("bad_link_lines")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lq.processAllAvailable()
+      // the garbage line AND the null-count line drop; the full row survives
+      val rows = spark.table("bad_link_lines").collect()
+      assert(rows.map(r => (r.getAs[String]("parent"), r.getAs[Long]("call_count"))).toSeq
+        == Seq(("a", 2L)))
+    } finally lq.stop()
+  }
+
   test("file-based streaming ingest drives the session pipeline end-to-end") {
     val traces = StreamingPipeline.sessionTraces(
       SpanSources.fromJsonFiles(spark, writeFixture()), "1 minute")
