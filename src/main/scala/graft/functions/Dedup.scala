@@ -348,8 +348,12 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a pure function of the pair, so
+      // the result is identical — but the other order carried every
+      // false-positive band collision (hamming 4..32, the common case)
+      // through the distinct's full shuffle just to drop it afterwards
       .where(col("hamming") <= maxDist)
+      .distinct()
     (pairs, Seq(banded))
   }
 

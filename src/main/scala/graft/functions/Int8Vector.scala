@@ -104,7 +104,12 @@ case class Int8DotScaled(first: Expression, second: Expression, third: Expressio
       case FloatType => scale.asInstanceOf[Float].toDouble
       case _ => scale.asInstanceOf[Double]
     }
-    val n = math.min(c.length, q.numElements())
+    // loud on mismatch (the VectorDot contract): truncating deflates the
+    // dequantized dot into a plausible-but-wrong ranking score
+    if (c.length != q.numElements())
+      throw new IllegalArgumentException(
+        s"int8_dot: dimension mismatch ${c.length} vs ${q.numElements()}")
+    val n = c.length
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -124,7 +129,11 @@ case class Int8DotScaled(first: Expression, second: Expression, third: Expressio
         if (queryElemType.contains(FloatType)) s"(double) $q.getFloat($i)"
         else s"$q.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($c.length, $q.numElements());
+         |if ($c.length != $q.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "int8_dot: dimension mismatch " + $c.length + " vs " + $q.numElements());
+         |}
+         |int $n = $c.length;
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $c[$i]) * $getQ;

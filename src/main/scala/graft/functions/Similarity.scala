@@ -220,7 +220,10 @@ object Similarity {
     // single task ever owns a whole mega-cell.
     val oversized = assigned.groupBy("centroid_id").agg(count(lit(1)).as("n"))
       .where(col("n") > maxCellRows)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the null-centroid group (null/invalid embeddings) can exceed the
+      // cap too — getLong(0) on its key would NPE the driver. Null keys
+      // drop out of the equi-join below anyway, so skip, don't crash.
+      .collect().filter(!_.isNullAt(0)).map(r => (r.getLong(0), r.getLong(1)))
     // shuffle_hash (both branches): the SMJ alternative sorts the full
     // vector payloads on both sides just to merge ~k distinct keys
     val pairs = if (oversized.isEmpty) {
@@ -351,18 +354,27 @@ object Similarity {
       .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
       .as[(String, Array[Double])].collect()
     // null vectors would NPE the driver fold; ragged lengths (corrupt
-    // corpus) would AIOOBE at the dim loop — both are directionless noise
-    // here, like zero vectors
-    val nonNull = raw.filter(r => r._2 != null && r._2.exists(_ != 0.0))
-    val headDim = nonNull.headOption.map(_._2.length).getOrElse(0)
-    val sample = nonNull.filter(_._2.length == headDim)
+    // corpus) would AIOOBE at the dim loop; NaN/Infinity components would
+    // silently poison a centroid (NaN != 0.0 passes the zero filter, NaN
+    // sim never wins `> bestSim`, so the row lands on default cell 0 and
+    // `sums(0)(i) += NaN` kills that centroid after one iteration — a
+    // permanently dead cell with no error anywhere). All are directionless
+    // noise here, like zero vectors.
+    val nonNull = raw.filter(r => r._2 != null && r._2.exists(_ != 0.0) &&
+      r._2.forall(java.lang.Double.isFinite))
+    val sorted = nonNull
       // (length, value) sorts non-negative numeric ids NUMERICALLY (the
       // seed order the recall gates are tuned against) and is still a total
       // deterministic order for UUID-style ids
       .sortBy(r => (r._1.length, r._1))
+    // reference dim from the SORTED order — off the raw collect() it would
+    // be partition-layout-dependent exactly where the ragged-dim filter
+    // needs it stable (the documented determinism contract)
+    val headDim = sorted.headOption.map(_._2.length).getOrElse(0)
+    val sample = sorted.filter(_._2.length == headDim)
     // loud failure beats k = 0 centroids silently emptying every IVF result
     require(sample.nonEmpty || raw.isEmpty,
-      "k-means training sample contains only zero vectors — IVF needs directional data")
+      "k-means training sample contains only zero/non-finite vectors — IVF needs directional data")
     val k = math.min(nCentroids, sample.length)
     val dim = if (sample.isEmpty) 0 else sample(0)._2.length
     def norm(v: Array[Double]): Double = {
@@ -501,7 +513,7 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
     probedCellScan(spark, probes, indexPath) match {
-      case None => emptyTopK(probes)
+      case None => emptyTopK(spark, probes, indexPath)
       case Some(assigned) => rankProbed(probes, assigned, k, excludeSelf)
     }
   }
@@ -523,7 +535,7 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
     probedCellScan(spark, probes, indexPath) match {
-      case None => emptyTopK(probes)
+      case None => emptyTopK(spark, probes, indexPath)
       case Some(assigned) =>
         val wA = Window.partitionBy("query_id").orderBy(desc("approx"), asc("corpus_id"))
         val cands = probes.join(
@@ -549,10 +561,38 @@ object Similarity {
     }
   }
 
-  private def emptyTopK(probes: DataFrame): DataFrame =
+  /** Zero-row result for an empty / all-empty-cell index. `corpus_id` takes
+    * the INDEX's id type when any index file exists to read it from (an
+    * unprobed cell still states the schema) and only falls back to the
+    * query-id type on a truly fileless index — otherwise a cross-table
+    * search with differently-typed ids would flip schema between empty and
+    * non-empty runs, failing fixed-schema writers only on the empty ones.
+    */
+  private def emptyTopK(spark: org.apache.spark.sql.SparkSession,
+      probes: DataFrame, indexPath: String): DataFrame = {
+    val corpusIdType = indexSchemaProbe(spark, indexPath)
+      .flatMap(s => s.fields.find(_.name == "corpus_id").map(_.dataType))
+      .getOrElse(probes.schema("query_id").dataType)
     probes.limit(0).select(col("query_id"),
-      col("query_id").as("corpus_id"), lit(0.0).as("cosine"),
+      col("query_id").cast(corpusIdType).as("corpus_id"), lit(0.0).as("cosine"),
       lit(1).as("rank"))
+  }
+
+  /** Schema of ANY live index file (first cell dir with inputs), None on a
+    * fileless index — the readPartitioned empty-husk probe, cell-shaped.
+    */
+  private def indexSchemaProbe(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[org.apache.spark.sql.types.StructType] = {
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else fs.listStatus(base).iterator.filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("centroid_id="))
+      .map(d => graft.store.StoreLayout.livePartitionInputs(spark, d.getPath))
+      .collectFirst { case inputs if inputs.nonEmpty =>
+        spark.read.parquet(inputs.map(_.toString): _*).schema
+      }
+  }
 
   /** The probed cells' partition directories as one pruned scan (None when
     * no probed cell has a directory — empty index or all-empty cells). The

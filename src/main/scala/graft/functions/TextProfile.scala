@@ -37,7 +37,12 @@ case class TextProfile(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val trimmed = Tokenize.trimmed(input.toString)
-    val tokens = trimmed.split("\\s+", -1)
+    // the shared scanner, not split("\\s+", -1): String.split re-compiles
+    // its regex EVERY call, and this is the per-row hot loop the scanner
+    // exists for — plus a re-typed prologue is how a subtle whitespace
+    // divergence slips into one expression with no compile error
+    // (Tokenize.scala's doc; scanner ≡ regex is generatively pinned)
+    val tokens = Tokenize.tokens(trimmed)
     var (nStop, nSub, en, es, de) = (0L, 0L, 0L, 0L, 0L)
     for (t <- tokens) {
       if (TextProfile.Stopwords.contains(t)) nStop += 1

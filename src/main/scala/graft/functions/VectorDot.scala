@@ -35,7 +35,14 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // loud on mismatch, like NearestCentroid.compute: truncating to the
+    // shorter array while callers divide by FULL-length norms yields
+    // deflated, plausible-but-wrong cosines with no error anywhere —
+    // silently wrong top-k and dedup pair sets on a ragged/corrupt corpus
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"vector_dot: dimension mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     val (lt, rt) = (elemType(left).get, elemType(right).get)
     var acc = 0.0
     var i = 0
@@ -56,7 +63,11 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       def get(arr: String, t: DataType) =
         if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vector_dot: dimension mismatch " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ${get(a, elemType(left).get)} * ${get(b, elemType(right).get)};

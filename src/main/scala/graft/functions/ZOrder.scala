@@ -123,6 +123,11 @@ object ZOrder {
     */
   def layout(df: DataFrame, cols: Seq[String], bits: Int,
       numFiles: Int): DataFrame = {
+    // the Salting.__salt guard: withColumn would silently REPLACE a caller's
+    // pre-existing __zkey (e.g. a previously laid-out table that kept its
+    // key) and the drop below would then remove the caller's column
+    require(!df.columns.contains("__zkey"),
+      "ZOrder.layout: input already has a __zkey column — rename or drop it first")
     df.withColumn("__zkey", ZOrderKey(cols.map(col), bits))
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions(col("__zkey"))
