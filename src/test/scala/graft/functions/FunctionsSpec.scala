@@ -1365,4 +1365,97 @@ class FunctionsSpec extends SparkSpec {
     assert(exact.size >= 40, "fixture should plant at least the 40 base/perturbed pairs")
     assert(lsh.size >= exact.size * 9 / 10, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
+
+  private def causeMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(c => Option(c.getMessage).getOrElse("")).toSeq
+
+  test("vector_dot / int8_dot: ragged dimensions fail loudly, never truncate") {
+    // truncating to the shorter array while callers divide by full-length
+    // norms yields deflated, plausible-but-wrong cosines — the guard turns
+    // a silent ranking corruption into an error with the dims in it
+    val ragged = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e1 = intercept[Exception](
+      ragged.select(VectorDot($"a", $"b").as("d")).collect())
+    assert(causeMessages(e1).exists(_.contains("dimension mismatch")),
+      s"expected loud mismatch, got: ${causeMessages(e1)}")
+    val i8 = Seq((Array[Byte](1, 2), 0.5f, Array(1.0, 2.0, 3.0)))
+      .toDF("codes", "scale", "q")
+    val e2 = intercept[Exception](
+      i8.select(Int8DotScaled($"codes", $"scale", $"q").as("d")).collect())
+    assert(causeMessages(e2).exists(_.contains("dimension mismatch")),
+      s"expected loud mismatch, got: ${causeMessages(e2)}")
+    // equal dims still compute — the guard must not fire on the happy path
+    val ok = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(VectorDot($"a", $"b").as("d")).head().getDouble(0)
+    assert(ok == 11.0)
+  }
+
+  test("kmeansCentroidsLocal: NaN/Infinity vectors drop out of training " +
+      "exactly like zero vectors") {
+    // a NaN component would silently poison one centroid (lands on default
+    // cell 0, sums += NaN) — the pin: training with poison rows present is
+    // bit-identical to training on the clean subset alone
+    val clean = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toDouble + 0.5)))
+    val poison = Seq(
+      (100L, Array(Double.NaN, 1.0, 1.0, 1.0)),
+      (101L, Array(1.0, Double.PositiveInfinity, 1.0, 1.0)),
+      (102L, null.asInstanceOf[Array[Double]]),
+      (103L, Array(0.0, 0.0, 0.0, 0.0)))
+    val withPoison = Similarity.kmeansCentroidsLocal(
+      (clean ++ poison).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nCentroids = 2, iters = 3)
+    val cleanOnly = Similarity.kmeansCentroidsLocal(
+      clean.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nCentroids = 2, iters = 3)
+    assert(withPoison == cleanOnly)
+    assert(withPoison.flatMap(_._2).forall(java.lang.Double.isFinite))
+    // all-poison corpus fails loudly instead of emitting k = 0 centroids
+    val e = intercept[IllegalArgumentException](Similarity.kmeansCentroidsLocal(
+      poison.toDF("vec_id", "embedding"), "vec_id", "embedding", nCentroids = 2))
+    assert(e.getMessage.contains("zero/non-finite"))
+  }
+
+  test("empty IVF answer keeps the INDEX's corpus_id type; only a fileless " +
+      "index falls back to the query-id type") {
+    // cross-table search (string query ids over a long-id index): the empty
+    // result's schema must match the non-empty one or fixed-schema writers
+    // fail only on the empty runs
+    val emb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid_vec")
+    val queries = Seq(("qa", Array(1.0, 0.0))).toDF("qid", "qvec")
+    // probe centroids that map every query to a cell with no directory
+    val farCents = Seq((100L, Seq(-1.0, -1.0))).toDF("centroid_id", "centroid_vec")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivftyped").toString
+    try {
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, tmp)
+      val empty = Similarity.ivfTopKFromIndex(spark, queries, "qid", "qvec",
+        tmp, farCents, k = 3, nProbe = 1)
+      assert(empty.count() == 0)
+      assert(empty.schema("query_id").dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(empty.schema("corpus_id").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "corpus_id must take the index's id type, not the query's")
+    } finally graft.SparkEntry.deleteDir(tmp)
+    val fileless = java.nio.file.Files.createTempDirectory("graft-ivfnofile").toString
+    try {
+      val empty = Similarity.ivfTopKFromIndex(spark, queries, "qid", "qvec",
+        fileless, farCents, k = 3, nProbe = 1)
+      assert(empty.count() == 0)
+      assert(empty.schema("corpus_id").dataType ==
+        org.apache.spark.sql.types.StringType,
+        "with no index file to read, the query-id type is the only schema source")
+    } finally graft.SparkEntry.deleteDir(fileless)
+  }
+
+  test("ZOrder.layout rejects an input that already carries __zkey") {
+    val d = Seq((1L, 2L, 3L)).toDF("x", "y", "__zkey")
+    val e = intercept[IllegalArgumentException](
+      ZOrder.layout(d, Seq("x", "y"), bits = 4, numFiles = 2))
+    assert(e.getMessage.contains("__zkey"))
+  }
 }
