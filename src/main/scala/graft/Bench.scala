@@ -443,6 +443,36 @@ object Bench {
       System.err.println(
         f"[bench] CPU REGRESSION $k: min cpu_sec $c%.1f > 1.3x floor $f%.1f (host factor $cpuHostFactor%.2f)")
     }
+    // ADVISORY driver-cpu channel (stderr-only — never in the line, never in
+    // cpu_flags): the r16 gate basis is executor TASK cpu, which by
+    // construction cannot see a driver-side regression (BPE merge loop,
+    // k-means iterations, bounded collects). Per query, overhead =
+    // min proc-cpu − min task-cpu ≈ the driver+listener+GC-thread share;
+    // tools/bench_driver_overhead.tsv holds its quiet-host floors, and the
+    // SAME median-normalized relative check surfaces a query whose
+    // driver-side cost detached from the pack. Advisory only, because
+    // proc-cpu bills co-resident threads to whoever holds the clock — the
+    // attribution mode that produced three rounds of false hard-gate flags.
+    val overheadFloors: Map[String, Double] =
+      if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
+      else try {
+        val src = scala.io.Source.fromFile("tools/bench_driver_overhead.tsv", "UTF-8")
+        try src.getLines().map(_.split("\t"))
+          .collect { case Array(k, v) => k -> v.toDouble }.toMap
+        finally src.close()
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] driver-overhead floors unavailable (advisory channel disarmed): ${e.getMessage}")
+        Map.empty
+      }
+    val (ovHostFactor, ovFlags) = flagCpuRegressions(
+      results.collect { case (k, _, tc, pc, None) if pc >= 0 =>
+        (k, math.max(0.0, pc - tc)) },
+      overheadFloors)
+    ovFlags.foreach { case (k, c, f) =>
+      System.err.println(
+        f"[bench] ADVISORY driver-cpu $k: overhead $c%.1f s (proc−task) > 1.3x floor $f%.1f (host factor $ovHostFactor%.2f) — driver-side cost detached from its quiet floor; check the sidecar's proc-cpu channel")
+    }
     // line keys drop the fixed "q_" prefix (84 queries × 2 chars ≈ 160
     // bytes of budget back); the sidecar keeps full names, and the one
     // un-prefixed query (q1_agg) passes through unchanged — no collisions

@@ -102,9 +102,16 @@ object BenchScale {
       // `when` guard, not a `&&` conjunct: regexp_extract yields '' on no
       // match, which an ANSI cast to long REJECTS rather than nulling, and
       // Catalyst may evaluate both sides of a conjunction — CaseWhen
-      // branches are the lazily-evaluated construct
-      .filter(when(col("tok").rlike("_[0-9]+$"),
-        regexp_extract(col("tok"), "_([0-9]+)$", 1).cast("long"))
+      // branches are the lazily-evaluated construct.
+      // The pattern is anchored to the EXACT salted forms: suffixes are
+      // replica numbers 1..rep-1, which never carry leading zeros (base
+      // 'x_01' cannot collide — replica 1 salts 'x' to 'x_1', not 'x_01'),
+      // and 9 digits bounds the cast inside Long range (the old unbounded
+      // `_[0-9]+$` both refused leading-zero non-collisions AND threw
+      // ArithmeticException on a >19-digit run under the ANSI cast,
+      // aborting the probe instead of returning a verdict)
+      .filter(when(col("tok").rlike("_[1-9][0-9]{0,8}$"),
+        regexp_extract(col("tok"), "_([1-9][0-9]{0,8})$", 1).cast("long"))
         .between(1, rep - 1))
       .limit(5).collect().toSeq.map(_.getString(0))
 

@@ -78,6 +78,25 @@ object Dedup {
     }
   }
 
+  /** Input-proportional shuffle width for the pair-finding joins. The
+    * session's `spark.sql.shuffle.partitions` is sized for the CORPUS scan,
+    * but the inverted-index self-join's working set is the COLLISION MASS —
+    * at ×30 amplification the r16 scale leg spilled 15.5 GB because 147 M
+    * collision rows were forced through the static 32-partition width
+    * (BENCH_scale_x30.json). One partition per ~2 M weight rows keeps each
+    * task's sort/agg buffer a few hundred MB below the executor pool at any
+    * input size; the session width stays the floor (small inputs keep their
+    * exact r16 plans — the repartition is a no-op below ~64 M weight at 32
+    * partitions), and 4096 caps runaway widths (at that point per-task input
+    * is bounded and more tasks only add scheduler overhead). AQE cannot do
+    * this for us: it coalesces small shuffle partitions and splits SKEWED
+    * ones, but a uniformly-oversized shuffle keeps its static width.
+    */
+  private def shuffleWidth(df: DataFrame, weightRows: Double): Int = {
+    val session = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(session, math.min(4096, math.ceil(weightRows / 2e6).toInt))
+  }
+
   /** Corpus-relative document-frequency cap for [[ngramJaccardPairs]]:
     * 0.5% of the corpus, floored at 5 so tiny corpora keep their legitimate
     * repeats. Integer arithmetic (`nDocs / 200`) so the DuckDB oracle mirrors
@@ -118,9 +137,12 @@ object Dedup {
         coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
           .cast("double").as("sigma"))
       .first()
-    if (stats.getDouble(1) <= 16.0 * math.max(1L, stats.getLong(0)))
-      fullIndexPairs(sh, threshold)
-    else prefixFilteredPairs(sh, docFreq, threshold)
+    val rows = stats.getLong(0); val sigma = stats.getDouble(1)
+    if (sigma <= 16.0 * math.max(1L, rows))
+      // the self-join materializes exactly sigma collision rows — width the
+      // shuffle to THAT, not the corpus (sigma detaches from rows with scale)
+      fullIndexPairs(sh, threshold, shuffleWidth(sh, math.max(rows.toDouble, sigma)))
+    else prefixFilteredPairs(sh, docFreq, threshold, shuffleWidth(sh, rows.toDouble))
   }
 
   /** The prefix-filtered strategy, directly (no cost dispatch) — the
@@ -141,17 +163,29 @@ object Dedup {
       textCol: String, n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Long] = None): DataFrame = {
     val (sh, docFreq) = shingleIndexWithDf(docs, idCol, textCol, n, maxDocFreq)
-    prefixFilteredPairs(sh, docFreq, threshold)
+    val rows = docFreq.agg(coalesce(sum(col("df")), lit(0L)).cast("long")).first().getLong(0)
+    prefixFilteredPairs(sh, docFreq, threshold, shuffleWidth(sh, rows.toDouble))
   }
 
+  /** `parts`: shuffle width for the index-sized stages (the docsets build
+    * and the prefix candidate self-join) — input-proportional, see
+    * [[shuffleWidth]]. The prefix path's join output is the PREFIX collision
+    * mass (rarest shingles only, ≪ the full sigma), so the index row count
+    * is the right weight here, not sigma.
+    */
   private def prefixFilteredPairs(sh: DataFrame, docFreq: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, parts: Int): DataFrame = {
     // one row per doc: shingles as an array in global rarest-first order
     // (struct sort = df asc, then shingle asc — a total order, so every doc
     // agrees on it). Built from the already-capped index, not a second
     // tokenization pass; cached because the prefix explode and both verify
     // joins read it.
-    val docsets = sh.join(docFreq, Seq("shingle"))
+    // both index-sized shuffles run at the proportional width: the df join
+    // keyed by shingle (repartitioning one side makes EnsureRequirements
+    // match the other to it), and the per-doc collect_list — whose partial
+    // agg buffers whole shingle arrays, the worst place to be 30× over-full
+    val docsets = sh.repartition(parts, col("shingle")).join(docFreq, Seq("shingle"))
+      .repartition(parts, col("doc_id"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
       .select(col("doc_id"),
@@ -166,6 +200,10 @@ object Dedup {
     val prefix = docsets.select(col("doc_id"), col("n_sh"),
       explode(slice(col("shs"), lit(1),
         (col("n_sh") - ceilT(col("n_sh")) + 1).cast("int"))).as("shingle"))
+      // pre-partition the candidate self-join's key at the same width: both
+      // sides then carry HashPartitioning(shingle, parts) and the join adds
+      // no further exchange (the second side is a ReusedExchange)
+      .repartition(parts, col("shingle"))
     val candidates = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -191,13 +229,21 @@ object Dedup {
       textCol: String, n: Int = 3, threshold: Double = 0.5,
       maxDocFreq: Option[Long] = None): DataFrame =
     // shingleIndex caches the raw exploded index once; the capped view is a
-    // cheap broadcast-anti probe over it per use (join sides + size table)
-    fullIndexPairs(shingleIndex(docs, idCol, textCol, n, maxDocFreq), threshold)
+    // cheap broadcast-anti probe over it per use (join sides + size table).
+    // parts = 0 (inherit the session width): this direct path is the spec
+    // equivalence reference, exercised on tiny corpora only
+    fullIndexPairs(shingleIndex(docs, idCol, textCol, n, maxDocFreq), threshold, 0)
 
-  /** |A∩B| counted from the shingle self-join; |A∪B| = |A|+|B|−|A∩B|. */
-  private def fullIndexPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  /** |A∩B| counted from the shingle self-join; |A∪B| = |A|+|B|−|A∩B|.
+    * `parts`: collision-mass-proportional width for the self-join and its
+    * pair-count partial agg ([[shuffleWidth]]); at or below the session
+    * width the plan is untouched.
+    */
+  private def fullIndexPairs(sh: DataFrame, threshold: Double, parts: Int): DataFrame = {
+    val session = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val wide = if (parts > session) sh.repartition(parts, col("shingle")) else sh
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val inter = wide.as("a").join(wide.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))

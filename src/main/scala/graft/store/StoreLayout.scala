@@ -523,10 +523,19 @@ object StoreLayout {
           s"compaction refused: lost the race to reclaim stale $lease")
       val tombAge = System.currentTimeMillis() - fs.getFileStatus(tomb).getModificationTime
       if (tombAge <= LeaseTtlMs) {
-        fs.rename(tomb, lease): Unit
+        // the restore itself can lose a FURTHER race: a third claimant may
+        // have created a fresh lease during the sub-ms absence window, making
+        // this rename fail (destination exists). The tombstone then holds a
+        // SUPERSEDED lease — delete it rather than leave it on disk forever
+        // (only the stale path below deletes tombstones), and say what
+        // happened. Either way the claim fails here and the generation
+        // commit still arbitrates the duplicate pass.
+        val restored = fs.rename(tomb, lease)
+        if (!restored) fs.delete(tomb, false): Unit
         throw new IllegalStateException(
-          s"compaction refused: reclaim of $lease raced a faster claimant " +
-            "(renamed its fresh lease — restored)")
+          s"compaction refused: reclaim of $lease raced a faster claimant" +
+            (if (restored) " (renamed its fresh lease — restored)"
+             else " (restore lost a further race — superseded tombstone deleted)"))
       }
       fs.delete(tomb, false)
     }

@@ -114,5 +114,13 @@ final class BenchScaleSpec extends SparkSpec {
     // "price_2" collides only when replica 2 exists (k ranges 1..rep-1)
     assert(BenchScale.saltCollisions(docs, 2).isEmpty)
     assert(BenchScale.saltCollisions(docs, 3) == Seq("price_2"))
+
+    // NON-collisions the r16 probe wrongly handled: a leading-zero suffix
+    // can never equal a salted form ('x'+'_1' = 'x_1' ≠ 'x_01'), and a
+    // digit run beyond Long range must yield a verdict, not an
+    // ArithmeticException from the ANSI cast
+    val tricky = Seq((0L, "x_01 ok"), (1L, "y_123456789012345678901234567890 ok"))
+      .toDF("doc_id", "text")
+    assert(BenchScale.saltCollisions(tricky, 30).isEmpty)
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc diagnosis main for the q_dedup_simhash task-cpu bimodality
+  * (r16 TSV: quiet-host runs land in a ~12 s or a ~24 s mode, RUN-level —
+  * both passes of a bench run agree — with gc=0 and identical code).
+  *
+  * Separates the two hypothesis classes by variance structure:
+  *  - intra-JVM stable + inter-JVM bimodal → a per-JVM compilation coin
+  *    flip (C2 inlining/profile decisions around the MD5 hot loop);
+  *  - intra-JVM drift (early runs fast, later slow, or vice versa) →
+  *    cumulative in-process state (code-cache pressure, profile
+  *    pollution from the rest of the suite).
+  *
+  * `SPARK_GRAFT_PROBE_WARM=suite` reproduces the bench context (full
+  * suite once at sf0.001 before measuring); `self` (default) warms only
+  * the probed query. `SPARK_GRAFT_PROBE_RUNS` (default 6) measured runs.
+  * One line per run: `probe simhash run=K wall=W task_cpu=C`.
+  */
+object SimhashProbe {
+  private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null)
+        cpuNanos.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "6").toInt
+    val warm = sys.env.getOrElse("SPARK_GRAFT_PROBE_WARM", "self")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cpu = new CpuListener
+    spark.sparkContext.addSparkListener(cpu)
+    def snap(): Long = {
+      if (!org.apache.spark.GraftBenchBridge.drainListenerBus(spark.sparkContext, 10000L))
+        System.err.println("[probe] WARNING: bus not drained")
+      cpu.cpuNanos.get()
+    }
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      .getAbsolutePath
+    if (warm == "suite")
+      SparkEntry.queries.filterNot(q => SparkEntry.benchExcluded(q._1)).values.foreach { fn =>
+        try fn(spark, warmDir).queryExecution.toRdd.foreach(_ => ())
+        catch { case _: Throwable => () }
+      }
+    else
+      SparkEntry.queries("q_dedup_simhash")(spark, warmDir)
+        .queryExecution.toRdd.foreach(_ => ())
+    (1 to runs).foreach { k =>
+      spark.catalog.clearCache()
+      System.gc()
+      val c0 = snap()
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
+        .queryExecution.toRdd.foreach(_ => ())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val c = (snap() - c0) / 1e9
+      println(f"probe simhash run=$k wall=$wall%.2f task_cpu=$c%.2f")
+    }
+    spark.stop()
+  }
+}
