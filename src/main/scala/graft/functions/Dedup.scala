@@ -80,21 +80,25 @@ object Dedup {
 
   /** Input-proportional shuffle width for the pair-finding joins. The
     * session's `spark.sql.shuffle.partitions` is sized for the CORPUS scan,
-    * but the inverted-index self-join's working set is the COLLISION MASS —
-    * at ×30 amplification the r16 scale leg spilled 15.5 GB because 147 M
-    * collision rows were forced through the static 32-partition width
-    * (BENCH_scale_x30.json). One partition per ~2 M weight rows keeps each
-    * task's sort/agg buffer a few hundred MB below the executor pool at any
-    * input size; the session width stays the floor (small inputs keep their
-    * exact r16 plans — the repartition is a no-op below ~64 M weight at 32
-    * partitions), and 4096 caps runaway widths (at that point per-task input
-    * is bounded and more tasks only add scheduler overhead). AQE cannot do
-    * this for us: it coalesces small shuffle partitions and splits SKEWED
-    * ones, but a uniformly-oversized shuffle keeps its static width.
+    * but the pair stages' working set is the COLLISION MASS — at ×30
+    * amplification the r16 scale leg spilled 15.5 GB through the static
+    * 32-partition width (BENCH_scale_x30.json). Per-stage attribution
+    * (ProfileNgramScale, 2026-08-15) put the spill in the pair-count
+    * AGGREGATION hash maps, not the join sort: collision pairs are mostly
+    * unique, so partial agg reduces nothing and each agg task buffered
+    * sigma/32 ≈ 1.19 M entries — ~139 MB of hash-map fallback per task,
+    * in both the partial and final agg. 500 k weight rows per partition
+    * keeps each agg map ~50 MB, comfortably inside a task's execution-
+    * memory share at 32 concurrent tasks; the session width stays the
+    * floor (at sf0.1 sigma ≈ 1.3 M → width 32, so the official bench plan
+    * is byte-identical), and 4096 caps runaway widths (per-task input is
+    * bounded there and more tasks only add scheduler overhead). AQE cannot
+    * do this for us: it coalesces small shuffle partitions and splits
+    * SKEWED ones, but a uniformly-oversized shuffle keeps its static width.
     */
   private def shuffleWidth(df: DataFrame, weightRows: Double): Int = {
     val session = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    math.max(session, math.min(4096, math.ceil(weightRows / 2e6).toInt))
+    math.max(session, math.min(4096, math.ceil(weightRows / 5e5).toInt))
   }
 
   /** Corpus-relative document-frequency cap for [[ngramJaccardPairs]]:
@@ -243,9 +247,19 @@ object Dedup {
     val session = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val wide = if (parts > session) sh.repartition(parts, col("shingle")) else sh
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = wide.as("a").join(wide.as("b"),
+    val joined = wide.as("a").join(wide.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // re-key the pair-count agg at the proportional width too — THIS is
+    // where the ×30 leg measurably spilled (see [[shuffleWidth]]): without
+    // it the final agg exchanges back to the session width and buffers
+    // sigma/session entries per task. Collision pairs are mostly unique, so
+    // trading the (non-reducing) map-side partial for a raw re-key costs
+    // nothing; the groupBy then satisfies its distribution and adds no
+    // further exchange. Guarded so small inputs keep their exact plans.
+    val keyed = if (parts > session)
+      joined.repartition(parts, col("doc_a"), col("doc_b")) else joined
+    val inter = keyed.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
