@@ -17,15 +17,33 @@ import org.apache.spark.sql.SparkSession
   * suite once at sf0.001 before measuring); `self` (default) warms only
   * the probed query. `SPARK_GRAFT_PROBE_RUNS` (default 6) measured runs.
   * One line per run: `probe simhash run=K wall=W task_cpu=C`.
+  *
+  * FINDING (r17, measured — full provenance in tools/bench_cpu_floor.tsv
+  * "ROUND-17 SIMHASH BIMODALITY DIAGNOSIS"): work is constant
+  * (tasks/stages/input_records pinned across every run), so the variance
+  * is a JIT warm-up transient — suite-warmed run 1 costs 12.6-27.9 s
+  * task-cpu, every later run converges to 4.4-6.2 s. The two-pass bench
+  * rides the transient, producing the run-level "modes". Converting
+  * SimHashSig off CodegenFallback collapsed the pre-fix per-JVM
+  * converged-mode split (~3.3 vs ~6) to one band; the floor stays at the
+  * transient bound (see the TSV note for the false-flag arithmetic).
   */
 object SimhashProbe {
   private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val inputRecords = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stages = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null)
+      if (m != null) {
         cpuNanos.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
+        tasks.incrementAndGet()
+        inputRecords.addAndGet(m.inputMetrics.recordsRead): Unit
+      }
     }
+    override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      stages.incrementAndGet(): Unit
   }
 
   def main(args: Array[String]): Unit = {
@@ -41,10 +59,10 @@ object SimhashProbe {
     spark.sparkContext.setLogLevel("WARN")
     val cpu = new CpuListener
     spark.sparkContext.addSparkListener(cpu)
-    def snap(): Long = {
+    def snap(): (Long, Long, Long, Long) = {
       if (!org.apache.spark.GraftBenchBridge.drainListenerBus(spark.sparkContext, 10000L))
         System.err.println("[probe] WARNING: bus not drained")
-      cpu.cpuNanos.get()
+      (cpu.cpuNanos.get(), cpu.tasks.get(), cpu.inputRecords.get(), cpu.stages.get())
     }
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       .getAbsolutePath
@@ -59,13 +77,18 @@ object SimhashProbe {
     (1 to runs).foreach { k =>
       spark.catalog.clearCache()
       System.gc()
-      val c0 = snap()
+      val (c0, t0n, i0, s0) = snap()
       val t0 = System.nanoTime()
       SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
         .queryExecution.toRdd.foreach(_ => ())
       val wall = (System.nanoTime() - t0) / 1e9
-      val c = (snap() - c0) / 1e9
-      println(f"probe simhash run=$k wall=$wall%.2f task_cpu=$c%.2f")
+      val (c1, t1n, i1, s1) = snap()
+      // tasks/stages/input separate the double-compute hypothesis (an AQE
+      // materialization race computing the cached signature stage twice
+      // would show ≈2× input records + an extra stage). Measured: constant
+      // — the hypothesis is dead; see the FINDING note above.
+      println(f"probe simhash run=$k wall=$wall%.2f task_cpu=${(c1 - c0) / 1e9}%.2f " +
+        s"tasks=${t1n - t0n} stages=${s1 - s0} input_records=${i1 - i0}")
     }
     spark.stop()
   }

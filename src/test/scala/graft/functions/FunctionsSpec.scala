@@ -1077,10 +1077,11 @@ class FunctionsSpec extends SparkSpec {
     // because nothing forced the generated source through janino — Spark's
     // production path silently falls back to interpreted eval on compile
     // failure. This sweep pins the whole family; expressions that are
-    // CodegenFallback BY DESIGN (MinHashSig, MinHashBandKeys, SimHashSig,
-    // SignSketch, WordShingles, TextProfile, RepetitionProfile,
-    // Int8Quantize — all cold-path or loop-heavy, documented at each site)
-    // are out of scope here.
+    // CodegenFallback BY DESIGN (MinHashSig, MinHashBandKeys, SignSketch,
+    // WordShingles, TextProfile, RepetitionProfile, Int8Quantize — all
+    // cold-path or loop-heavy, documented at each site) are out of scope
+    // here. SimHashSig moved INTO scope in r17 when its fallback dispatch
+    // was identified as the q_dedup_simhash task-cpu bimodality.
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
     import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
@@ -1091,12 +1092,15 @@ class FunctionsSpec extends SparkSpec {
     def s(v: String) = UTF8String.fromString(v)
     def arr(xs: Any*) = new GenericArrayData(xs.toArray)
     val str0 = BoundReference(0, StringType, nullable = true)
+    val sArr0 = BoundReference(0, ArrayType(StringType, containsNull = false), nullable = true)
     val dArr0 = BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = true)
     val dArr1 = BoundReference(1, ArrayType(DoubleType, containsNull = false), nullable = true)
     val lArr0 = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
 
     val cases: Seq[(String, Expression, InternalRow)] = Seq(
       ("PolyHash", PolyHash(str0), InternalRow(s("abc"))),
+      ("SimHashSig", SimHashSig(sArr0), InternalRow(arr(s("a"), s("b"), s("a")))),
+      ("SimHashSig/empty→null", SimHashSig(sArr0), InternalRow(arr())),
       ("WhitespaceTokens", WhitespaceTokens(str0), InternalRow(s(" a  b\tc "))),
       ("ZOrderKey", ZOrderKey(lArr0, 16), InternalRow(arr(3L, 5L))),
       ("VectorDot", VectorDot(dArr0, dArr1),
