@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,9 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hash family: seed-mixed splitmix64 finalization of one base byte hash —
   * see [[MinHashSig.signature]] for why a cheaper linear h₁+i·h₂ family is
   * NOT usable here (correlated minhashes break LSH band recall).
+  *
+  * Real doGenCode (a static call into the shared kernel) rather than
+  * CodegenFallback: the fallback's megamorphic `eval` dispatch made C2
+  * devirtualization a per-JVM coin flip on the simhash twin (2× converged
+  * task-cpu modes, r17 TSV diagnosis) — a monomorphic static call site
+  * compiles the same way every run.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -30,7 +36,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(MinHashSig.signature(input.asInstanceOf[ArrayData], numHashes))
+    MinHashSig.sigData(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.sigData($c, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -43,7 +53,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * array position.
   */
 case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes % bands == 0, "numHashes must divide into bands")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -53,8 +63,21 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"minhash_bands requires array<string>, got $t")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashBandKeys.compute(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashBandKeys.compute($c, $numHashes, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+object MinHashBandKeys {
+
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, numHashes: Int, bands: Int): ArrayData = {
     // shingle-less docs get NO band keys (posexplode then drops the row):
     // an all-MaxValue signature would collide in every band and send every
     // short doc into one quadratic bucket
@@ -78,17 +101,18 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     new GenericArrayData(keys)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
-    copy(child = newChild)
-}
-
-object MinHashBandKeys {
   def apply(c: Column, numHashes: Int, bands: Int): Column =
     GraftColumnBridge.column(
       MinHashBandKeys(GraftColumnBridge.expression(c), numHashes, bands))
 }
 
 object MinHashSig {
+
+  /** [[signature]] wrapped for the expression surfaces (interpreted eval and
+    * generated code both call this static entry point).
+    */
+  def sigData(arr: ArrayData, numHashes: Int): ArrayData =
+    new GenericArrayData(signature(arr, numHashes))
 
   /** One pass over the shingle array into a primitive long[numHashes] min.
     * Per-seed independence matters: a linear h₁+i·h₂ family makes the 128

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * regime.
   */
 case class SignBandKeys(child: Expression, numBits: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numBits % bands == 0, "numBits must divide into bands")
   require(numBits / bands <= 63, "band key must fit a long")
 
@@ -40,11 +40,27 @@ case class SignBandKeys(child: Expression, numBits: Int, bands: Int)
       s"sign_band_keys requires array<float|double>, got ${child.dataType}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  private def isFloat: Boolean = elemType.contains(FloatType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignBandKeys.compute(input.asInstanceOf[ArrayData], isFloat, numBits, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignBandKeys.compute($c, $isFloat, $numBits, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): SignBandKeys =
+    copy(child = newChild)
+}
+
+object SignBandKeys {
+
+  /** The per-row kernel, shared by interpreted eval and generated code;
+    * `isFloat` is resolved from the child's element type at plan time.
+    */
+  def compute(arr: ArrayData, isFloat: Boolean, numBits: Int, bands: Int): ArrayData = {
     val dim = arr.numElements()
     if (dim == 0) return new GenericArrayData(Array.empty[Long])
-    val isFloat = elemType.contains(FloatType)
     val rowsPerBand = numBits / bands
     val keys = new Array[Long](bands)
     var bit = 0
@@ -68,11 +84,6 @@ case class SignBandKeys(child: Expression, numBits: Int, bands: Int)
     new GenericArrayData(keys)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SignBandKeys =
-    copy(child = newChild)
-}
-
-object SignBandKeys {
   def apply(c: Column, numBits: Int, bands: Int): Column =
     GraftColumnBridge.column(
       SignBandKeys(GraftColumnBridge.expression(c), numBits, bands))

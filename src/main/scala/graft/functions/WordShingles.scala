@@ -4,8 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (spec-checked), so the DuckDB oracles are unchanged.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -28,10 +28,24 @@ case class WordShingles(child: Expression, n: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"word_shingles requires string, got $t")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
     // Tokenize owns the parity-critical trim/split semantics (space-only
     // trim, limit -1) shared with TextProfile and RepetitionProfile
-    val tokens = Tokenize.tokens(input.asInstanceOf[UTF8String].toString)
+    val tokens = Tokenize.tokens(input.toString)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((tokens.length - n + 1) * 2)
     val sb = new java.lang.StringBuilder(64)
@@ -54,11 +68,6 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-}
-
-object WordShingles {
   def apply(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c), n))
 }

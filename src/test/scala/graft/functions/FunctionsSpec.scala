@@ -1077,11 +1077,13 @@ class FunctionsSpec extends SparkSpec {
     // because nothing forced the generated source through janino — Spark's
     // production path silently falls back to interpreted eval on compile
     // failure. This sweep pins the whole family; expressions that are
-    // CodegenFallback BY DESIGN (MinHashSig, MinHashBandKeys, SignSketch,
-    // WordShingles, TextProfile, RepetitionProfile, Int8Quantize — all
-    // cold-path or loop-heavy, documented at each site) are out of scope
+    // CodegenFallback BY DESIGN (TextProfile, RepetitionProfile,
+    // Int8Quantize — cold-path, documented at each site) are out of scope
     // here. SimHashSig moved INTO scope in r17 when its fallback dispatch
-    // was identified as the q_dedup_simhash task-cpu bimodality.
+    // was identified as the q_dedup_simhash task-cpu bimodality; the
+    // other hot-path array kernels (MinHashSig, MinHashBandKeys,
+    // SignBandKeys, WordShingles) followed with the same static-kernel
+    // doGenCode pattern.
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
     import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
@@ -1093,6 +1095,7 @@ class FunctionsSpec extends SparkSpec {
     def arr(xs: Any*) = new GenericArrayData(xs.toArray)
     val str0 = BoundReference(0, StringType, nullable = true)
     val sArr0 = BoundReference(0, ArrayType(StringType, containsNull = false), nullable = true)
+    val fArr0 = BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = true)
     val dArr0 = BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = true)
     val dArr1 = BoundReference(1, ArrayType(DoubleType, containsNull = false), nullable = true)
     val lArr0 = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
@@ -1101,6 +1104,16 @@ class FunctionsSpec extends SparkSpec {
       ("PolyHash", PolyHash(str0), InternalRow(s("abc"))),
       ("SimHashSig", SimHashSig(sArr0), InternalRow(arr(s("a"), s("b"), s("a")))),
       ("SimHashSig/empty→null", SimHashSig(sArr0), InternalRow(arr())),
+      ("MinHashSig", MinHashSig(sArr0, 8), InternalRow(arr(s("a b c"), s("b c d")))),
+      ("MinHashBandKeys", MinHashBandKeys(sArr0, 8, 4),
+        InternalRow(arr(s("a b c"), s("b c d")))),
+      ("MinHashBandKeys/empty", MinHashBandKeys(sArr0, 8, 4), InternalRow(arr())),
+      ("SignBandKeys/float", SignBandKeys(fArr0, 16, 4),
+        InternalRow(arr(1.0f, -2.0f, 0.5f))),
+      ("SignBandKeys/double", SignBandKeys(dArr0, 16, 4), InternalRow(arr(0.9, -0.1))),
+      ("SignBandKeys/empty", SignBandKeys(fArr0, 16, 4), InternalRow(arr())),
+      ("WordShingles", WordShingles(str0, 2), InternalRow(s(" a  b\tc a b "))),
+      ("WordShingles/short→empty", WordShingles(str0, 2), InternalRow(s("solo"))),
       ("WhitespaceTokens", WhitespaceTokens(str0), InternalRow(s(" a  b\tc "))),
       ("ZOrderKey", ZOrderKey(lArr0, 16), InternalRow(arr(3L, 5L))),
       ("VectorDot", VectorDot(dArr0, dArr1),
