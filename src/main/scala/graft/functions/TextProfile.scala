@@ -22,6 +22,11 @@ import org.apache.spark.sql.types._
   *    not UTF-16 units;
   *  - splitting "" yields one empty token, like Spark `split` / DuckDB
   *    `string_split_regex`.
+  *
+  * Stays CodegenFallback deliberately (r17-reviewed): a struct-returning
+  * codegen template is invasive, and unlike the array kernels converted in
+  * r17 this expression shows no measured dispatch pathology — q_text_stats
+  * sits at ~0.2 s wall / sub-second task-cpu with a stable floor.
   */
 case class TextProfile(child: Expression)
     extends UnaryExpression with CodegenFallback {
