@@ -1138,6 +1138,12 @@ class FunctionsSpec extends SparkSpec {
       case _ => String.valueOf(v)
     }
     cases.foreach { case (name, expr, row) =>
+      // a fallback mixin would make GenerateUnsafeProjection "pass" by
+      // routing through interpreted eval — the exact regression this sweep
+      // exists to catch, so pin the mixin's absence explicitly
+      assert(!expr.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
+        s"$name: must not regress to CodegenFallback (see the r17 " +
+          "megamorphic-dispatch diagnosis in tools/bench_cpu_floor.tsv)")
       val proj =
         try GenerateUnsafeProjection.generate(Seq(expr))
         catch { case e: Throwable =>
