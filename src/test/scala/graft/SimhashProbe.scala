@@ -27,6 +27,13 @@ import org.apache.spark.sql.SparkSession
   * SimHashSig off CodegenFallback collapsed the pre-fix per-JVM
   * converged-mode split (~3.3 vs ~6) to one band; the floor stays at the
   * transient bound (see the TSV note for the false-flag arithmetic).
+  *
+  * NEGATIVE RESULT (r17, so nobody re-tries it): a per-thread token→hash60
+  * memo in the SimHashSig kernel (~100% hit rate — sf0.1 has 270k token
+  * occurrences over 31 distinct) left the converged task-cpu UNCHANGED
+  * (3-6 s band, 2 fresh JVMs × 5 runs). The per-token md5 is NOT the
+  * query's steady-state cost center; the banded self-join + distinct is.
+  * The memo was reverted as unmeasurable complexity.
   */
 object SimhashProbe {
   private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
