@@ -1156,6 +1156,63 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("generative codegen↔interpreted parity for the r17-converted kernels " +
+      "over random multi-byte inputs") {
+    // the fixed sweep cases above prove the generated code compiles; this
+    // property drives the SAME projection over seeded-random inputs —
+    // multi-byte unicode, empty strings, whitespace runs, empty arrays —
+    // to catch byte-level kernel bugs (UTF8String offset/copy handling)
+    // that hand-picked rows can miss. Seeded, so failures reproduce.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val rnd = new scala.util.Random(0xbadc0de)
+    val alphabet = "ab cd\tε中é \n9_" // multi-byte chars, separators, digits
+    def randString(): String =
+      Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    def randStringArray(): GenericArrayData =
+      new GenericArrayData(Array.fill[Any](rnd.nextInt(8))(
+        UTF8String.fromString(randString())))
+    def randFloats(): GenericArrayData =
+      new GenericArrayData(Array.fill[Any](rnd.nextInt(6))(
+        rnd.nextFloat() * 4f - 2f))
+    def randDoubles(): GenericArrayData =
+      new GenericArrayData(Array.fill[Any](rnd.nextInt(6))(
+        rnd.nextDouble() * 4d - 2d))
+
+    val sArr = BoundReference(0, ArrayType(StringType, containsNull = false), nullable = true)
+    val fArr = BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = true)
+    val dArr = BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = true)
+    val str = BoundReference(0, StringType, nullable = true)
+
+    val subjects = Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression, () => Any)](
+      ("SimHashSig", SimHashSig(sArr), randStringArray _),
+      ("MinHashSig", MinHashSig(sArr, 16), randStringArray _),
+      ("MinHashBandKeys", MinHashBandKeys(sArr, 16, 4), randStringArray _),
+      ("SignBandKeys/f", SignBandKeys(fArr, 16, 4), randFloats _),
+      ("SignBandKeys/d", SignBandKeys(dArr, 16, 4), randDoubles _),
+      ("WordShingles", WordShingles(str, 2),
+        () => UTF8String.fromString(randString()))
+    )
+    def show(dt: DataType, v: Any): String = (dt, v) match {
+      case (ArrayType(et, _), a: ArrayData) => a.toObjectArray(et).mkString("[", ",", "]")
+      case _ => String.valueOf(v)
+    }
+    subjects.foreach { case (name, expr, gen) =>
+      val proj = GenerateUnsafeProjection.generate(Seq(expr))
+      (1 to 200).foreach { i =>
+        val row = InternalRow(gen())
+        val g = show(expr.dataType, proj(row).get(0, expr.dataType))
+        val e = show(expr.dataType, expr.eval(row))
+        assert(g == e, s"$name iter $i: codegen=$g interpreted=$e row=$row")
+      }
+    }
+  }
+
   test("Bpe.lexicon: frequency-ranked, empty and delimiter tokens excluded " +
       "before the top-K") {
     val docs = Seq((1L, "x y x"), (2L, "  "), (3L, "x \u0001bad\u0001 z"))
