@@ -408,23 +408,26 @@ object Bench {
     // driver's 2000-char tail by the line + sbt trailer — the official
     // record showed a clean run while the sidecar carried 5 flags. stderr
     // keeps the per-query detail for humans; the line carries the alarm.
-    val cpuFloors: Map[String, Double] =
+    // shared floor-file loader: explicit UTF-8 (the default-charset read
+    // dies on any non-ASCII byte in a comment when file.encoding is ASCII,
+    // and the catch-all would silently disarm the whole gate), and a loud
+    // stderr note on ANY failure — a silently-disarmed gate looks exactly
+    // like a clean pass (this bit us twice: an unreadable comment byte
+    // zeroed every floor with no trace, and the advisory channel shipped
+    // one round pointing at a floors file that did not exist)
+    def loadFloors(path: String, label: String): Map[String, Double] =
       if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
       else try {
-        // explicit UTF-8: the default-charset read dies on any non-ASCII
-        // byte in a comment when file.encoding is ASCII, and the catch-all
-        // below would silently disarm the whole gate
-        val src = scala.io.Source.fromFile("tools/bench_cpu_floor.tsv", "UTF-8")
+        val src = scala.io.Source.fromFile(path, "UTF-8")
         try src.getLines().map(_.split("\t"))
           .collect { case Array(k, v) => k -> v.toDouble }.toMap
         finally src.close()
       } catch { case e: Throwable =>
-        // missing file just means no gate; but say so — a silently-disarmed
-        // gate looks exactly like a clean pass (this bit us: an unreadable
-        // comment byte zeroed every floor with no trace)
-        System.err.println(s"[bench] cpu floors unavailable: ${e.getMessage}")
+        System.err.println(s"[bench] $label unavailable: ${e.getMessage}")
         Map.empty
       }
+    val cpuFloors: Map[String, Double] =
+      loadFloors("tools/bench_cpu_floor.tsv", "cpu floors")
     // failed queries are excluded from the gate entirely: a fast failure's
     // partial cpu yields a far-below-1 ratio that drags the median toward
     // the 1.0 clamp and spuriously flags healthy queries; the errors map
@@ -447,28 +450,25 @@ object Bench {
     // cpu_flags): the r16 gate basis is executor TASK cpu, which by
     // construction cannot see a driver-side regression (BPE merge loop,
     // k-means iterations, bounded collects). Per query, overhead =
-    // min proc-cpu − min task-cpu ≈ the driver+listener+GC-thread share;
+    // MIN over passes of that pass's (proc-cpu − task-cpu) ≈ the
+    // driver+listener+GC-thread share (per-pass, NOT min-pc − min-tc: the
+    // channel mins can come from different passes and their difference can
+    // clamp to zero while every pass carried real overhead);
     // tools/bench_driver_overhead.tsv holds its quiet-host floors, and the
     // SAME median-normalized relative check surfaces a query whose
     // driver-side cost detached from the pack. Advisory only, because
     // proc-cpu bills co-resident threads to whoever holds the clock — the
     // attribution mode that produced three rounds of false hard-gate flags.
     val overheadFloors: Map[String, Double] =
-      if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
-      else try {
-        val src = scala.io.Source.fromFile("tools/bench_driver_overhead.tsv", "UTF-8")
-        try src.getLines().map(_.split("\t"))
-          .collect { case Array(k, v) => k -> v.toDouble }.toMap
-        finally src.close()
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[bench] driver-overhead floors unavailable (advisory channel disarmed): ${e.getMessage}")
-        Map.empty
-      }
-    val (ovHostFactor, ovFlags) = flagCpuRegressions(
-      results.collect { case (k, _, tc, pc, None) if pc >= 0 =>
-        (k, math.max(0.0, pc - tc)) },
-      overheadFloors)
+      loadFloors("tools/bench_driver_overhead.tsv",
+        "driver-overhead floors (advisory channel disarmed)")
+    val overheads = passes.head.indices.flatMap { i =>
+      val runs = passes.map(_(i))
+      val perPass = runs.collect { case (_, _, tc, pc, _, None) if pc >= 0 =>
+        math.max(0.0, pc - tc) }
+      if (perPass.size == passes.size) Some((runs.head._1, perPass.min)) else None
+    }
+    val (ovHostFactor, ovFlags) = flagCpuRegressions(overheads, overheadFloors)
     ovFlags.foreach { case (k, c, f) =>
       System.err.println(
         f"[bench] ADVISORY driver-cpu $k: overhead $c%.1f s (proc−task) > 1.3x floor $f%.1f (host factor $ovHostFactor%.2f) — driver-side cost detached from its quiet floor; check the sidecar's proc-cpu channel")

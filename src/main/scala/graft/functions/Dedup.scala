@@ -187,9 +187,16 @@ object Dedup {
     // both index-sized shuffles run at the proportional width: the df join
     // keyed by shingle (repartitioning one side makes EnsureRequirements
     // match the other to it), and the per-doc collect_list — whose partial
-    // agg buffers whole shingle arrays, the worst place to be 30× over-full
-    val docsets = sh.repartition(parts, col("shingle")).join(docFreq, Seq("shingle"))
-      .repartition(parts, col("doc_id"))
+    // agg buffers whole shingle arrays, the worst place to be 30× over-full.
+    // At or below the session width the explicit exchanges are pure waste
+    // (the df join may broadcast its small side; the groupBy shuffles at
+    // the session width anyway), so small inputs keep their exact plans —
+    // the same guard fullIndexPairs applies
+    val session = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val shWide = if (parts > session) sh.repartition(parts, col("shingle")) else sh
+    val joined = shWide.join(docFreq, Seq("shingle"))
+    val docsets = (if (parts > session) joined.repartition(parts, col("doc_id"))
+                   else joined)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
       .select(col("doc_id"),
@@ -201,13 +208,16 @@ object Dedup {
     // shorten the prefix / tighten the size filter — silently dropping
     // true pairs
     def ceilT(c: Column): Column = ceil(c * threshold - 1e-9)
-    val prefix = docsets.select(col("doc_id"), col("n_sh"),
+    val prefixNarrow = docsets.select(col("doc_id"), col("n_sh"),
       explode(slice(col("shs"), lit(1),
         (col("n_sh") - ceilT(col("n_sh")) + 1).cast("int"))).as("shingle"))
-      // pre-partition the candidate self-join's key at the same width: both
-      // sides then carry HashPartitioning(shingle, parts) and the join adds
-      // no further exchange (the second side is a ReusedExchange)
-      .repartition(parts, col("shingle"))
+    // pre-partition the candidate self-join's key at the same width: both
+    // sides then carry HashPartitioning(shingle, parts) and the join adds
+    // no further exchange (the second side is a ReusedExchange). Below the
+    // session width the join's own exchanges are identical — skip
+    val prefix =
+      if (parts > session) prefixNarrow.repartition(parts, col("shingle"))
+      else prefixNarrow
     val candidates = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&

@@ -531,11 +531,13 @@ object StoreLayout {
         // happened. Either way the claim fails here and the generation
         // commit still arbitrates the duplicate pass.
         val restored = fs.rename(tomb, lease)
-        if (!restored) fs.delete(tomb, false): Unit
+        val tombDeleted = !restored && fs.delete(tomb, false)
         throw new IllegalStateException(
           s"compaction refused: reclaim of $lease raced a faster claimant" +
             (if (restored) " (renamed its fresh lease — restored)"
-             else " (restore lost a further race — superseded tombstone deleted)"))
+             else if (tombDeleted)
+               " (restore lost a further race — superseded tombstone deleted)"
+             else s" (restore lost a further race AND the superseded tombstone $tomb could not be deleted — remove it manually)"))
       }
       fs.delete(tomb, false)
     }
