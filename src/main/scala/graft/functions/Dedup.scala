@@ -101,6 +101,18 @@ object Dedup {
     math.max(session, math.min(4096, math.ceil(weightRows / 5e5).toInt))
   }
 
+  /** Explicit exchange on `keys` at `parts`, ONLY above the session width —
+    * at or below it the downstream shuffle runs there anyway, so small
+    * inputs keep their exact plans (the single guard both dedup strategies
+    * share; [[shuffleWidth]] never returns below the session width, so
+    * `parts == session` IS the small-input case, and `parts = 0` callers
+    * inherit the session plan untouched).
+    */
+  private def widenIfNeeded(df: DataFrame, parts: Int, keys: Column*): DataFrame = {
+    val session = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (parts > session) df.repartition(parts, keys: _*) else df
+  }
+
   /** Corpus-relative document-frequency cap for [[ngramJaccardPairs]]:
     * 0.5% of the corpus, floored at 5 so tiny corpora keep their legitimate
     * repeats. Integer arithmetic (`nDocs / 200`) so the DuckDB oracle mirrors
@@ -190,13 +202,11 @@ object Dedup {
     // agg buffers whole shingle arrays, the worst place to be 30× over-full.
     // At or below the session width the explicit exchanges are pure waste
     // (the df join may broadcast its small side; the groupBy shuffles at
-    // the session width anyway), so small inputs keep their exact plans —
-    // the same guard fullIndexPairs applies
-    val session = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val shWide = if (parts > session) sh.repartition(parts, col("shingle")) else sh
-    val joined = shWide.join(docFreq, Seq("shingle"))
-    val docsets = (if (parts > session) joined.repartition(parts, col("doc_id"))
-                   else joined)
+    // the session width anyway) — widenIfNeeded keeps small inputs on
+    // their exact plans, same as fullIndexPairs
+    val docsets = widenIfNeeded(
+        widenIfNeeded(sh, parts, col("shingle")).join(docFreq, Seq("shingle")),
+        parts, col("doc_id"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))
       .select(col("doc_id"),
@@ -208,16 +218,15 @@ object Dedup {
     // shorten the prefix / tighten the size filter — silently dropping
     // true pairs
     def ceilT(c: Column): Column = ceil(c * threshold - 1e-9)
-    val prefixNarrow = docsets.select(col("doc_id"), col("n_sh"),
-      explode(slice(col("shs"), lit(1),
-        (col("n_sh") - ceilT(col("n_sh")) + 1).cast("int"))).as("shingle"))
     // pre-partition the candidate self-join's key at the same width: both
     // sides then carry HashPartitioning(shingle, parts) and the join adds
-    // no further exchange (the second side is a ReusedExchange). Below the
+    // no further exchange (the second side is a ReusedExchange). At the
     // session width the join's own exchanges are identical — skip
-    val prefix =
-      if (parts > session) prefixNarrow.repartition(parts, col("shingle"))
-      else prefixNarrow
+    val prefix = widenIfNeeded(
+      docsets.select(col("doc_id"), col("n_sh"),
+        explode(slice(col("shs"), lit(1),
+          (col("n_sh") - ceilT(col("n_sh")) + 1).cast("int"))).as("shingle")),
+      parts, col("shingle"))
     val candidates = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -254,8 +263,7 @@ object Dedup {
     * width the plan is untouched.
     */
   private def fullIndexPairs(sh: DataFrame, threshold: Double, parts: Int): DataFrame = {
-    val session = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val wide = if (parts > session) sh.repartition(parts, col("shingle")) else sh
+    val wide = widenIfNeeded(sh, parts, col("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val joined = wide.as("a").join(wide.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -267,8 +275,7 @@ object Dedup {
     // trading the (non-reducing) map-side partial for a raw re-key costs
     // nothing; the groupBy then satisfies its distribution and adds no
     // further exchange. Guarded so small inputs keep their exact plans.
-    val keyed = if (parts > session)
-      joined.repartition(parts, col("doc_a"), col("doc_b")) else joined
+    val keyed = widenIfNeeded(joined, parts, col("doc_a"), col("doc_b"))
     val inter = keyed.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
