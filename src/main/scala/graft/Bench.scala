@@ -184,6 +184,26 @@ object Bench {
     * because every declared query except `q1_agg` starts with "q_", so the
     * stripped keys cannot collide.
     */
+  /** Per-query input for the advisory driver-cpu channel: MIN over passes
+    * of that pass's (proc-cpu − task-cpu), clamped at 0. Per-pass, NOT
+    * min-proc − min-task — the two channels' separate minima can come from
+    * different passes and their difference can clamp to zero while every
+    * pass carried real driver overhead (BenchSpec pins the case). A query
+    * that failed or returned the proc-cpu sentinel (−1) in ANY pass is
+    * excluded, matching the hard gate's exclusion rule. Tuple shape is
+    * runSuite's: (name, wall, task-cpu, proc-cpu, gc, error).
+    */
+  private[graft] def perPassOverheads(
+      passes: Seq[Seq[(String, Double, Double, Double, Double, Option[String])]])
+    : Seq[(String, Double)] =
+    passes.head.indices.flatMap { i =>
+      val runs = passes.map(_(i))
+      val perPass = runs.collect { case (_, _, tc, pc, _, None) if pc >= 0 =>
+        math.max(0.0, pc - tc) }
+      if (perPass.size == passes.size) Seq((runs.head._1, perPass.min))
+      else Seq.empty
+    }
+
   private[graft] def lineKey(k: String): String =
     if (k.startsWith("q_")) k.substring(2) else k
   /** Host 1/5/15-min load averages as a JSON array — recorded before and
@@ -449,26 +469,18 @@ object Bench {
     // ADVISORY driver-cpu channel (stderr-only — never in the line, never in
     // cpu_flags): the r16 gate basis is executor TASK cpu, which by
     // construction cannot see a driver-side regression (BPE merge loop,
-    // k-means iterations, bounded collects). Per query, overhead =
-    // MIN over passes of that pass's (proc-cpu − task-cpu) ≈ the
-    // driver+listener+GC-thread share (per-pass, NOT min-pc − min-tc: the
-    // channel mins can come from different passes and their difference can
-    // clamp to zero while every pass carried real overhead);
-    // tools/bench_driver_overhead.tsv holds its quiet-host floors, and the
-    // SAME median-normalized relative check surfaces a query whose
-    // driver-side cost detached from the pack. Advisory only, because
-    // proc-cpu bills co-resident threads to whoever holds the clock — the
-    // attribution mode that produced three rounds of false hard-gate flags.
+    // k-means iterations, bounded collects). [[perPassOverheads]] supplies
+    // the statistic; tools/bench_driver_overhead.tsv holds its quiet-host
+    // floors, and the SAME median-normalized relative check surfaces a
+    // query whose driver-side cost detached from the pack. Advisory only,
+    // because proc-cpu bills co-resident threads to whoever holds the
+    // clock — the attribution mode that produced three rounds of false
+    // hard-gate flags.
     val overheadFloors: Map[String, Double] =
       loadFloors("tools/bench_driver_overhead.tsv",
         "driver-overhead floors (advisory channel disarmed)")
-    val overheads = passes.head.indices.flatMap { i =>
-      val runs = passes.map(_(i))
-      val perPass = runs.collect { case (_, _, tc, pc, _, None) if pc >= 0 =>
-        math.max(0.0, pc - tc) }
-      if (perPass.size == passes.size) Some((runs.head._1, perPass.min)) else None
-    }
-    val (ovHostFactor, ovFlags) = flagCpuRegressions(overheads, overheadFloors)
+    val (ovHostFactor, ovFlags) =
+      flagCpuRegressions(perPassOverheads(passes), overheadFloors)
     ovFlags.foreach { case (k, c, f) =>
       System.err.println(
         f"[bench] ADVISORY driver-cpu $k: overhead $c%.1f s (proc−task) > 1.3x floor $f%.1f (host factor $ovHostFactor%.2f) — driver-side cost detached from its quiet floor; check the sidecar's proc-cpu channel")

@@ -101,4 +101,25 @@ final class BenchSpec extends AnyFunSuite {
       Seq("a" -> 2.0, "b" -> 4.0, "c" -> 10.0, "d" -> 0.9), floors)
     assert(factor == 1.0 && flagged.isEmpty)
   }
+
+  test("advisory overhead is per-pass: cross-pass channel minima cannot " +
+      "cancel real driver cost") {
+    // the r17 self-review bug this pins: pass 1 pc=10/tc=2 (overhead 8),
+    // pass 2 pc=20/tc=15 (overhead 5) — min(pc) − min(tc) = 10 − 15 would
+    // clamp to 0 and hide BOTH passes' real overhead; per-pass min is 5
+    def pass(tc: Double, pc: Double, err: Option[String] = None) =
+      Seq(("q_x", 1.0, tc, pc, 0.0, err))
+    assert(Bench.perPassOverheads(Seq(pass(2.0, 10.0), pass(15.0, 20.0)))
+      == Seq(("q_x", 5.0)))
+    // the proc-cpu sentinel (−1) in ANY pass excludes the query, matching
+    // the hard gate's exclusion rule — a partial channel must not flag
+    assert(Bench.perPassOverheads(Seq(pass(2.0, -1.0), pass(15.0, 20.0))).isEmpty)
+    // same for a pass that errored: its cpu is partial, not a measurement
+    assert(Bench.perPassOverheads(
+      Seq(pass(2.0, 10.0, Some("boom")), pass(15.0, 20.0))).isEmpty)
+    // task-cpu above proc-cpu in one pass (attribution skew) clamps that
+    // pass to 0 and the min reports no overhead rather than a negative
+    assert(Bench.perPassOverheads(Seq(pass(12.0, 10.0), pass(15.0, 20.0)))
+      == Seq(("q_x", 0.0)))
+  }
 }
