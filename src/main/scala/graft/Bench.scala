@@ -195,14 +195,20 @@ object Bench {
     */
   private[graft] def perPassOverheads(
       passes: Seq[Seq[(String, Double, Double, Double, Double, Option[String])]])
-    : Seq[(String, Double)] =
-    passes.head.indices.flatMap { i =>
-      val runs = passes.map(_(i))
+    : Seq[(String, Double)] = {
+    // the invariant (≥1 pass, all equal-length, same query order — what
+    // runSuite's deterministic sorted loop produces) is enforced up front:
+    // a future ragged caller fails with a clear message instead of an
+    // IndexOutOfBounds deep in the indexing below
+    require(passes.nonEmpty && passes.map(_.size).distinct.size == 1,
+      s"perPassOverheads needs same-length passes, got sizes ${passes.map(_.size).mkString(",")}")
+    passes.transpose.flatMap { runs =>
       val perPass = runs.collect { case (_, _, tc, pc, _, None) if pc >= 0 =>
         math.max(0.0, pc - tc) }
       if (perPass.size == passes.size) Seq((runs.head._1, perPass.min))
       else Seq.empty
     }
+  }
 
   private[graft] def lineKey(k: String): String =
     if (k.startsWith("q_")) k.substring(2) else k
@@ -380,9 +386,29 @@ object Bench {
     }
     val loadBefore = loadavgJson()
     val load1Before = loadavg1()
-    // TWO back-to-back passes; the line reports each query's MIN wall (and
-    // min cpu): transient co-load on the host inflates one pass, not both,
-    // so a contaminated window can no longer fake a regression in the
+    // UNTIMED priming pass at the TIMED dir (r18; the r17-root-caused JIT
+    // transient): with only the sf0.001 code warm-up, the first sf0.1
+    // execution of the per-row-kernel queries costs 2–5× their converged
+    // band (SimhashProbe: 12.6–27.9 s first vs 4.4–6.2 s converged), so a
+    // two-pass min-of-2 protocol never observed steady state and the cpu
+    // floors had to bound the transient — a ~4× gate slack on exactly the
+    // queries the kernels serve. One discarded pass absorbs the transient;
+    // the timed pair then measures the converged band and the floors drop
+    // to it (re-derived under this protocol — see bench_cpu_floor.tsv r18
+    // note). Warming the timed parquet's page cache is deliberate and
+    // protocol-consistent: pass 2 always ran warm and min-of-2 already
+    // selected the warm-cache cost. The priming pass stays visible in the
+    // sidecar (per-query "warm" array) so the transient's size remains
+    // measurable round-over-round; SPARK_GRAFT_SKIP_PRIME=1 restores the
+    // old protocol for A/B-measuring the transient itself.
+    val warmPass: Option[Seq[(String, Double, Double, Double, Double, Option[String])]] =
+      if (sys.env.get("SPARK_GRAFT_SKIP_PRIME").contains("1")) {
+        System.err.println("[bench] priming pass SKIPPED (SPARK_GRAFT_SKIP_PRIME=1) — timed passes ride the JIT transient; floors assume a primed JVM")
+        None
+      } else Some(runSuite())
+    // TWO back-to-back timed passes; the line reports each query's MIN wall
+    // (and min cpu): transient co-load on the host inflates one pass, not
+    // both, so a contaminated window can no longer fake a regression in the
     // headline (three of rounds 5–8 needed manual adjudication for exactly
     // that). The min is the right statistic here — the suite is deterministic
     // compute, where the floor IS the code's cost and everything above it is
@@ -609,9 +635,14 @@ object Bench {
         // cpu keeps driver-side cost visible, gc disambiguates heap
         // pressure from outside contention (see gcMillis)
         val pj = passes.map(p => s"[${p(i)._2},${p(i)._3},${p(i)._4},${p(i)._5}]").mkString("[", ",", "]")
+        // the discarded priming pass, same [wall, task_cpu, proc_cpu, gc]
+        // shape as a "passes" entry — the JIT transient's size per query
+        // (warm cpu vs min timed cpu) stays measurable round-over-round
+        val warmFrag = warmPass.map(w =>
+          s""","warm":[${w(i)._2},${w(i)._3},${w(i)._4},${w(i)._5}]""").getOrElse("")
         val floorFrag = cpuFloors.get(k).map(f =>
           s""","cpu_floor":$f,"cpu_vs_floor":${if (f > 0 && tc >= 0) f1(tc / f) else "null"}""").getOrElse("")
-        s"\"$k\":{\"wall_sec\":$v,\"cpu_sec\":$tc,\"pcpu_sec\":$pc,\"passes\":$pj$floorFrag,\"error\":${e.map(jstr).getOrElse("null")}}"
+        s"\"$k\":{\"wall_sec\":$v,\"cpu_sec\":$tc,\"pcpu_sec\":$pc,\"passes\":$pj$warmFrag$floorFrag,\"error\":${e.map(jstr).getOrElse("null")}}"
       }.mkString("{", ",", "}")
       val streamDetail = (streamSmall, streamBig) match {
         case (Some(s), Some(b)) => s"""{"small":${s.detail},"big":${b.detail}}"""

@@ -113,6 +113,27 @@ object Dedup {
     if (parts > session) df.repartition(parts, keys: _*) else df
   }
 
+  /** Whether the planner will broadcast `df` as a join side: its Catalyst
+    * size estimate (the SAME statistic JoinSelection reads — the actual
+    * in-memory stats once the plan is cached and materialized) against the
+    * session's autoBroadcastJoinThreshold. Used to gate explicit probe-side
+    * exchanges that only pay off under a SHUFFLED join: a broadcast join
+    * streams the probe side unexchanged, so pre-keying it is a wasted
+    * full shuffle. Conservative by construction — AQE may still convert a
+    * shuffled join to broadcast at runtime (we then keep a redundant but
+    * harmless exchange); the reverse (skipping an exchange a shuffled join
+    * needed) can't happen, because we only skip when the estimate is under
+    * the threshold the planner itself uses.
+    */
+  private def broadcastable(df: DataFrame): Boolean = {
+    val thresholdBytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+      catch { case _: Throwable => 10L * 1024 * 1024 }
+    thresholdBytes > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresholdBytes)
+  }
+
   /** Corpus-relative document-frequency cap for [[ngramJaccardPairs]]:
     * 0.5% of the corpus, floored at 5 so tiny corpora keep their legitimate
     * repeats. Integer arithmetic (`nDocs / 200`) so the DuckDB oracle mirrors
@@ -203,9 +224,17 @@ object Dedup {
     // At or below the session width the explicit exchanges are pure waste
     // (the df join may broadcast its small side; the groupBy shuffles at
     // the session width anyway) — widenIfNeeded keeps small inputs on
-    // their exact plans, same as fullIndexPairs
+    // their exact plans, same as fullIndexPairs.
+    // The shingle-keyed widen of the join INPUT only pays off when the df
+    // join actually shuffles: a broadcast join streams the probe side
+    // unexchanged (the widen's full extra exchange buys nothing — the
+    // groupBy re-keys by doc_id right after). Gate it on the same estimate
+    // the planner's broadcast decision reads, so the widen appears exactly
+    // when a shuffled join (both sides keyed by shingle) will consume it.
+    val shJoinSide =
+      if (broadcastable(docFreq)) sh else widenIfNeeded(sh, parts, col("shingle"))
     val docsets = widenIfNeeded(
-        widenIfNeeded(sh, parts, col("shingle")).join(docFreq, Seq("shingle")),
+        shJoinSide.join(docFreq, Seq("shingle")),
         parts, col("doc_id"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"))

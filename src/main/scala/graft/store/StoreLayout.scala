@@ -509,7 +509,7 @@ object StoreLayout {
     * accepted, same arbitration. The final claim is
     * `create(overwrite = false)` — atomic, loser throws.
     */
-  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+  private[store] def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path): Unit = {
     if (fs.exists(lease)) {
       val ageMs = System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
@@ -530,14 +530,23 @@ object StoreLayout {
         // (only the stale path below deletes tombstones), and say what
         // happened. Either way the claim fails here and the generation
         // commit still arbitrates the duplicate pass.
-        val restored = fs.rename(tomb, lease)
-        val tombDeleted = !restored && fs.delete(tomb, false)
+        // "superseded" must be VERIFIED, not inferred from the rename's
+        // boolean: rename can also fail transiently (no destination present),
+        // and deleting the tombstone then destroys the only copy of the
+        // faster claimant's lease, leaving the partition unleased while its
+        // compaction runs. So a failed rename with NO fresh lease on disk is
+        // retried once; only a rename that failed because a fresh lease
+        // actually exists deletes the tombstone.
+        val restored = fs.rename(tomb, lease) ||
+          (!fs.exists(lease) && fs.rename(tomb, lease))
+        val superseded = !restored && fs.exists(lease)
+        val tombDeleted = superseded && fs.delete(tomb, false)
         throw new IllegalStateException(
           s"compaction refused: reclaim of $lease raced a faster claimant" +
             (if (restored) " (renamed its fresh lease — restored)"
              else if (tombDeleted)
                " (restore lost a further race — superseded tombstone deleted)"
-             else s" (restore lost a further race AND the superseded tombstone $tomb could not be deleted — remove it manually)"))
+             else s" (restore could not return the reclaimed lease AND the tombstone $tomb was left on disk — remove it manually if no compactor owns the partition)"))
       }
       fs.delete(tomb, false)
     }

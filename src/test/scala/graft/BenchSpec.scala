@@ -121,5 +121,13 @@ final class BenchSpec extends AnyFunSuite {
     // pass to 0 and the min reports no overhead rather than a negative
     assert(Bench.perPassOverheads(Seq(pass(12.0, 10.0), pass(15.0, 20.0)))
       == Seq(("q_x", 0.0)))
+    // ragged or empty input fails loudly up front (the r17 ADVICE item):
+    // the implicit invariant — equal-length, same-order runSuite results —
+    // must surface as a clear message, not an IndexOutOfBounds downstream
+    val ragged = intercept[IllegalArgumentException] {
+      Bench.perPassOverheads(Seq(pass(2.0, 10.0), pass(15.0, 20.0) ++ pass(1.0, 2.0)))
+    }
+    assert(ragged.getMessage.contains("same-length passes"))
+    intercept[IllegalArgumentException] { Bench.perPassOverheads(Seq.empty) }
   }
 }

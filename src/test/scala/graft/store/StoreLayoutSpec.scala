@@ -671,6 +671,78 @@ class StoreLayoutSpec extends SparkSpec {
       .where("trace_date = DATE'2024-01-10'").count() == 1)
   }
 
+  test("lease restore races: transient rename failure retries instead of " +
+      "deleting the tombstone; only a verified fresh lease supersedes it") {
+    import org.apache.hadoop.fs.{FileStatus, FilterFileSystem, Path => HPath}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // a wrapper FS whose rename(tomb → lease) behavior is scripted per
+    // case, and whose getFileStatus reports the LEASE as stale (so the
+    // reclaim path runs) while the tombstone keeps its real fresh mtime
+    // (so the fresh-tombstone restore branch runs — the slow-claimant race)
+    def scriptedFs(raw: org.apache.hadoop.fs.FileSystem, leaseName: String)(
+        restoreRename: (HPath, HPath, (HPath, HPath) => Boolean) => Boolean) =
+      new FilterFileSystem(raw) {
+        override def getFileStatus(p: HPath): FileStatus = {
+          val st = super.getFileStatus(p)
+          if (p.getName == leaseName)
+            new FileStatus(st.getLen, st.isDirectory, 1, st.getBlockSize,
+              System.currentTimeMillis() - 10 * StoreLayout.LeaseTtlMs, p)
+          else st
+        }
+        override def rename(src: HPath, dst: HPath): Boolean =
+          if (src.getName.contains(".reclaim-"))
+            restoreRename(src, dst, super.rename(_, _))
+          else super.rename(src, dst)
+      }
+    def freshLease(): (HPath, java.io.File) = {
+      val dir = Files.createTempDirectory("graft-leaserace").toFile
+      val f = new java.io.File(dir, ".compacting-p=1")
+      assert(f.createNewFile())
+      (new HPath(f.getAbsolutePath), f)
+    }
+    val raw = new HPath(Files.createTempDirectory("graft-leaseraw").toString)
+      .getFileSystem(hconf)
+
+    // case 1 (the r17 ADVICE bug): the restore rename fails TRANSIENTLY —
+    // no fresh third-party lease exists. The old code deleted the tombstone
+    // (destroying the only copy of the lease); now it retries and restores.
+    val (lease1, f1) = freshLease()
+    var failuresLeft = 1
+    val fs1 = scriptedFs(raw, f1.getName) { (src, dst, delegate) =>
+      if (failuresLeft > 0) { failuresLeft -= 1; false } else delegate(src, dst)
+    }
+    val e1 = intercept[IllegalStateException] { StoreLayout.acquireLease(fs1, lease1) }
+    assert(e1.getMessage.contains("restored"), e1.getMessage)
+    assert(f1.exists(), "the transiently-failed restore must put the lease back")
+    assert(!f1.getParentFile.listFiles().exists(_.getName.contains(".reclaim-")),
+      "no tombstone may linger after a successful retry")
+
+    // case 2: the restore rename fails because a faster third claimant's
+    // FRESH lease exists (verified on disk) — only then is the tombstone
+    // superseded and deleted
+    val (lease2, f2) = freshLease()
+    val fs2 = scriptedFs(raw, f2.getName) { (_, _, _) =>
+      // the third claimant slips into the absence window, then our rename
+      // fails (HDFS semantics: rename to an existing destination fails)
+      if (!f2.exists()) assert(f2.createNewFile())
+      false
+    }
+    val e2 = intercept[IllegalStateException] { StoreLayout.acquireLease(fs2, lease2) }
+    assert(e2.getMessage.contains("superseded tombstone deleted"), e2.getMessage)
+    assert(f2.exists(), "the faster claimant's lease must be untouched")
+    assert(!f2.getParentFile.listFiles().exists(_.getName.contains(".reclaim-")),
+      "a verified-superseded tombstone is deleted")
+
+    // case 3: the restore keeps failing and NO fresh lease exists — the
+    // tombstone is the only surviving copy and must be left on disk
+    val (lease3, f3) = freshLease()
+    val fs3 = scriptedFs(raw, f3.getName) { (_, _, _) => false }
+    val e3 = intercept[IllegalStateException] { StoreLayout.acquireLease(fs3, lease3) }
+    assert(e3.getMessage.contains("remove it manually"), e3.getMessage)
+    assert(f3.getParentFile.listFiles().exists(_.getName.contains(".reclaim-")),
+      "the only copy of the lease must not be destroyed")
+  }
+
   test("set store: date-partitioned deltas with retention, replay, and compaction") {
     val dir = Files.createTempDirectory("graft-setstore").toString + "/auto"
     val fields = Seq(
