@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   * `SPARK_GRAFT_SCALE` (default 10), `SPARK_GRAFT_SCALE_BOUND` (default
   * 1.3·N: linear growth plus the same 1.3× jitter margin the cpu gate
   * uses — tracking N so the contract neither tightens nor loosens as the
-  * replication factor moves), output `BENCH_scale.json`.
+  * replication factor moves), `SPARK_GRAFT_SCALE_BASEREP` (base-leg
+  * replication B — both legs amplified, base ×B and scaled ×B·N, so the
+  * ×N factor keeps a multi-second denominator; defaults to the largest
+  * of {1..4} with B·N ≤ embedding dim), output `BENCH_scale.json`.
   */
 object BenchScale {
 
@@ -170,33 +173,56 @@ object BenchScale {
     // Hadoop FS delete (the ensureStore pattern) instead of a hand-rolled
     // java.io recursion — surfaces failures instead of silently ignoring
     // them, and parquet writes below go through the same FS anyway
-    val ampRoot = new java.io.File(s"target/bench_scale/amp$rep")
-    val ampPath = new org.apache.hadoop.fs.Path(ampRoot.getAbsolutePath)
-    ampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(ampPath, true): Unit
-    val ampDir = ampRoot.getAbsolutePath
-
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // BASE-LEG replication (r17 verdict task 4): at the raw sf0.1 sizes
+    // several base legs are sub-second, so the ×N factor is denominator-
+    // noise (pack_seq's recorded 6.5–18.7 swing came entirely from a
+    // 0.45–1.08 s base while its scaled wall held 7.0–8.3 s). Both legs
+    // are therefore amplified — base ×B, scaled ×(B·N), factor still
+    // measures ×N data growth — with B defaulting to the largest of
+    // {1..4} the embedding-dim rotation ceiling allows (B·N ≤ dim; the
+    // scaled dir is always amplified directly from the RAW corpus, never
+    // re-amplified from the base dir, because salted tokens ending in
+    // `_<k>` would collide with a second salting pass).
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val baseRep = sys.env.get("SPARK_GRAFT_SCALE_BASEREP").map(_.toInt)
+      .getOrElse(math.max(1, math.min(4, dim / rep)))
+    require(baseRep >= 1 && baseRep * rep <= dim,
+      s"base replication $baseRep × scale $rep exceeds embedding dim $dim")
     // refuse a base corpus whose tokens collide with the salt scheme (see
     // amplifyDocs' disjointness caveat) — a contaminated amplification
-    // must fail the run, not silently record fixture pathology
-    val collisions = saltCollisions(docs, rep)
+    // must fail the run, not silently record fixture pathology. Checked at
+    // the LARGER replica count, which subsumes the base leg's.
+    val collisions = saltCollisions(docs, baseRep * rep)
     require(collisions.isEmpty,
-      s"base corpus tokens ${collisions.mkString(", ")} end in _<k> for k < $rep — " +
+      s"base corpus tokens ${collisions.mkString(", ")} end in _<k> for k < ${baseRep * rep} — " +
         "salted replicas would share shingles with replica 0; lower SPARK_GRAFT_SCALE " +
         "or change the salt scheme")
-    amplifyDocs(docs, rep)
-      .write.mode("overwrite").parquet(s"$ampDir/documents.parquet")
+    def buildAmp(tag: String, r: Int): String = {
+      val root = new java.io.File(s"target/bench_scale/$tag$r")
+      val p = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      amplifyDocs(docs, r)
+        .write.mode("overwrite").parquet(s"${root.getAbsolutePath}/documents.parquet")
+      amplifyEmbeddings(emb, r)
+        .write.mode("overwrite").parquet(s"${root.getAbsolutePath}/embeddings.parquet")
+      root.getAbsolutePath
+    }
+    val baseDir = if (baseRep == 1) sfDir else buildAmp("base", baseRep)
+    val ampDir = buildAmp("amp", baseRep * rep)
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    amplifyEmbeddings(emb, rep)
-      .write.mode("overwrite").parquet(s"$ampDir/embeddings.parquet")
-
-    val baseDocs = docs.count(); val baseEmb = emb.count()
+    val rawDocs = docs.count(); val rawEmb = emb.count()
+    val baseDocs = rawDocs * baseRep; val baseEmb = rawEmb * baseRep
     val ampDocs = spark.read.parquet(s"$ampDir/documents.parquet").count()
     val ampEmb = spark.read.parquet(s"$ampDir/embeddings.parquet").count()
     require(ampDocs == baseDocs * rep && ampEmb == baseEmb * rep,
       s"amplification wrote $ampDocs/$ampEmb rows, expected ${baseDocs * rep}/${baseEmb * rep}")
+    if (baseRep > 1) {
+      val bDocs = spark.read.parquet(s"$baseDir/documents.parquet").count()
+      require(bDocs == baseDocs,
+        s"base amplification wrote $bDocs rows, expected $baseDocs")
+    }
 
     // ——— warmup: the Bench pattern — run the family once at the smallest
     // sf so the timed legs never absorb one-time JIT/janino cost ———
@@ -242,7 +268,7 @@ object BenchScale {
         }
       }
 
-    val base = leg(sfDir)
+    val base = leg(baseDir)
     val scaled = leg(ampDir)
 
     var anyBad = false
@@ -264,7 +290,7 @@ object BenchScale {
       case ((_, bw, _, _, _, None), (_, sw, _, _, _, None)) if bw > 0 => sw / bw
     }.foldLeft(0.0)(math.max)
     val json =
-      s"""{"metric":"scale_proof","replication":$rep,"bound":${f2(bound)},""" +
+      s"""{"metric":"scale_proof","replication":$rep,"base_replication":$baseRep,"bound":${f2(bound)},""" +
         s""""max_factor":${f2(maxFactor)},"ok":${!anyBad},""" +
         s""""base_docs":$baseDocs,"scaled_docs":$ampDocs,"base_emb":$baseEmb,"scaled_emb":$ampEmb,""" +
         s""""queries":{${perQuery.mkString(",")}},""" +

@@ -34,6 +34,11 @@ import org.apache.spark.sql.SparkSession
   * (3-6 s band, 2 fresh JVMs × 5 runs). The per-token md5 is NOT the
   * query's steady-state cost center; the banded self-join + distinct is.
   * The memo was reverted as unmeasurable complexity.
+  *
+  * r18: generalized — `SPARK_GRAFT_PROBE_QUERY` picks any `SparkEntry`
+  * query (default stays `q_dedup_simhash`), so the same
+  * first-execution-vs-converged method settles other suspected-transient
+  * elevations (first use: `q_sc6_json`, the r17 verdict's open question).
   */
 object SimhashProbe {
   private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
@@ -57,6 +62,8 @@ object SimhashProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "6").toInt
     val warm = sys.env.getOrElse("SPARK_GRAFT_PROBE_WARM", "self")
+    val query = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERY", "q_dedup_simhash")
+    require(SparkEntry.queries.contains(query), s"unknown probe query $query")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -79,14 +86,14 @@ object SimhashProbe {
         catch { case _: Throwable => () }
       }
     else
-      SparkEntry.queries("q_dedup_simhash")(spark, warmDir)
+      SparkEntry.queries(query)(spark, warmDir)
         .queryExecution.toRdd.foreach(_ => ())
     (1 to runs).foreach { k =>
       spark.catalog.clearCache()
       System.gc()
       val (c0, t0n, i0, s0) = snap()
       val t0 = System.nanoTime()
-      SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
+      SparkEntry.queries(query)(spark, sfDir)
         .queryExecution.toRdd.foreach(_ => ())
       val wall = (System.nanoTime() - t0) / 1e9
       val (c1, t1n, i1, s1) = snap()
@@ -94,7 +101,7 @@ object SimhashProbe {
       // materialization race computing the cached signature stage twice
       // would show ≈2× input records + an extra stage). Measured: constant
       // — the hypothesis is dead; see the FINDING note above.
-      println(f"probe simhash run=$k wall=$wall%.2f task_cpu=${(c1 - c0) / 1e9}%.2f " +
+      println(f"probe ${Bench.lineKey(query)} run=$k wall=$wall%.2f task_cpu=${(c1 - c0) / 1e9}%.2f " +
         s"tasks=${t1n - t0n} stages=${s1 - s0} input_records=${i1 - i0}")
     }
     spark.stop()
