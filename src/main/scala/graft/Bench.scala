@@ -637,9 +637,17 @@ object Bench {
         val pj = passes.map(p => s"[${p(i)._2},${p(i)._3},${p(i)._4},${p(i)._5}]").mkString("[", ",", "]")
         // the discarded priming pass, same [wall, task_cpu, proc_cpu, gc]
         // shape as a "passes" entry — the JIT transient's size per query
-        // (warm cpu vs min timed cpu) stays measurable round-over-round
-        val warmFrag = warmPass.map(w =>
-          s""","warm":[${w(i)._2},${w(i)._3},${w(i)._4},${w(i)._5}]""").getOrElse("")
+        // (warm cpu vs min timed cpu) stays measurable round-over-round.
+        // A priming-pass FAILURE is nulled with its message beside it: the
+        // aborted attempt's partial wall/cpu would otherwise read as a
+        // plausible transient measurement (and stderr — the only other
+        // place the failure lands — is evicted by the driver's tail)
+        val warmFrag = warmPass.map { w =>
+          w(i)._6 match {
+            case Some(err) => s""","warm":null,"warm_error":${jstr(err.take(200))}"""
+            case None => s""","warm":[${w(i)._2},${w(i)._3},${w(i)._4},${w(i)._5}]"""
+          }
+        }.getOrElse("")
         val floorFrag = cpuFloors.get(k).map(f =>
           s""","cpu_floor":$f,"cpu_vs_floor":${if (f > 0 && tc >= 0) f1(tc / f) else "null"}""").getOrElse("")
         s"\"$k\":{\"wall_sec\":$v,\"cpu_sec\":$tc,\"pcpu_sec\":$pc,\"passes\":$pj$warmFrag$floorFrag,\"error\":${e.map(jstr).getOrElse("null")}}"

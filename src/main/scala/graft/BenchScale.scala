@@ -220,8 +220,9 @@ object BenchScale {
       s"amplification wrote $ampDocs/$ampEmb rows, expected ${baseDocs * rep}/${baseEmb * rep}")
     if (baseRep > 1) {
       val bDocs = spark.read.parquet(s"$baseDir/documents.parquet").count()
-      require(bDocs == baseDocs,
-        s"base amplification wrote $bDocs rows, expected $baseDocs")
+      val bEmb = spark.read.parquet(s"$baseDir/embeddings.parquet").count()
+      require(bDocs == baseDocs && bEmb == baseEmb,
+        s"base amplification wrote $bDocs/$bEmb rows, expected $baseDocs/$baseEmb")
     }
 
     // ——— warmup: the Bench pattern — run the family once at the smallest

@@ -126,13 +126,28 @@ object Dedup {
     * the threshold the planner itself uses.
     */
   private def broadcastable(df: DataFrame): Boolean = {
-    val thresholdBytes =
-      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
-      catch { case _: Throwable => 10L * 1024 * 1024 }
+    val thresholdBytes = broadcastThresholdBytes(df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
     thresholdBytes > 0 &&
       df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresholdBytes)
   }
+
+  /** autoBroadcastJoinThreshold string → bytes. JavaUtils.byteStringAsBytes
+    * cannot parse a leading '-' (Spark's own ConfigHelpers.byteFromString
+    * strips it first), so "-1" — the STANDARD broadcast-disable value —
+    * must be handled here, and any other parse failure must default to NOT
+    * broadcastable (0): the safe error is keeping a redundant exchange,
+    * never skipping one a shuffled join needed. Spec-pinned in
+    * FunctionsSpec.
+    */
+  private[graft] def broadcastThresholdBytes(conf: String): Long =
+    try {
+      val raw = conf.trim
+      val neg = raw.startsWith("-")
+      val mag = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        if (neg) raw.substring(1) else raw)
+      if (neg) -mag else mag
+    } catch { case _: Throwable => 0L }
 
   /** Corpus-relative document-frequency cap for [[ngramJaccardPairs]]:
     * 0.5% of the corpus, floored at 5 so tiny corpora keep their legitimate

@@ -64,6 +64,9 @@ object SimhashProbe {
     val warm = sys.env.getOrElse("SPARK_GRAFT_PROBE_WARM", "self")
     val query = sys.env.getOrElse("SPARK_GRAFT_PROBE_QUERY", "q_dedup_simhash")
     require(SparkEntry.queries.contains(query), s"unknown probe query $query")
+    require(!SparkEntry.benchExcluded(query),
+      s"$query is benchExcluded (streaming-engine-built store) — the probe's " +
+        "batch loop cannot run it")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -80,6 +83,14 @@ object SimhashProbe {
     }
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       .getAbsolutePath
+    // serving stores build OUTSIDE the measured loop (the Bench pattern):
+    // without this, a store-backed probe query's FIRST sfDir run would
+    // time the one-time store delete+rewrite and report it as a "JIT
+    // transient" — a wrong adjudication the method could not distinguish
+    try { SparkEntry.prepareStores(spark, warmDir); SparkEntry.prepareStores(spark, sfDir) }
+    catch { case e: Throwable =>
+      System.err.println(s"[probe] store pre-build failed (store-backed queries will rebuild in-loop): ${e.getMessage}")
+    }
     if (warm == "suite")
       SparkEntry.queries.filterNot(q => SparkEntry.benchExcluded(q._1)).values.foreach { fn =>
         try fn(spark, warmDir).queryExecution.toRdd.foreach(_ => ())

@@ -157,6 +157,21 @@ class FunctionsSpec extends SparkSpec {
     assert(tenTok.forall { case (id, _) => got.exists(p => p._1 == id && p._2 == id + 100L) })
   }
 
+  test("broadcast-threshold parse: -1 disables, units parse, garbage " +
+      "defaults to not-broadcastable") {
+    // the r18 review bug this pins: byteStringAsBytes cannot parse "-1"
+    // (the standard broadcast-disable value), and the old catch-all mapped
+    // the failure to 10MB — reading "broadcast disabled" as "broadcastable"
+    // and skipping the widen exactly when the shuffled join needed it
+    assert(Dedup.broadcastThresholdBytes("-1") == -1L)
+    assert(Dedup.broadcastThresholdBytes("10MB") == 10L * 1024 * 1024)
+    assert(Dedup.broadcastThresholdBytes("1048576") == 1048576L)
+    assert(Dedup.broadcastThresholdBytes(" 5m ") == 5L * 1024 * 1024)
+    // unparseable → 0 → not broadcastable → the widen is KEPT (safe side)
+    assert(Dedup.broadcastThresholdBytes("banana") == 0L)
+    assert(Dedup.broadcastThresholdBytes("") == 0L)
+  }
+
   test("ngram jaccard cost dispatch: low collision mass takes the count " +
       "path, duplicate floods take the prefix path") {
     def planOf(df: org.apache.spark.sql.DataFrame) =
