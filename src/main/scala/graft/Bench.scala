@@ -26,9 +26,18 @@ object Bench {
     * still self-mask a slowdown broad enough to move the heavy median
     * (a shared-operator regression); the caller warns past a sanity bound
     * for that case.
+    *
+    * `absSlack` is the channel's measured jitter allowance: 0.5 s for the
+    * task-cpu hard gate (sub-second queries jitter by tenths), 1.5 s for
+    * the advisory driver-overhead channel — its proc−task statistic
+    * rides GC/compiler-thread scheduling and measured a 1.31 s p90
+    * cross-run spread over the six r18 quiet runs, so the task-cpu slack
+    * produced one-off never-repeating light-query detachments every run
+    * (see tools/bench_driver_overhead.tsv's r18 notes).
     */
   private[graft] def flagCpuRegressions(measured: Seq[(String, Double)],
-      floors: Map[String, Double]): (Double, Seq[(String, Double, Double)]) = {
+      floors: Map[String, Double],
+      absSlack: Double = 0.5): (Double, Seq[(String, Double, Double)]) = {
     val allRatios = measured.collect {
       case (k, c) if c > 0 && floors.get(k).exists(_ > 0) => (floors(k), c / floors(k))
     }
@@ -41,7 +50,7 @@ object Bench {
       else math.max(1.0, ratios(ratios.length / 2))
     val flagged = measured.collect {
       case (k, c) if c > 0 &&
-        floors.get(k).exists(f => f > 0 && c > f * hostFactor * 1.3 + 0.5) =>
+        floors.get(k).exists(f => f > 0 && c > f * hostFactor * 1.3 + absSlack) =>
         (k, c, floors(k))
     }
     (hostFactor, flagged)
@@ -505,8 +514,11 @@ object Bench {
     val overheadFloors: Map[String, Double] =
       loadFloors("tools/bench_driver_overhead.tsv",
         "driver-overhead floors (advisory channel disarmed)")
+    // 1.5 s absolute slack, NOT the hard gate's 0.5: the overhead
+    // statistic's own cross-run jitter is ~3x task-cpu's (measured p90
+    // spread 1.31 s over six quiet runs — see flagCpuRegressions' doc)
     val (ovHostFactor, ovFlags) =
-      flagCpuRegressions(perPassOverheads(passes), overheadFloors)
+      flagCpuRegressions(perPassOverheads(passes), overheadFloors, absSlack = 1.5)
     ovFlags.foreach { case (k, c, f) =>
       System.err.println(
         f"[bench] ADVISORY driver-cpu $k: overhead $c%.1f s (proc−task) > 1.3x floor $f%.1f (host factor $ovHostFactor%.2f) — driver-side cost detached from its quiet floor; check the sidecar's proc-cpu channel")

@@ -102,6 +102,24 @@ final class BenchSpec extends AnyFunSuite {
     assert(factor == 1.0 && flagged.isEmpty)
   }
 
+  test("the advisory channel's wider absolute slack absorbs overhead " +
+      "jitter the hard-gate slack flags") {
+    // r18 calibration: the proc−task statistic's cross-run p90 spread is
+    // 1.31 s (six quiet runs), ~3x task-cpu's — a 2.4 s overhead on a
+    // 1.2 floor is inside that jitter (2.4 ≤ 1.2*1.3+1.5 = 3.06) but the
+    // hard gate's 0.5 s slack would cry wolf (2.4 > 2.06)
+    val oflrs = Map("a" -> 10.0, "b" -> 10.0, "c" -> 10.0, "d" -> 10.0,
+      "e" -> 10.0, "x" -> 1.2)
+    val meas = Seq("a" -> 10.0, "b" -> 10.0, "c" -> 10.0, "d" -> 10.0,
+      "e" -> 10.0, "x" -> 2.4)
+    assert(Bench.flagCpuRegressions(meas, oflrs)._2.nonEmpty)
+    assert(Bench.flagCpuRegressions(meas, oflrs, absSlack = 1.5)._2.isEmpty)
+    // a genuinely detached driver cost (multi-second, the class the
+    // channel exists for) still flags under the wider slack
+    assert(Bench.flagCpuRegressions(meas.init :+ ("x" -> 3.2), oflrs,
+      absSlack = 1.5)._2 == Seq(("x", 3.2, 1.2)))
+  }
+
   test("advisory overhead is per-pass: cross-pass channel minima cannot " +
       "cancel real driver cost") {
     // the r17 self-review bug this pins: pass 1 pc=10/tc=2 (overhead 8),
