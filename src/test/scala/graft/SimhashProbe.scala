@@ -91,15 +91,30 @@ object SimhashProbe {
     catch { case e: Throwable =>
       System.err.println(s"[probe] store pre-build failed (store-backed queries will rebuild in-loop): ${e.getMessage}")
     }
-    if (warm == "suite")
-      SparkEntry.queries.filterNot(q => SparkEntry.benchExcluded(q._1)).values.foreach { fn =>
-        try fn(spark, warmDir).queryExecution.toRdd.foreach(_ => ())
+    def runSuiteAt(dir: String): Unit =
+      SparkEntry.queries.filterNot(q =>
+          SparkEntry.benchExcluded(q._1) || q._1 == query).values.foreach { fn =>
+        try fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
         catch { case _: Throwable => () }
       }
+    if (warm == "suite") runSuiteAt(warmDir)
     else
       SparkEntry.queries(query)(spark, warmDir)
         .queryExecution.toRdd.foreach(_ => ())
+    // SPARK_GRAFT_PROBE_INTERLEAVE (r18): "warm" runs the rest of the suite
+    // at sf0.001 BETWEEN measured runs, "sfdir" at the timed dir (the bench
+    // context exactly). Separates the profile-pollution hypothesis for the
+    // in-bench vs back-to-back convergence gap: back-to-back runs in one
+    // JVM converge low, so if the SAME JVM re-elevates when 80 other
+    // queries execute between measurements, the interleaving IS the
+    // mechanism; if it stays converged, the gap lives elsewhere.
+    val interleave = sys.env.getOrElse("SPARK_GRAFT_PROBE_INTERLEAVE", "none")
     (1 to runs).foreach { k =>
+      if (k > 1) interleave match {
+        case "warm" => runSuiteAt(warmDir)
+        case "sfdir" => runSuiteAt(sfDir)
+        case _ => ()
+      }
       spark.catalog.clearCache()
       System.gc()
       val (c0, t0n, i0, s0) = snap()
