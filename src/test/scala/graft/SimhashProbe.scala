@@ -83,25 +83,7 @@ object SimhashProbe {
     }
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       .getAbsolutePath
-    // serving stores build OUTSIDE the measured loop (the Bench pattern):
-    // without this, a store-backed probe query's FIRST sfDir run would
-    // time the one-time store delete+rewrite and report it as a "JIT
-    // transient" — a wrong adjudication the method could not distinguish
-    try { SparkEntry.prepareStores(spark, warmDir); SparkEntry.prepareStores(spark, sfDir) }
-    catch { case e: Throwable =>
-      System.err.println(s"[probe] store pre-build failed (store-backed queries will rebuild in-loop): ${e.getMessage}")
-    }
-    def runSuiteAt(dir: String): Unit =
-      SparkEntry.queries.filterNot(q =>
-          SparkEntry.benchExcluded(q._1) || q._1 == query).values.foreach { fn =>
-        try fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
-        catch { case _: Throwable => () }
-      }
-    if (warm == "suite") runSuiteAt(warmDir)
-    else
-      SparkEntry.queries(query)(spark, warmDir)
-        .queryExecution.toRdd.foreach(_ => ())
-    // SPARK_GRAFT_PROBE_INTERLEAVE (r18): "warm" runs the rest of the suite
+    // SPARK_GRAFT_PROBE_INTERLEAVE (r18): "warm" runs the REST of the suite
     // at sf0.001 BETWEEN measured runs, "sfdir" at the timed dir (the bench
     // context exactly). Separates the profile-pollution hypothesis for the
     // in-bench vs back-to-back convergence gap: back-to-back runs in one
@@ -109,10 +91,41 @@ object SimhashProbe {
     // queries execute between measurements, the interleaving IS the
     // mechanism; if it stays converged, the gap lives elsewhere.
     val interleave = sys.env.getOrElse("SPARK_GRAFT_PROBE_INTERLEAVE", "none")
+    // serving stores build OUTSIDE the measured loop (the Bench pattern):
+    // without this, a store-backed probe query's FIRST sfDir run would
+    // time the one-time store delete+rewrite and report it as a "JIT
+    // transient" — a wrong adjudication the method could not distinguish.
+    // Gated: the build costs ~21 s per dir, so a probe that touches no
+    // store (the default simhash run) skips it. The name check is a
+    // hand-enumeration of the store-backed families; a missed future name
+    // fails SAFE AND LOUD — ensureStore rebuilds in-loop and run 1's
+    // store-write elevation plus the build's own stderr make it obvious.
+    val storeBacked = query.startsWith("q_store_") ||
+      query.startsWith("q_ann_ivf") || query == "q_shard_export"
+    if (storeBacked || interleave != "none")
+      try { SparkEntry.prepareStores(spark, warmDir); SparkEntry.prepareStores(spark, sfDir) }
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] store pre-build failed (store-backed queries will rebuild in-loop): ${e.getMessage}")
+      }
+    // excludeProbed: the warm-up must INCLUDE the probed query (that is the
+    // bench context r17's transcripts were captured under — Bench's own
+    // sf0.001 warm runs everything); the interleave legs must EXCLUDE it so
+    // the measured runs stay the query's only executions
+    def runSuiteAt(dir: String, excludeProbed: Boolean): Unit =
+      SparkEntry.queries.filterNot(q =>
+          SparkEntry.benchExcluded(q._1) || (excludeProbed && q._1 == query))
+        .values.foreach { fn =>
+          try fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
+          catch { case _: Throwable => () }
+        }
+    if (warm == "suite") runSuiteAt(warmDir, excludeProbed = false)
+    else
+      SparkEntry.queries(query)(spark, warmDir)
+        .queryExecution.toRdd.foreach(_ => ())
     (1 to runs).foreach { k =>
       if (k > 1) interleave match {
-        case "warm" => runSuiteAt(warmDir)
-        case "sfdir" => runSuiteAt(sfDir)
+        case "warm" => runSuiteAt(warmDir, excludeProbed = true)
+        case "sfdir" => runSuiteAt(sfDir, excludeProbed = true)
         case _ => ()
       }
       spark.catalog.clearCache()
