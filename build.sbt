@@ -34,3 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// PROBE-ONLY diagnostic JVM flags (e.g. -XX:+PrintCompilation for the r19
+// deopt-visibility probe run): env-gated and EMPTY by default, so shipped
+// bench/verify runs never carry diagnostic flags. Never set this for an
+// official or floor-derivation run — it changes what the JIT logs (and
+// with JFR, what it pays for).
+javaOptions ++= sys.env.get("SPARK_GRAFT_PROBE_JVMFLAGS").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

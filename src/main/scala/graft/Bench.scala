@@ -240,6 +240,30 @@ object Bench {
       .split("\\s+").head
     catch { case _: Throwable => "null" }
 
+  /** git HEAD SHA at run time, recorded in the sidecar (r19) so "this
+    * confirmation ran at the round's final HEAD" is mechanically checkable
+    * — the r18 verdict had to hand-adjudicate a run that predated HEAD by
+    * one commit. Read from `.git` directly — HEAD, then the loose ref
+    * file, then packed-refs — no subprocess; never fatal ("unknown").
+    */
+  private[graft] def gitHeadSha(gitDir: String = ".git"): String = try {
+    import java.nio.file.{Files, Paths}
+    val head = new String(Files.readAllBytes(Paths.get(s"$gitDir/HEAD")), "UTF-8").trim
+    if (!head.startsWith("ref: ")) head
+    else {
+      val ref = head.stripPrefix("ref: ").trim
+      val loose = Paths.get(s"$gitDir/$ref")
+      if (Files.exists(loose))
+        new String(Files.readAllBytes(loose), "UTF-8").trim
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(Paths.get(s"$gitDir/packed-refs")).asScala
+          .find(l => !l.startsWith("#") && !l.startsWith("^") && l.endsWith(" " + ref))
+          .map(_.split(" ")(0)).getOrElse("unknown")
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => "unknown" }
+
   /** Cumulative process CPU nanos (-1 where the JVM doesn't expose it).
     * SECONDARY channel since round 16: whole-process deltas attribute
     * every background thread — sibling queries' lingering GC, listener
@@ -672,7 +696,7 @@ object Bench {
       val regJson = cpuRegressions.map { case (k, c, f) =>
         s"\"$k\":[${f1(c)},${f1(f)}]" }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("target/bench_detail.json", "UTF-8")
-      try w.println(s"""{"queries":$detail,"cpu_host_factor":${f2(cpuHostFactor)},"cpu_regressions":$regJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)}}""")
+      try w.println(s"""{"queries":$detail,"cpu_host_factor":${f2(cpuHostFactor)},"cpu_regressions":$regJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)},"git_sha":${jstr(gitHeadSha())}}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")

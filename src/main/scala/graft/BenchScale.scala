@@ -128,12 +128,24 @@ object BenchScale {
     * verbatim — exactly the planted cosine-1 pathology this map exists
     * to avoid.
     */
+  /** Embedding dim from the fixture's first row, with a descriptive
+    * refusal on an empty fixture (head(1) + require) instead of `.head`'s
+    * opaque NoSuchElementException. The ONE dim lookup shared by main's
+    * base-replication ceiling and [[amplifyEmbeddings]]' wrap guard.
+    */
+  private[graft] def embeddingDim(emb: DataFrame): Int = {
+    val first = emb.select(size(col("embedding"))).head(1)
+    require(first.nonEmpty,
+      "embeddings fixture is empty — cannot derive the embedding dim the " +
+        "rotation-replication scheme needs; regenerate the testdata dir")
+    first(0).getInt(0)
+  }
+
   private[graft] def amplifyEmbeddings(emb: DataFrame, rep: Int): DataFrame = {
-    emb.select(size(col("embedding"))).head(1).foreach { r =>
-      require(rep <= r.getInt(0),
-        s"SPARK_GRAFT_SCALE=$rep exceeds embedding dim ${r.getInt(0)} — " +
-          "rotation offsets would wrap to 0 and replicate base vectors verbatim")
-    }
+    val dim = embeddingDim(emb)
+    require(rep <= dim,
+      s"SPARK_GRAFT_SCALE=$rep exceeds embedding dim $dim — " +
+        "rotation offsets would wrap to 0 and replicate base vectors verbatim")
     val reps = broadcast(emb.sparkSession.range(rep)
       .select(col("id").cast("int").as("k")))
     val d = size(col("embedding"))
@@ -185,7 +197,7 @@ object BenchScale {
     // scaled dir is always amplified directly from the RAW corpus, never
     // re-amplified from the base dir, because salted tokens ending in
     // `_<k>` would collide with a second salting pass).
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val dim = embeddingDim(emb)
     val baseRep = sys.env.get("SPARK_GRAFT_SCALE_BASEREP").map(_.toInt)
       .getOrElse(math.max(1, math.min(4, dim / rep)))
     require(baseRep >= 1 && baseRep * rep <= dim,

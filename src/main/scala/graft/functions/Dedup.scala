@@ -135,10 +135,11 @@ object Dedup {
   /** autoBroadcastJoinThreshold string → bytes. JavaUtils.byteStringAsBytes
     * cannot parse a leading '-' (Spark's own ConfigHelpers.byteFromString
     * strips it first), so "-1" — the STANDARD broadcast-disable value —
-    * must be handled here, and any other parse failure must default to NOT
-    * broadcastable (0): the safe error is keeping a redundant exchange,
-    * never skipping one a shuffled join needed. Spec-pinned in
-    * FunctionsSpec.
+    * must be handled here, and any other non-fatal parse failure must
+    * default to NOT broadcastable (0): the safe error is keeping a
+    * redundant exchange, never skipping one a shuffled join needed.
+    * Fatal VM errors (OOM, stack overflow) propagate — mapping those to
+    * 0 would silently continue a dying JVM. Spec-pinned in FunctionsSpec.
     */
   private[graft] def broadcastThresholdBytes(conf: String): Long =
     try {
@@ -147,7 +148,7 @@ object Dedup {
       val mag = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         if (neg) raw.substring(1) else raw)
       if (neg) -mag else mag
-    } catch { case _: Throwable => 0L }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** Corpus-relative document-frequency cap for [[ngramJaccardPairs]]:
     * 0.5% of the corpus, floored at 5 so tiny corpora keep their legitimate

@@ -97,6 +97,14 @@ final class BenchScaleSpec extends SparkSpec {
     } finally { amp.unpersist(); () }
   }
 
+  test("embeddingDim: empty fixture gets a descriptive refusal, not " +
+      "head's opaque NoSuchElementException") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](BenchScale.embeddingDim(empty))
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("guards: rep > embedding dim is refused (rotation would wrap to " +
       "identity), and salt-colliding base tokens are detected") {
     import spark.implicits._

@@ -148,4 +148,33 @@ final class BenchSpec extends AnyFunSuite {
     assert(ragged.getMessage.contains("same-length passes"))
     intercept[IllegalArgumentException] { Bench.perPassOverheads(Seq.empty) }
   }
+
+  test("gitHeadSha resolves loose refs, packed refs, detached HEAD, and " +
+      "degrades to 'unknown' — never throws") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("fakegit").toString
+    def write(rel: String, body: String): Unit = {
+      val p = Paths.get(s"$dir/$rel")
+      Files.createDirectories(p.getParent)
+      Files.write(p, body.getBytes("UTF-8")): Unit
+    }
+    // loose ref
+    write("HEAD", "ref: refs/heads/main\n")
+    write("refs/heads/main", "aaaa000011112222333344445555666677778888\n")
+    assert(Bench.gitHeadSha(dir) == "aaaa000011112222333344445555666677778888")
+    // packed ref (loose file absent) — the '^' peeled-tag line must be skipped
+    Files.delete(Paths.get(s"$dir/refs/heads/main"))
+    write("packed-refs",
+      "# pack-refs with: peeled fully-peeled sorted\n" +
+        "bbbb000011112222333344445555666677778888 refs/heads/main\n" +
+        "^cccc000011112222333344445555666677778888\n")
+    assert(Bench.gitHeadSha(dir) == "bbbb000011112222333344445555666677778888")
+    // detached HEAD: the SHA is in HEAD itself
+    write("HEAD", "dddd000011112222333344445555666677778888\n")
+    assert(Bench.gitHeadSha(dir) == "dddd000011112222333344445555666677778888")
+    // no .git at all → "unknown", no exception
+    assert(Bench.gitHeadSha(s"$dir/nonexistent") == "unknown")
+    // the real repo resolves to a 40-hex SHA (this test runs inside it)
+    assert(Bench.gitHeadSha().matches("[0-9a-f]{40}") || Bench.gitHeadSha() == "unknown")
+  }
 }

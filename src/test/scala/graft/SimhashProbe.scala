@@ -91,6 +91,11 @@ object SimhashProbe {
     // queries execute between measurements, the interleaving IS the
     // mechanism; if it stays converged, the gap lives elsewhere.
     val interleave = sys.env.getOrElse("SPARK_GRAFT_PROBE_INTERLEAVE", "none")
+    // validate up front (like the probe-query check): a typo ("sfDir" for
+    // "sfdir") must refuse, not silently run the no-interleave protocol
+    // and print plausible output measuring the wrong thing
+    require(Set("none", "warm", "sfdir")(interleave),
+      s"unknown SPARK_GRAFT_PROBE_INTERLEAVE '$interleave' — expected none|warm|sfdir")
     // serving stores build OUTSIDE the measured loop (the Bench pattern):
     // without this, a store-backed probe query's FIRST sfDir run would
     // time the one-time store delete+rewrite and report it as a "JIT
