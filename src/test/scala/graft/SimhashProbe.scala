@@ -127,14 +127,24 @@ object SimhashProbe {
     else
       SparkEntry.queries(query)(spark, warmDir)
         .queryExecution.toRdd.foreach(_ => ())
+    // phase markers (r19): epoch-ms boundaries between the interleave leg
+    // and the measured run, so JIT-visibility sidecars captured via
+    // SPARK_GRAFT_PROBE_JVMFLAGS (-XX:+PrintCompilation on stdout, or a
+    // JFR recording whose jdk.Deoptimization events carry wall-clock
+    // timestamps) can be binned per phase: deopts DURING interleave +
+    // fresh compilations DURING the next measured run is the positive
+    // profile-pollution signal the r18 elimination argument lacked.
+    def mark(phase: String, k: Int): Unit =
+      println(s"probe phase=$phase run=$k t_ms=${System.currentTimeMillis}")
     (1 to runs).foreach { k =>
       if (k > 1) interleave match {
-        case "warm" => runSuiteAt(warmDir, excludeProbed = true)
-        case "sfdir" => runSuiteAt(sfDir, excludeProbed = true)
+        case "warm" => mark("interleave_start", k); runSuiteAt(warmDir, excludeProbed = true)
+        case "sfdir" => mark("interleave_start", k); runSuiteAt(sfDir, excludeProbed = true)
         case _ => ()
       }
       spark.catalog.clearCache()
       System.gc()
+      mark("measured_start", k)
       val (c0, t0n, i0, s0) = snap()
       val t0 = System.nanoTime()
       SparkEntry.queries(query)(spark, sfDir)
