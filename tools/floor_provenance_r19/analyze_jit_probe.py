@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Bin JIT events from a SimhashProbe run into probe phases.
+
+Input 1: the probe's stdout with -XX:+PrintCompilation interleaved
+(SPARK_GRAFT_PROBE_JVMFLAGS). The probe's phase markers
+(`probe phase=interleave_start|measured_start run=K t_ms=...`) segment the
+stream in stdout order; every PrintCompilation line between two markers is
+attributed to the earlier marker's phase.
+
+Input 2 (optional): a JFR recording from the same JVM
+(-XX:StartFlightRecording). jdk.Deoptimization events carry wall-clock
+timestamps, binned against the markers' epoch-ms t_ms values.
+
+The question this answers (r18 verdict task: close the interleave
+attribution): does the interleave leg deoptimize ("made not entrant")
+methods that the next measured run then recompiles? If yes — and the
+back-to-back control shows neither — the in-bench kernel elevation is
+positively profile pollution/deopt of shared JIT'd paths, not the
+eliminated alternatives (code cache, data volume, store rebuilds).
+
+Usage: analyze_jit_probe.py <stdout.txt> [<recording.jfr>]
+"""
+import json
+import re
+import subprocess
+import sys
+from collections import Counter
+from datetime import datetime
+
+MARKER = re.compile(r"probe phase=(\w+) run=(\d+) t_ms=(\d+)")
+RESULT = re.compile(r"probe \S+ run=(\d+) wall=([\d.]+) task_cpu=([\d.]+)")
+# PrintCompilation: "<uptime_ms> <id> [%!bsn ] <tier> Method::name (bytes)?
+# [made not entrant|made zombie]" — we only need the method and the kind.
+NOT_ENTRANT = re.compile(r"^\s*\[?(?:info\]?\s*)?(\d+)\s+(\d+)\s+.*?\s(\S+::\S+)\s+\([^)]*\)\s+made not entrant")
+COMPILE = re.compile(r"^\s*\[?(?:info\]?\s*)?(\d+)\s+(\d+)\s+([%!bsn ]*)\s*(\d)\s+(\S+::\S+)")
+
+
+def segments(lines):
+    """Yield (phase_label, lines) in stdout order."""
+    label, buf = "setup_warmup_run1", []
+    for ln in lines:
+        m = MARKER.search(ln)
+        if m:
+            yield label, buf
+            label, buf = f"{m.group(1)}_run{m.group(2)}", []
+            continue
+        buf.append(ln)
+    yield label, buf
+
+
+def main():
+    stdout_path = sys.argv[1]
+    with open(stdout_path, errors="replace") as f:
+        lines = f.read().splitlines()
+
+    marker_ts = []  # (epoch_ms, phase_label) for JFR binning
+    for ln in lines:
+        m = MARKER.search(ln)
+        if m:
+            marker_ts.append((int(m.group(3)), f"{m.group(1)}_run{m.group(2)}"))
+
+    results = {int(m.group(1)): (float(m.group(2)), float(m.group(3)))
+               for m in (RESULT.search(l) for l in lines) if m}
+
+    print(f"== PrintCompilation events per probe phase ({stdout_path}) ==")
+    print(f"{'phase':26s} {'compiles':>9s} {'c2(t4)':>7s} {'not_entrant':>12s}  top deopted methods")
+    summary = {}
+    for label, seg in segments(lines):
+        deopts = Counter()
+        compiles = 0
+        c2 = 0
+        for ln in seg:
+            dm = NOT_ENTRANT.search(ln)
+            if dm:
+                deopts[dm.group(3)] += 1
+                continue
+            cm = COMPILE.search(ln)
+            if cm:
+                compiles += 1
+                if cm.group(4) == "4":
+                    c2 += 1
+        summary[label] = (compiles, c2, sum(deopts.values()), deopts)
+        top = ", ".join(f"{m.split('::')[0].split('.')[-1]}::{m.split('::')[1]}×{c}"
+                        for m, c in deopts.most_common(3))
+        print(f"{label:26s} {compiles:9d} {c2:7d} {sum(deopts.values()):12d}  {top}")
+
+    # The positive-signal cross-check: methods deopted during interleave_K
+    # that are recompiled during measured_(K) — same JVM, same round.
+    print("\n== interleave-deopt -> next-measured-recompile overlap ==")
+    seg_list = list(segments(lines))
+    for i, (label, seg) in enumerate(seg_list):
+        if not label.startswith("interleave_"):
+            continue
+        run = label.split("run")[1]
+        nxt = next((s for l2, s in seg_list if l2 == f"measured_start_run{run}"), None)
+        if nxt is None:
+            continue
+        deopted = {m.group(3) for m in (NOT_ENTRANT.search(l) for l in seg) if m}
+        recompiled = {m.group(5) for m in (COMPILE.search(l) for l in nxt) if m}
+        both = deopted & recompiled
+        print(f"run {run}: {len(deopted)} methods deopted in interleave, "
+              f"{len(both)} of them recompiled in the measured run")
+        for m in sorted(both)[:8]:
+            print(f"    {m}")
+
+    print("\n== measured-run results (corroboration) ==")
+    for k in sorted(results):
+        print(f"run {k}: wall={results[k][0]:.2f} task_cpu={results[k][1]:.2f}")
+
+    if len(sys.argv) > 2:
+        jfr = sys.argv[2]
+        print(f"\n== JFR jdk.Deoptimization events per phase ({jfr}) ==")
+        out = subprocess.run(
+            ["jfr", "print", "--json", "--events", "jdk.Deoptimization", jfr],
+            capture_output=True, text=True)
+        if out.returncode != 0:
+            print(f"jfr print failed: {out.stderr.strip()[:300]}")
+            return
+        evts = json.loads(out.stdout)["recording"].get("events", [])
+
+        def epoch_ms(iso):
+            return int(datetime.fromisoformat(iso).timestamp() * 1000)
+
+        def phase_of(ts):
+            lab = "setup_warmup_run1"
+            for mts, mlab in marker_ts:
+                if ts >= mts:
+                    lab = mlab
+                else:
+                    break
+            return lab
+
+        per_phase = Counter()
+        reasons = Counter()
+        for e in evts:
+            v = e["values"]
+            per_phase[phase_of(epoch_ms(v["startTime"]))] += 1
+            reasons[v.get("reason", "?")] += 1
+        print(f"total jdk.Deoptimization events: {len(evts)}")
+        for lab, c in per_phase.most_common():
+            print(f"  {lab:26s} {c}")
+        print("reasons:", dict(reasons.most_common(8)))
+
+
+if __name__ == "__main__":
+    main()
