@@ -243,26 +243,70 @@ object Bench {
   /** git HEAD SHA at run time, recorded in the sidecar (r19) so "this
     * confirmation ran at the round's final HEAD" is mechanically checkable
     * — the r18 verdict had to hand-adjudicate a run that predated HEAD by
-    * one commit. Read from `.git` directly — HEAD, then the loose ref
-    * file, then packed-refs — no subprocess; never fatal ("unknown").
+    * one commit. Read from `.git` directly — gitfile redirect (linked
+    * worktrees / submodules, where `.git` is a one-line pointer file),
+    * then HEAD, then the loose ref (refs live in the commondir when one
+    * is declared), then packed-refs — no subprocess; never fatal
+    * ("unknown").
     */
   private[graft] def gitHeadSha(gitDir: String = ".git"): String = try {
     import java.nio.file.{Files, Paths}
-    val head = new String(Files.readAllBytes(Paths.get(s"$gitDir/HEAD")), "UTF-8").trim
+    def read(p: java.nio.file.Path): String =
+      new String(Files.readAllBytes(p), "UTF-8").trim
+    val start = Paths.get(gitDir)
+    // gitfile redirect: ".git" is a regular file "gitdir: <path>", with
+    // <path> relative to the gitfile's own directory when not absolute
+    val dir =
+      if (Files.isRegularFile(start)) {
+        val target = read(start).stripPrefix("gitdir:").trim
+        val base = Option(start.toAbsolutePath.getParent).getOrElse(start)
+        base.resolve(target).normalize()
+      } else start
+    val head = read(dir.resolve("HEAD"))
     if (!head.startsWith("ref: ")) head
     else {
       val ref = head.stripPrefix("ref: ").trim
-      val loose = Paths.get(s"$gitDir/$ref")
-      if (Files.exists(loose))
-        new String(Files.readAllBytes(loose), "UTF-8").trim
+      // a worktree gitdir holds only HEAD; refs + packed-refs live in the
+      // commondir it declares (absent in a plain repository → itself)
+      val commonFile = dir.resolve("commondir")
+      val common =
+        if (Files.exists(commonFile)) dir.resolve(read(commonFile)).normalize()
+        else dir
+      val loose = common.resolve(ref)
+      if (Files.exists(loose)) read(loose)
       else {
         import scala.jdk.CollectionConverters._
-        Files.readAllLines(Paths.get(s"$gitDir/packed-refs")).asScala
+        Files.readAllLines(common.resolve("packed-refs")).asScala
           .find(l => !l.startsWith("#") && !l.startsWith("^") && l.endsWith(" " + ref))
           .map(_.split(" ")(0)).getOrElse("unknown")
       }
     }
   } catch { case scala.util.control.NonFatal(_) => "unknown" }
+
+  /** Working-tree dirtiness for the sidecar's `git_sha` suffix: a bench
+    * run over UNCOMMITTED source must not record a clean SHA (the binary
+    * wouldn't correspond to the commit — worse than the r18 nit the field
+    * exists to close). `Some(true)` = dirty, `Some(false)` = clean,
+    * `None` = the check itself failed (no git binary / not a work tree) —
+    * kept distinct so a failed check can never masquerade as clean.
+    */
+  private[graft] def gitDirty(): Option[Boolean] = try {
+    val p = new ProcessBuilder("git", "status", "--porcelain")
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    if (p.waitFor() == 0) Some(out.trim.nonEmpty) else None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The sidecar's provenance string: SHA, `-dirty` when the tree has
+    * uncommitted changes, `-dirtycheck-failed` when cleanliness could not
+    * be established.
+    */
+  private[graft] def gitProvenance(): String =
+    gitHeadSha() + (gitDirty() match {
+      case Some(true) => "-dirty"
+      case Some(false) => ""
+      case None => "-dirtycheck-failed"
+    })
 
   /** Cumulative process CPU nanos (-1 where the JVM doesn't expose it).
     * SECONDARY channel since round 16: whole-process deltas attribute
@@ -696,7 +740,7 @@ object Bench {
       val regJson = cpuRegressions.map { case (k, c, f) =>
         s"\"$k\":[${f1(c)},${f1(f)}]" }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("target/bench_detail.json", "UTF-8")
-      try w.println(s"""{"queries":$detail,"cpu_host_factor":${f2(cpuHostFactor)},"cpu_regressions":$regJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)},"git_sha":${jstr(gitHeadSha())}}""")
+      try w.println(s"""{"queries":$detail,"cpu_host_factor":${f2(cpuHostFactor)},"cpu_regressions":$regJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)},"git_sha":${jstr(gitProvenance())},"probe_jvmflags":${jstr(sys.env.getOrElse("SPARK_GRAFT_PROBE_JVMFLAGS", ""))}}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")

@@ -138,6 +138,9 @@ object BenchScale {
     require(first.nonEmpty,
       "embeddings fixture is empty — cannot derive the embedding dim the " +
         "rotation-replication scheme needs; regenerate the testdata dir")
+    require(!first(0).isNullAt(0),
+      "embeddings fixture's first row has a NULL embedding — corrupt " +
+        "fixture; regenerate the testdata dir")
     first(0).getInt(0)
   }
 

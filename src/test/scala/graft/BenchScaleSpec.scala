@@ -103,6 +103,11 @@ final class BenchScaleSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException](BenchScale.embeddingDim(empty))
     assert(e.getMessage.contains("empty"))
+    // a NULL embedding in the first row is the other opaque-failure shape
+    // (NPE from primitive unboxing of size()'s null)
+    val nullRow = Seq((0L, null: Seq[Double])).toDF("vec_id", "embedding")
+    val n = intercept[IllegalArgumentException](BenchScale.embeddingDim(nullRow))
+    assert(n.getMessage.contains("NULL"))
   }
 
   test("guards: rep > embedding dim is refused (rotation would wrap to " +

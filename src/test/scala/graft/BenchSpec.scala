@@ -174,7 +174,19 @@ final class BenchSpec extends AnyFunSuite {
     assert(Bench.gitHeadSha(dir) == "dddd000011112222333344445555666677778888")
     // no .git at all → "unknown", no exception
     assert(Bench.gitHeadSha(s"$dir/nonexistent") == "unknown")
+    // gitfile redirect (linked worktree / submodule): ".git" is a one-line
+    // pointer file; the worktree gitdir holds HEAD and declares a
+    // commondir where refs + packed-refs actually live
+    write("wt/dotgit", s"gitdir: $dir/gitdir/worktrees/wt\n")
+    write("gitdir/worktrees/wt/HEAD", "ref: refs/heads/feature\n")
+    write("gitdir/worktrees/wt/commondir", "../..\n")
+    write("gitdir/refs/heads/feature", "eeee000011112222333344445555666677778888\n")
+    assert(Bench.gitHeadSha(s"$dir/wt/dotgit") == "eeee000011112222333344445555666677778888")
     // the real repo resolves to a 40-hex SHA (this test runs inside it)
     assert(Bench.gitHeadSha().matches("[0-9a-f]{40}") || Bench.gitHeadSha() == "unknown")
+    // dirty check: runs without throwing; in this repo's CI context git is
+    // available so a definite answer comes back, and the provenance string
+    // is SHA-shaped with the documented suffix grammar either way
+    assert(Bench.gitProvenance().matches("([0-9a-f]{40}|unknown)(-dirty|-dirtycheck-failed)?"))
   }
 }

@@ -29,10 +29,30 @@ from datetime import datetime
 
 MARKER = re.compile(r"probe phase=(\w+) run=(\d+) t_ms=(\d+)")
 RESULT = re.compile(r"probe \S+ run=(\d+) wall=([\d.]+) task_cpu=([\d.]+)")
-# PrintCompilation: "<uptime_ms> <id> [%!bsn ] <tier> Method::name (bytes)?
-# [made not entrant|made zombie]" — we only need the method and the kind.
-NOT_ENTRANT = re.compile(r"^\s*\[?(?:info\]?\s*)?(\d+)\s+(\d+)\s+.*?\s(\S+::\S+)\s+\([^)]*\)\s+made not entrant")
+# PrintCompilation: "<uptime_ms> <id> [%!bsn ] <tier> Method::name [@ bci]
+# (bytes) [made not entrant|made zombie]". A line is EITHER a fresh
+# compilation OR a state-transition note ("made not entrant" = deopt,
+# "made zombie" = later reclamation of an already-not-entrant method) —
+# classify transitions first and never count them as compiles, and allow
+# the OSR form's "@ bci" between method and size (both were mis-binned in
+# the first cut of this script; see the transcript's re-derivation note).
+NOT_ENTRANT = re.compile(r"^\s*\[?(?:info\]?\s*)?(\d+)\s+(\d+)\s+.*?\s(\S+::\S+)(?:\s+@\s+\d+)?\s+\([^)]*\)\s+made not entrant")
+ZOMBIE = re.compile(r"made (?:not entrant|zombie)")
 COMPILE = re.compile(r"^\s*\[?(?:info\]?\s*)?(\d+)\s+(\d+)\s+([%!bsn ]*)\s*(\d)\s+(\S+::\S+)")
+
+
+def classify(ln):
+    """-> ('deopt', method) | ('zombie', None) | ('compile', (tier, method))
+    | (None, None)."""
+    dm = NOT_ENTRANT.search(ln)
+    if dm:
+        return "deopt", dm.group(3)
+    if ZOMBIE.search(ln):  # zombie (or an OSR-shaped not-entrant miss): never a compile
+        return "zombie", None
+    cm = COMPILE.search(ln)
+    if cm:
+        return "compile", (cm.group(4), cm.group(5))
+    return None, None
 
 
 def segments(lines):
@@ -64,22 +84,18 @@ def main():
 
     print(f"== PrintCompilation events per probe phase ({stdout_path}) ==")
     print(f"{'phase':26s} {'compiles':>9s} {'c2(t4)':>7s} {'not_entrant':>12s}  top deopted methods")
-    summary = {}
     for label, seg in segments(lines):
         deopts = Counter()
         compiles = 0
         c2 = 0
         for ln in seg:
-            dm = NOT_ENTRANT.search(ln)
-            if dm:
-                deopts[dm.group(3)] += 1
-                continue
-            cm = COMPILE.search(ln)
-            if cm:
+            kind, payload = classify(ln)
+            if kind == "deopt":
+                deopts[payload] += 1
+            elif kind == "compile":
                 compiles += 1
-                if cm.group(4) == "4":
+                if payload[0] == "4":
                     c2 += 1
-        summary[label] = (compiles, c2, sum(deopts.values()), deopts)
         top = ", ".join(f"{m.split('::')[0].split('.')[-1]}::{m.split('::')[1]}×{c}"
                         for m, c in deopts.most_common(3))
         print(f"{label:26s} {compiles:9d} {c2:7d} {sum(deopts.values()):12d}  {top}")
@@ -95,8 +111,8 @@ def main():
         nxt = next((s for l2, s in seg_list if l2 == f"measured_start_run{run}"), None)
         if nxt is None:
             continue
-        deopted = {m.group(3) for m in (NOT_ENTRANT.search(l) for l in seg) if m}
-        recompiled = {m.group(5) for m in (COMPILE.search(l) for l in nxt) if m}
+        deopted = {p for k, p in map(classify, seg) if k == "deopt"}
+        recompiled = {p[1] for k, p in map(classify, nxt) if k == "compile"}
         both = deopted & recompiled
         print(f"run {run}: {len(deopted)} methods deopted in interleave, "
               f"{len(both)} of them recompiled in the measured run")
@@ -119,7 +135,10 @@ def main():
         evts = json.loads(out.stdout)["recording"].get("events", [])
 
         def epoch_ms(iso):
-            return int(datetime.fromisoformat(iso).timestamp() * 1000)
+            # jfr emits 9-digit fractional seconds; fromisoformat accepts
+            # them only from Python 3.11 — trim to µs for older interpreters
+            trimmed = re.sub(r"(\.\d{6})\d+", r"\1", iso)
+            return int(datetime.fromisoformat(trimmed).timestamp() * 1000)
 
         def phase_of(ts):
             lab = "setup_warmup_run1"
