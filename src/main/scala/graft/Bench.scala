@@ -291,22 +291,42 @@ object Bench {
     * kept distinct so a failed check can never masquerade as clean.
     */
   private[graft] def gitDirty(): Option[Boolean] = try {
-    val p = new ProcessBuilder("git", "status", "--porcelain")
-      .redirectErrorStream(true).start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    if (p.waitFor() == 0) Some(out.trim.nonEmpty) else None
+    // gated on the SAME `.git` gitHeadSha reads: without this, `git
+    // status` would walk UP from cwd (or honor GIT_DIR) and could report
+    // an unrelated enclosing repository's dirtiness against our SHA
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(".git"))) None
+    else {
+      val p = new ProcessBuilder("git", "status", "--porcelain")
+        .redirectErrorStream(true).start()
+      // bounded wait: a stalled git (hung FS mount, misbehaving hook)
+      // must not hang the run AFTER measurement — the stdout JSON line
+      // prints after the sidecar write that calls this. Trade-off: output
+      // beyond the pipe buffer (thousands of changed files) can stall git
+      // into the timeout, degrading to None — the safe, distinct answer.
+      if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(): Unit
+        None
+      } else {
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.exitValue() == 0) Some(out.trim.nonEmpty) else None
+      }
+    }
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The sidecar's provenance string: SHA, `-dirty` when the tree has
     * uncommitted changes, `-dirtycheck-failed` when cleanliness could not
-    * be established.
+    * be established. "unknown" stays bare — suffixing a dirtiness verdict
+    * onto an unresolved SHA would attribute it to nothing.
     */
-  private[graft] def gitProvenance(): String =
-    gitHeadSha() + (gitDirty() match {
+  private[graft] def gitProvenance(): String = {
+    val sha = gitHeadSha()
+    if (sha == "unknown") sha
+    else sha + (gitDirty() match {
       case Some(true) => "-dirty"
       case Some(false) => ""
       case None => "-dirtycheck-failed"
     })
+  }
 
   /** Cumulative process CPU nanos (-1 where the JVM doesn't expose it).
     * SECONDARY channel since round 16: whole-process deltas attribute

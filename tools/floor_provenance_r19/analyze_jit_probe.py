@@ -37,18 +37,27 @@ RESULT = re.compile(r"probe \S+ run=(\d+) wall=([\d.]+) task_cpu=([\d.]+)")
 # the OSR form's "@ bci" between method and size (both were mis-binned in
 # the first cut of this script; see the transcript's re-derivation note).
 NOT_ENTRANT = re.compile(r"^\s*\[?(?:info\]?\s*)?(\d+)\s+(\d+)\s+.*?\s(\S+::\S+)(?:\s+@\s+\d+)?\s+\([^)]*\)\s+made not entrant")
-ZOMBIE = re.compile(r"made (?:not entrant|zombie)")
 COMPILE = re.compile(r"^\s*\[?(?:info\]?\s*)?(\d+)\s+(\d+)\s+([%!bsn ]*)\s*(\d)\s+(\S+::\S+)")
 
 
 def classify(ln):
-    """-> ('deopt', method) | ('zombie', None) | ('compile', (tier, method))
-    | (None, None)."""
+    """-> ('deopt', method) | ('zombie'|'skipped', None)
+    | ('compile', (tier, method)) | (None, None).
+
+    Order matters: a not-entrant line whose shape the regex can't parse
+    still counts as a deopt (method '<unparsed>') rather than silently
+    weakening the counts; 'made zombie' (reclamation of already-not-
+    entrant code) and 'COMPILE SKIPPED' bailouts are never compiles.
+    """
     dm = NOT_ENTRANT.search(ln)
     if dm:
         return "deopt", dm.group(3)
-    if ZOMBIE.search(ln):  # zombie (or an OSR-shaped not-entrant miss): never a compile
+    if "made not entrant" in ln:
+        return "deopt", "<unparsed>"
+    if "made zombie" in ln:
         return "zombie", None
+    if "COMPILE SKIPPED" in ln:
+        return "skipped", None
     cm = COMPILE.search(ln)
     if cm:
         return "compile", (cm.group(4), cm.group(5))
@@ -96,8 +105,12 @@ def main():
                 compiles += 1
                 if payload[0] == "4":
                     c2 += 1
-        top = ", ".join(f"{m.split('::')[0].split('.')[-1]}::{m.split('::')[1]}×{c}"
-                        for m, c in deopts.most_common(3))
+        def short(m):
+            if "::" not in m:
+                return m  # e.g. the '<unparsed>' bucket
+            cls, meth = m.split("::", 1)
+            return f"{cls.split('.')[-1]}::{meth}"
+        top = ", ".join(f"{short(m)}×{c}" for m, c in deopts.most_common(3))
         print(f"{label:26s} {compiles:9d} {c2:7d} {sum(deopts.values()):12d}  {top}")
 
     # The positive-signal cross-check: methods deopted during interleave_K
