@@ -296,8 +296,17 @@ object Bench {
     // an unrelated enclosing repository's dirtiness against our SHA
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(".git"))) None
     else {
-      val p = new ProcessBuilder("git", "status", "--porcelain")
-        .redirectErrorStream(true).start()
+      val pb = new ProcessBuilder("git", "status", "--porcelain")
+        .redirectErrorStream(true)
+      // the existence gate above is not enough on its own: the subprocess
+      // inherits this JVM's environment, so an exported GIT_DIR /
+      // GIT_WORK_TREE (or redirected index) would make `git status` report
+      // a DIFFERENT repository's dirtiness against the SHA read from
+      // ./.git — a clean unrelated repo masking a dirty tree as a bare SHA.
+      // Scrub the overrides so discovery finds ./.git, same as gitHeadSha.
+      Seq("GIT_DIR", "GIT_WORK_TREE", "GIT_INDEX_FILE")
+        .foreach(pb.environment.remove(_))
+      val p = pb.start()
       // bounded wait: a stalled git (hung FS mount, misbehaving hook)
       // must not hang the run AFTER measurement — the stdout JSON line
       // prints after the sidecar write that calls this. Trade-off: output

@@ -134,8 +134,16 @@ object SimhashProbe {
     // timestamps) can be binned per phase: deopts DURING interleave +
     // fresh compilations DURING the next measured run is the positive
     // profile-pollution signal the r18 elimination argument lacked.
-    def mark(phase: String, k: Int): Unit =
+    // flush: -XX:+PrintCompilation lines are written by JVM compiler
+    // threads directly to fd 1, bypassing System.out's buffer — an
+    // unflushed marker can appear AFTER compile events that happened
+    // before it, mis-binning boundary events into the adjacent phase.
+    // Flushing shrinks the fuzz to scheduling jitter; the JFR channel's
+    // t_ms-based binning is immune to it entirely.
+    def mark(phase: String, k: Int): Unit = {
       println(s"probe phase=$phase run=$k t_ms=${System.currentTimeMillis}")
+      System.out.flush()
+    }
     (1 to runs).foreach { k =>
       if (k > 1) interleave match {
         case "warm" => mark("interleave_start", k); runSuiteAt(warmDir, excludeProbed = true)

@@ -7,6 +7,18 @@ Input 1: the probe's stdout with -XX:+PrintCompilation interleaved
 stream in stdout order; every PrintCompilation line between two markers is
 attributed to the earlier marker's phase.
 
+BOUNDARY-FUZZ CAVEAT (r20, ADVICE): PrintCompilation lines are written by
+JVM compiler threads straight to fd 1 while the markers go through
+System.out, so the two streams can interleave out of order within a few
+lines of each marker — a handful of JIT events near a phase boundary may
+bin into the adjacent phase. The probe now flushes System.out in mark(),
+shrinking the window to scheduling jitter, but the stdout-order binning
+here remains approximate at the margins. This cannot flip the r19
+conclusion (per-phase counts differ by 10-100x, not by a boundary
+handful), and the JFR jdk.Deoptimization channel bins by event timestamp
+against the markers' t_ms values, which sidesteps stream ordering
+entirely — prefer the JFR numbers when the two disagree near a boundary.
+
 Input 2 (optional): a JFR recording from the same JVM
 (-XX:StartFlightRecording). jdk.Deoptimization events carry wall-clock
 timestamps, binned against the markers' epoch-ms t_ms values.
