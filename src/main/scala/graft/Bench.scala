@@ -221,6 +221,37 @@ object Bench {
 
   private[graft] def lineKey(k: String): String =
     if (k.startsWith("q_")) k.substring(2) else k
+
+  /** Advisory wall-channel self-adjudication (r20 — additive under the
+    * r19 protocol freeze: a new record field, no measurement semantics
+    * touched): the line's `value` (sum of per-query min walls) over the
+    * committed quiet-host wall floor (`tools/bench_wall_floor.tsv`, key
+    * "total"). The cpu channel has self-adjudicated since r16 (`hf` +
+    * `cpu_flags` ride the line), but classifying WALL inflation still
+    * required a human holding quiet sidecars next to the official line —
+    * three rounds running (r17 store_write, r18 task 3, the r19 official
+    * 70.69 s at hf 1.00). With `wf` on the line, the wall-up/cpu-flat
+    * co-load signature (wf ≫ 1, hf ≈ 1 — measured directly in the floor
+    * TSV's negative controls) reads off the stdout JSON alone. None =
+    * channel unarmed (non-sf0.1 run, or the floor file absent/zero) —
+    * emitted as the `-1` sentinel, matching `cpu_flags` unarmed grammar.
+    */
+  private[graft] def wallFactor(total: Double, floors: Map[String, Double]): Option[Double] =
+    floors.get("total").filter(_ > 0).map(total / _)
+
+  /** Classification for the sidecar + stderr advisory. Bands from the
+    * committed record (see bench_wall_floor.tsv provenance): the six
+    * flag-free quiet r19 runs sit at wf 1.00–1.19, so ≤1.25 is "quiet"
+    * with jitter headroom; above that, hf splits scheduler co-load
+    * (task-cpu at floor, hf ≈ 1 → "coload": walls are environment, not
+    * code) from contention broad enough to inflate cpu too
+    * ("contended": read per-query cpu_vs_floor in the sidecar). Advisory
+    * only — never a flag, never an exit code.
+    */
+  private[graft] def wallBand(wf: Double, hf: Double): String =
+    if (wf <= 1.25) "quiet"
+    else if (hf <= 1.15) "coload"
+    else "contended"
   /** Host 1/5/15-min load averages as a JSON array — recorded before and
     * after the run so a number taken under outside load is self-labeling:
     * wall time up while process-CPU time and the historical quiet-host
@@ -694,13 +725,28 @@ object Bench {
     // 5.00 needed judge sidecar access to classify; with hf on the line it
     // reads as co-load directly.
     val hfJson = s""","hf":${f2(cpuHostFactor)}"""
+    // wall-channel self-adjudication (r20, see wallFactor's doc): always
+    // present like cpu_flags — a silently unarmed channel must not read
+    // as a quiet pass, so the unarmed case is the -1 sentinel, not absent
+    val wallFloors: Map[String, Double] =
+      loadFloors("tools/bench_wall_floor.tsv", "wall floor (wf unarmed)")
+    val wallF = wallFactor(total, wallFloors)
+    val wfJson = wallF.map(v => s""","wf":${f2(v)}""").getOrElse(""","wf":-1""")
+    wallF.foreach { v =>
+      val band = wallBand(v, cpuHostFactor)
+      if (band != "quiet")
+        System.err.println(
+          f"[bench] ADVISORY wall factor $v%.2f (total $total%.2f s vs quiet floor ${wallFloors("total")}%.2f) hf $cpuHostFactor%.2f — $band: " +
+            (if (band == "coload") "wall-up/cpu-flat scheduler co-load; walls are environment, not code"
+             else "wall AND cpu elevated; check load + per-query cpu_vs_floor in the sidecar"))
+    }
     val flaggedJson =
       if (cpuRegressions.isEmpty) ""
       else cpuRegressions.take(8).map(r => jstr(lineKey(r._1)))
         .mkString(""","cpu_flagged":[""", ",", "]")
     def mkLine(qjson: String, cpuJson: String = cpus_q, errJson: String = errs,
         streaming: String = streamJson): String =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpuJson,"cpu_flags":$cpuFlagsJson$hfJson$flaggedJson,"errors":$errJson,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streaming$streamErrJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpuJson,"cpu_flags":$cpuFlagsJson$hfJson$wfJson$flaggedJson,"errors":$errJson,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streaming$streamErrJson,"sf":${jstr(sfDir)}}"""
     // degrade ladder, CHECKED at each tier (a long line is worthless — the
     // driver keeps only the last ~2KB of stdout, and an overflow loses the
     // whole result exactly when it carries failure diagnostics): full
@@ -769,7 +815,15 @@ object Bench {
       val regJson = cpuRegressions.map { case (k, c, f) =>
         s"\"$k\":[${f1(c)},${f1(f)}]" }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("target/bench_detail.json", "UTF-8")
-      try w.println(s"""{"queries":$detail,"cpu_host_factor":${f2(cpuHostFactor)},"cpu_regressions":$regJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)},"git_sha":${jstr(gitProvenance())},"probe_jvmflags":${jstr(sys.env.getOrElse("SPARK_GRAFT_PROBE_JVMFLAGS", ""))}}""")
+      // wall channel, full form (the line only carries the bare "wf"):
+      // total, the committed floor it was divided by, and the band
+      val wallFrag = wallF match {
+        case Some(v) =>
+          s""","wall_total_sec":${f2(total)},"wall_floor_total":${f2(wallFloors("total"))},"wall_factor":${f2(v)},"wall_band":${jstr(wallBand(v, cpuHostFactor))}"""
+        case None =>
+          s""","wall_total_sec":${f2(total)},"wall_floor_total":null,"wall_factor":null,"wall_band":"unarmed""""
+      }
+      try w.println(s"""{"queries":$detail,"cpu_host_factor":${f2(cpuHostFactor)},"cpu_regressions":$regJson$wallFrag,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)},"git_sha":${jstr(gitProvenance())},"probe_jvmflags":${jstr(sys.env.getOrElse("SPARK_GRAFT_PROBE_JVMFLAGS", ""))}}""")
       finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")

@@ -149,6 +149,26 @@ final class BenchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Bench.perPassOverheads(Seq.empty) }
   }
 
+  test("wall channel: factor vs the committed floor, unarmed on a missing " +
+      "or zero floor, bands split co-load from contention") {
+    // armed: the r19 official (70.69 s) against the committed 40.06 floor
+    assert(Bench.wallFactor(70.69, Map("total" -> 40.06)).exists(v => math.abs(v - 1.7646) < 1e-3))
+    // unarmed: no floors loaded (non-sf0.1 run / file missing) or a zero
+    // floor — the caller emits the -1 sentinel, never a fake factor
+    assert(Bench.wallFactor(50.0, Map.empty).isEmpty)
+    assert(Bench.wallFactor(50.0, Map("total" -> 0.0)).isEmpty)
+    // bands, from the committed record: six quiet r19 runs sat at
+    // wf 1.00-1.19 -> "quiet" through the 1.25 jitter headroom
+    assert(Bench.wallBand(1.19, 1.0) == "quiet")
+    assert(Bench.wallBand(1.25, 3.0) == "quiet") // wf rules first; hf moot
+    // the r19 official: wf 1.76 at hf 1.00 — the wall-up/cpu-flat
+    // scheduler-co-load signature (negative controls in the floor TSV)
+    assert(Bench.wallBand(1.76, 1.0) == "coload")
+    assert(Bench.wallBand(1.26, 1.15) == "coload") // hf boundary inclusive
+    // both channels elevated: contention broad enough to inflate cpu too
+    assert(Bench.wallBand(1.7, 2.0) == "contended")
+  }
+
   test("gitHeadSha resolves loose refs, packed refs, detached HEAD, and " +
       "degrades to 'unknown' — never throws") {
     import java.nio.file.{Files, Paths}
