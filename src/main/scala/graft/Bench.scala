@@ -245,13 +245,20 @@ object Bench {
     * with jitter headroom; above that, hf splits scheduler co-load
     * (task-cpu at floor, hf ≈ 1 → "coload": walls are environment, not
     * code) from contention broad enough to inflate cpu too
-    * ("contended": read per-query cpu_vs_floor in the sidecar). Advisory
+    * ("contended": read per-query cpu_vs_floor in the sidecar). `hf` is
+    * an Option because the cpu gate's placeholder factor when ITS floors
+    * failed to load is 1.0 — feeding that in would assert a cpu-flat
+    * "coload" verdict with zero cpu evidence; with no armed cpu channel
+    * the split is unknowable and the band says so ("inflated"). Advisory
     * only — never a flag, never an exit code.
     */
-  private[graft] def wallBand(wf: Double, hf: Double): String =
+  private[graft] def wallBand(wf: Double, hf: Option[Double]): String =
     if (wf <= 1.25) "quiet"
-    else if (hf <= 1.15) "coload"
-    else "contended"
+    else hf match {
+      case None => "inflated" // wall up; no cpu channel to attribute it
+      case Some(h) if h <= 1.15 => "coload"
+      case Some(_) => "contended"
+    }
   /** Host 1/5/15-min load averages as a JSON array — recorded before and
     * after the run so a number taken under outside load is self-labeling:
     * wall time up while process-CPU time and the historical quiet-host
@@ -331,12 +338,15 @@ object Bench {
         .redirectErrorStream(true)
       // the existence gate above is not enough on its own: the subprocess
       // inherits this JVM's environment, so an exported GIT_DIR /
-      // GIT_WORK_TREE (or redirected index) would make `git status` report
-      // a DIFFERENT repository's dirtiness against the SHA read from
-      // ./.git — a clean unrelated repo masking a dirty tree as a bare SHA.
-      // Scrub the overrides so discovery finds ./.git, same as gitHeadSha.
-      Seq("GIT_DIR", "GIT_WORK_TREE", "GIT_INDEX_FILE")
-        .foreach(pb.environment.remove(_))
+      // GIT_WORK_TREE / GIT_COMMON_DIR / GIT_INDEX_FILE (…) would make
+      // `git status` report a DIFFERENT repository's dirtiness against the
+      // SHA read from ./.git — a clean unrelated repo masking a dirty tree
+      // as a bare SHA. Scrub the whole GIT_* family rather than a hand
+      // enumeration (the first cut listed three and missed GIT_COMMON_DIR /
+      // GIT_OBJECT_DIRECTORY): `git status` here is local and read-only, so
+      // no inherited GIT_* override is legitimate, and discovery then finds
+      // ./.git the same way gitHeadSha does.
+      pb.environment.keySet.removeIf(_.startsWith("GIT_")): Unit
       val p = pb.start()
       // bounded wait: a stalled git (hung FS mount, misbehaving hook)
       // must not hang the run AFTER measurement — the stdout JSON line
@@ -727,18 +737,29 @@ object Bench {
     val hfJson = s""","hf":${f2(cpuHostFactor)}"""
     // wall-channel self-adjudication (r20, see wallFactor's doc): always
     // present like cpu_flags — a silently unarmed channel must not read
-    // as a quiet pass, so the unarmed case is the -1 sentinel, not absent
+    // as a quiet pass, so the unarmed case is the -1 sentinel, not absent.
+    // A run with ANY failed query is also the sentinel: a failure's wall
+    // is ~planning cost (see the errors-map comment), so its truncated
+    // total deflates the factor — a co-loaded broken run could read
+    // "quiet", and a low broken total must never become a refresh minimum
     val wallFloors: Map[String, Double] =
       loadFloors("tools/bench_wall_floor.tsv", "wall floor (wf unarmed)")
-    val wallF = wallFactor(total, wallFloors)
+    val anyFailed = results.exists(_._5.isDefined)
+    val wallF = if (anyFailed) None else wallFactor(total, wallFloors)
+    // hf is only evidence when the cpu gate is armed (its own floors
+    // loaded): unarmed flagCpuRegressions returns a placeholder 1.0
+    val hfForBand = if (cpuFloors.isEmpty) None else Some(cpuHostFactor)
     val wfJson = wallF.map(v => s""","wf":${f2(v)}""").getOrElse(""","wf":-1""")
     wallF.foreach { v =>
-      val band = wallBand(v, cpuHostFactor)
+      val band = wallBand(v, hfForBand)
       if (band != "quiet")
         System.err.println(
           f"[bench] ADVISORY wall factor $v%.2f (total $total%.2f s vs quiet floor ${wallFloors("total")}%.2f) hf $cpuHostFactor%.2f — $band: " +
-            (if (band == "coload") "wall-up/cpu-flat scheduler co-load; walls are environment, not code"
-             else "wall AND cpu elevated; check load + per-query cpu_vs_floor in the sidecar"))
+            (band match {
+              case "coload" => "wall-up/cpu-flat scheduler co-load; walls are environment, not code"
+              case "inflated" => "wall elevated but the cpu gate is unarmed; no basis to attribute it"
+              case _ => "wall AND cpu elevated; check load + per-query cpu_vs_floor in the sidecar"
+            }))
     }
     val flaggedJson =
       if (cpuRegressions.isEmpty) ""
@@ -819,9 +840,12 @@ object Bench {
       // total, the committed floor it was divided by, and the band
       val wallFrag = wallF match {
         case Some(v) =>
-          s""","wall_total_sec":${f2(total)},"wall_floor_total":${f2(wallFloors("total"))},"wall_factor":${f2(v)},"wall_band":${jstr(wallBand(v, cpuHostFactor))}"""
+          s""","wall_total_sec":${f2(total)},"wall_floor_total":${f2(wallFloors("total"))},"wall_factor":${f2(v)},"wall_band":${jstr(wallBand(v, hfForBand))}"""
         case None =>
-          s""","wall_total_sec":${f2(total)},"wall_floor_total":null,"wall_factor":null,"wall_band":"unarmed""""
+          // "partial" (a failed query truncated the total — not comparable
+          // to the floor) is kept distinct from "unarmed" (no floor to
+          // compare against)
+          s""","wall_total_sec":${f2(total)},"wall_floor_total":null,"wall_factor":null,"wall_band":${jstr(if (anyFailed) "partial" else "unarmed")}"""
       }
       try w.println(s"""{"queries":$detail,"cpu_host_factor":${f2(cpuHostFactor)},"cpu_regressions":$regJson$wallFrag,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)},"git_sha":${jstr(gitProvenance())},"probe_jvmflags":${jstr(sys.env.getOrElse("SPARK_GRAFT_PROBE_JVMFLAGS", ""))}}""")
       finally w.close()

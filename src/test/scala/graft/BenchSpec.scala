@@ -159,14 +159,19 @@ final class BenchSpec extends AnyFunSuite {
     assert(Bench.wallFactor(50.0, Map("total" -> 0.0)).isEmpty)
     // bands, from the committed record: six quiet r19 runs sat at
     // wf 1.00-1.19 -> "quiet" through the 1.25 jitter headroom
-    assert(Bench.wallBand(1.19, 1.0) == "quiet")
-    assert(Bench.wallBand(1.25, 3.0) == "quiet") // wf rules first; hf moot
+    assert(Bench.wallBand(1.19, Some(1.0)) == "quiet")
+    assert(Bench.wallBand(1.25, Some(3.0)) == "quiet") // wf rules first; hf moot
     // the r19 official: wf 1.76 at hf 1.00 — the wall-up/cpu-flat
     // scheduler-co-load signature (negative controls in the floor TSV)
-    assert(Bench.wallBand(1.76, 1.0) == "coload")
-    assert(Bench.wallBand(1.26, 1.15) == "coload") // hf boundary inclusive
+    assert(Bench.wallBand(1.76, Some(1.0)) == "coload")
+    assert(Bench.wallBand(1.26, Some(1.15)) == "coload") // hf boundary inclusive
     // both channels elevated: contention broad enough to inflate cpu too
-    assert(Bench.wallBand(1.7, 2.0) == "contended")
+    assert(Bench.wallBand(1.7, Some(2.0)) == "contended")
+    // cpu gate unarmed -> its placeholder hf 1.0 is NOT evidence: an
+    // elevated wall must not assert the cpu-flat "coload" verdict, only
+    // that the wall is inflated with nothing to attribute it to
+    assert(Bench.wallBand(1.76, None) == "inflated")
+    assert(Bench.wallBand(1.1, None) == "quiet") // quiet needs no hf
   }
 
   test("gitHeadSha resolves loose refs, packed refs, detached HEAD, and " +
