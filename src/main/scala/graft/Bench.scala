@@ -222,6 +222,17 @@ object Bench {
   private[graft] def lineKey(k: String): String =
     if (k.startsWith("q_")) k.substring(2) else k
 
+  /** Floor-TSV parsing core (shared by every channel's loader; spec-pinned):
+    * comment/blank lines are skipped BEFORE tab-splitting (r21, ADVICE) —
+    * a '#' comment containing one tab with a non-numeric tail would
+    * otherwise throw in toDouble and silently disarm the whole channel,
+    * and the TSVs are deliberately comment-heavy provenance records.
+    */
+  private[graft] def parseFloors(lines: Iterator[String]): Map[String, Double] =
+    lines.filterNot(l => l.isBlank || l.startsWith("#"))
+      .map(_.split("\t"))
+      .collect { case Array(k, v) => k -> v.toDouble }.toMap
+
   /** Advisory wall-channel self-adjudication (r20 — additive under the
     * r19 protocol freeze: a new record field, no measurement semantics
     * touched): the line's `value` (sum of per-query min walls) over the
@@ -236,8 +247,26 @@ object Bench {
     * channel unarmed (non-sf0.1 run, or the floor file absent/zero) —
     * emitted as the `-1` sentinel, matching `cpu_flags` unarmed grammar.
     */
-  private[graft] def wallFactor(total: Double, floors: Map[String, Double]): Option[Double] =
-    floors.get("total").filter(_ > 0).map(total / _)
+  private[graft] def wallFactor(total: Double, floors: Map[String, Double],
+      nQueries: Option[Int] = None): Option[Double] = {
+    // set-fingerprint guard (r21, ADVICE): the floor is a whole-suite sum,
+    // so a changed query set silently skews wf (added queries push a quiet
+    // run into "coload"). When the TSV records the benched-query count it
+    // was derived under (`total_n`), a mismatching suite unarms the channel
+    // (the -1 sentinel) instead of reporting a number with the wrong
+    // denominator — same grammar as a failed floor load. The cpu channel
+    // needs no such guard: it keys per query.
+    val n = floors.get("total_n")
+    val mismatch = (n, nQueries) match {
+      case (Some(fn), Some(qn)) if fn.toInt != qn =>
+        System.err.println(
+          s"[bench] wall floor derived over ${fn.toInt} queries but this run " +
+            s"benched $qn — wf unarmed; re-derive tools/bench_wall_floor.tsv")
+        true
+      case _ => false
+    }
+    if (mismatch) None else floors.get("total").filter(_ > 0).map(total / _)
+  }
 
   /** Classification for the sidecar + stderr advisory. Bands from the
     * committed record (see bench_wall_floor.tsv provenance): the six
@@ -327,14 +356,28 @@ object Bench {
     * exists to close). `Some(true)` = dirty, `Some(false)` = clean,
     * `None` = the check itself failed (no git binary / not a work tree) —
     * kept distinct so a failed check can never masquerade as clean.
+    *
+    * SCOPED TO BUILD INPUTS (r21, the r20 verdict's task 1): the porcelain
+    * check covers `src project build.sbt` only. The tree-wide check made
+    * every driver-run official read `-dirty` forever — the driver's own
+    * artifacts (modified LEAKCHECK.json, untracked BENCH/CORRECTNESS_r*.json)
+    * tripped it while none of them affect the built binary, which diluted
+    * the exact stale-binary signal the suffix exists to carry. Tracked
+    * non-build files (LEAKCHECK.json, the floor TSVs, docs) are excluded by
+    * the same path scope; anything touched under src or project, or
+    * build.sbt itself, still reads `-dirty` (BenchSpec pins both directions).
     */
-  private[graft] def gitDirty(): Option[Boolean] = try {
+  private[graft] val DirtyCheckScope = Seq("src", "project", "build.sbt")
+
+  private[graft] def gitDirty(workDir: String = "."): Option[Boolean] = try {
     // gated on the SAME `.git` gitHeadSha reads: without this, `git
     // status` would walk UP from cwd (or honor GIT_DIR) and could report
     // an unrelated enclosing repository's dirtiness against our SHA
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(".git"))) None
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(workDir, ".git"))) None
     else {
-      val pb = new ProcessBuilder("git", "status", "--porcelain")
+      val pb = new ProcessBuilder(
+        (Seq("git", "status", "--porcelain", "--") ++ DirtyCheckScope): _*)
+        .directory(new java.io.File(workDir))
         .redirectErrorStream(true)
       // the existence gate above is not enough on its own: the subprocess
       // inherits this JVM's environment, so an exported GIT_DIR /
@@ -612,8 +655,7 @@ object Bench {
       if (new java.io.File(sfDir).getName != "sf0.1") Map.empty
       else try {
         val src = scala.io.Source.fromFile(path, "UTF-8")
-        try src.getLines().map(_.split("\t"))
-          .collect { case Array(k, v) => k -> v.toDouble }.toMap
+        try parseFloors(src.getLines())
         finally src.close()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $label unavailable: ${e.getMessage}")
@@ -745,7 +787,9 @@ object Bench {
     val wallFloors: Map[String, Double] =
       loadFloors("tools/bench_wall_floor.tsv", "wall floor (wf unarmed)")
     val anyFailed = results.exists(_._5.isDefined)
-    val wallF = if (anyFailed) None else wallFactor(total, wallFloors)
+    val wallF =
+      if (anyFailed) None
+      else wallFactor(total, wallFloors, Some(results.size))
     // hf is only evidence when the cpu gate is armed (its own floors
     // loaded): unarmed flagCpuRegressions returns a placeholder 1.0
     val hfForBand = if (cpuFloors.isEmpty) None else Some(cpuHostFactor)
@@ -844,8 +888,13 @@ object Bench {
         case None =>
           // "partial" (a failed query truncated the total — not comparable
           // to the floor) is kept distinct from "unarmed" (no floor to
-          // compare against)
-          s""","wall_total_sec":${f2(total)},"wall_floor_total":null,"wall_factor":null,"wall_band":${jstr(if (anyFailed) "partial" else "unarmed")}"""
+          // compare against). The loaded floor value is still written when
+          // available (r21, ADVICE): in the partial case it is the one
+          // piece of context that lets a reader judge how far the
+          // truncated total sits from quiet; wall_factor stays null.
+          val floorJson = wallFloors.get("total").filter(_ > 0)
+            .map(f2).getOrElse("null")
+          s""","wall_total_sec":${f2(total)},"wall_floor_total":$floorJson,"wall_factor":null,"wall_band":${jstr(if (anyFailed) "partial" else "unarmed")}"""
       }
       try w.println(s"""{"queries":$detail,"cpu_host_factor":${f2(cpuHostFactor)},"cpu_regressions":$regJson$wallFrag,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)},"git_sha":${jstr(gitProvenance())},"probe_jvmflags":${jstr(sys.env.getOrElse("SPARK_GRAFT_PROBE_JVMFLAGS", ""))}}""")
       finally w.close()

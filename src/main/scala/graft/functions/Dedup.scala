@@ -309,7 +309,15 @@ object Dedup {
     */
   private def fullIndexPairs(sh: DataFrame, threshold: Double, parts: Int): DataFrame = {
     val wide = widenIfNeeded(sh, parts, col("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // CACHED (r21): the two size joins below are aliased consumers, and
+    // alias-renamed broadcast subtrees defeat exchange reuse — the plan ran
+    // the whole index-wide aggregation (cache scan + hot-shingle anti-probe
+    // + two-level hash agg + exchange) TWICE, measured as two identical
+    // 5000-row-output stage pairs in the r21 stage profile and the query's
+    // worst JIT-band surface. The cached table is one row per doc (≪ index
+    // at every scale), so this is the cheapest intermediate the query pins;
+    // same cache contract as shingleIndexWithDf (callers clear per run).
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")).cache()
     val joined = wide.as("a").join(wide.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

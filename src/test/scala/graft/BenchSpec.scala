@@ -214,4 +214,67 @@ final class BenchSpec extends AnyFunSuite {
     // is SHA-shaped with the documented suffix grammar either way
     assert(Bench.gitProvenance().matches("([0-9a-f]{40}|unknown)(-dirty|-dirtycheck-failed)?"))
   }
+
+  test("gitDirty is scoped to build inputs: an untracked top-level JSON " +
+      "does NOT dirty the SHA, a touched src file DOES (r20 verdict task 1)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("scratchrepo")
+    def sh(args: String*): Unit = {
+      val pb = new ProcessBuilder(args: _*).directory(dir.toFile)
+        .redirectErrorStream(true)
+      pb.environment.keySet.removeIf(_.startsWith("GIT_")): Unit
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"${args.mkString(" ")} failed: $out")
+    }
+    sh("git", "init", "-q")
+    sh("git", "config", "user.email", "spec@example.invalid")
+    sh("git", "config", "user.name", "spec")
+    Files.createDirectories(dir.resolve("src"))
+    Files.write(dir.resolve("src/A.scala"), "object A\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("build.sbt"), "// build\n".getBytes("UTF-8"))
+    sh("git", "add", "-A")
+    sh("git", "commit", "-q", "-m", "seed")
+    assert(Bench.gitDirty(dir.toString).contains(false))
+    // driver-artifact shapes (untracked top-level JSON, like
+    // BENCH_r21.json / CORRECTNESS_r21.json) must NOT dirty the SHA —
+    // they are outside the binary's build inputs
+    Files.write(dir.resolve("BENCH_r99.json"), "{}".getBytes("UTF-8"))
+    assert(Bench.gitDirty(dir.toString).contains(false))
+    // a tracked NON-build file changing is also out of scope
+    Files.write(dir.resolve("build.sbt.bak"), "x".getBytes("UTF-8"))
+    assert(Bench.gitDirty(dir.toString).contains(false))
+    // but a touched build input must read dirty: src/** …
+    Files.write(dir.resolve("src/A.scala"), "object A2\n".getBytes("UTF-8"))
+    assert(Bench.gitDirty(dir.toString).contains(true))
+    sh("git", "checkout", "--", "src/A.scala")
+    assert(Bench.gitDirty(dir.toString).contains(false))
+    // … and build.sbt itself, including an UNTRACKED new source file
+    Files.write(dir.resolve("src/B.scala"), "object B\n".getBytes("UTF-8"))
+    assert(Bench.gitDirty(dir.toString).contains(true))
+  }
+
+  test("parseFloors skips comments and blank lines; a tabbed comment can " +
+      "no longer disarm the channel (ADVICE r20)") {
+    val floors = Bench.parseFloors(Iterator(
+      "# provenance note with a\ttab and non-numeric tail",
+      "",
+      "q_x\t2.5",
+      "# trailing note",
+      "total\t40.06"))
+    assert(floors == Map("q_x" -> 2.5, "total" -> 40.06))
+  }
+
+  test("wallFactor unarms on a query-set fingerprint mismatch and arms on " +
+      "a match or an un-fingerprinted floor (ADVICE r20)") {
+    val floors = Map("total" -> 40.06, "total_n" -> 79.0)
+    // matching suite size: armed, total_n is not itself a floor key
+    assert(Bench.wallFactor(44.0, floors, Some(79)).isDefined)
+    // suite size drifted (query added/removed): unarmed, not a skewed wf
+    assert(Bench.wallFactor(44.0, floors, Some(80)).isEmpty)
+    // legacy floor file without the fingerprint keeps the old behavior
+    assert(Bench.wallFactor(44.0, Map("total" -> 40.06), Some(80)).isDefined)
+    // caller that states no suite size (spec call sites) is not gated
+    assert(Bench.wallFactor(44.0, floors).isDefined)
+  }
 }
