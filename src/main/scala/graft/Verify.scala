@@ -38,6 +38,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Pre-build the batch serving stores on the overlapped pool (r21): the
+    // builds are the same ensureStore builders the q_store_* queries would
+    // trigger lazily one-by-one, so the write→read coverage is unchanged —
+    // only the wall time moves (the store queries then read the memoized
+    // paths). The streaming-engine stores stay lazy by design: their builds
+    // ARE the behavior their queries gate. A failed build is non-fatal here
+    // exactly like a lazy one — the owning query retries it and reports.
+    if (only.isEmpty)
+      try SparkEntry.prepareStores(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] store pre-build failed (queries will retry): ${e.getMessage}")
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
