@@ -248,24 +248,33 @@ object Bench {
     * emitted as the `-1` sentinel, matching `cpu_flags` unarmed grammar.
     */
   private[graft] def wallFactor(total: Double, floors: Map[String, Double],
-      nQueries: Option[Int] = None): Option[Double] = {
-    // set-fingerprint guard (r21, ADVICE): the floor is a whole-suite sum,
-    // so a changed query set silently skews wf (added queries push a quiet
-    // run into "coload"). When the TSV records the benched-query count it
-    // was derived under (`total_n`), a mismatching suite unarms the channel
-    // (the -1 sentinel) instead of reporting a number with the wrong
-    // denominator — same grammar as a failed floor load. The cpu channel
-    // needs no such guard: it keys per query.
-    val n = floors.get("total_n")
-    val mismatch = (n, nQueries) match {
-      case (Some(fn), Some(qn)) if fn.toInt != qn =>
-        System.err.println(
-          s"[bench] wall floor derived over ${fn.toInt} queries but this run " +
-            s"benched $qn — wf unarmed; re-derive tools/bench_wall_floor.tsv")
-        true
-      case _ => false
-    }
-    if (mismatch) None else floors.get("total").filter(_ > 0).map(total / _)
+      nQueries: Option[Int] = None, nCpus: Option[Int] = None): Option[Double] = {
+    // fingerprint guards (r21, ADVICE + the 8-core PERF check): the floor
+    // is a whole-suite WALL sum, valid only for the suite and core count it
+    // was derived under. A changed query set silently skews wf (added
+    // queries push a quiet run into "coload"), and a lower-core run — the
+    // driver's own PERF leg runs the bench at reduced SPARK_GRAFT_CPUS —
+    // legitimately walls higher than the 32-core floor (measured r21:
+    // wf 1.45 at 8 cores on the same quiet code) and would self-label
+    // "coload" on a quiet host. When the TSV records `total_n` (benched
+    // query count) / `total_cpus`, a mismatching run unarms the channel
+    // (the -1 sentinel, loud on stderr) instead of reporting a number with
+    // the wrong denominator — same grammar as a failed floor load. The cpu
+    // channel needs neither guard: it keys per query, and task-cpu is
+    // core-count-invariant to first order.
+    def mismatch(key: String, actual: Option[Int], what: String): Boolean =
+      (floors.get(key), actual) match {
+        case (Some(f), Some(a)) if f.toInt != a =>
+          System.err.println(
+            s"[bench] wall floor derived at $what ${f.toInt} but this run " +
+              s"has $a — wf unarmed; floor applies only at its own $what " +
+              "(re-derive tools/bench_wall_floor.tsv for other shapes)")
+          true
+        case _ => false
+      }
+    if (mismatch("total_n", nQueries, "query count") ||
+        mismatch("total_cpus", nCpus, "core count")) None
+    else floors.get("total").filter(_ > 0).map(total / _)
   }
 
   /** Classification for the sidecar + stderr advisory. Bands from the
@@ -789,7 +798,8 @@ object Bench {
     val anyFailed = results.exists(_._5.isDefined)
     val wallF =
       if (anyFailed) None
-      else wallFactor(total, wallFloors, Some(results.size))
+      else wallFactor(total, wallFloors, Some(results.size),
+        scala.util.Try(cpus.toInt).toOption)
     // hf is only evidence when the cpu gate is armed (its own floors
     // loaded): unarmed flagCpuRegressions returns a placeholder 1.0
     val hfForBand = if (cpuFloors.isEmpty) None else Some(cpuHostFactor)

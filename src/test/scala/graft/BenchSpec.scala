@@ -265,16 +265,19 @@ final class BenchSpec extends AnyFunSuite {
     assert(floors == Map("q_x" -> 2.5, "total" -> 40.06))
   }
 
-  test("wallFactor unarms on a query-set fingerprint mismatch and arms on " +
-      "a match or an un-fingerprinted floor (ADVICE r20)") {
-    val floors = Map("total" -> 40.06, "total_n" -> 79.0)
-    // matching suite size: armed, total_n is not itself a floor key
-    assert(Bench.wallFactor(44.0, floors, Some(79)).isDefined)
+  test("wallFactor unarms on a query-set or core-count fingerprint " +
+      "mismatch and arms on a match or an un-fingerprinted floor (r21)") {
+    val floors = Map("total" -> 40.06, "total_n" -> 79.0, "total_cpus" -> 32.0)
+    // matching fingerprints: armed; the fingerprint keys are not floors
+    assert(Bench.wallFactor(44.0, floors, Some(79), Some(32)).isDefined)
     // suite size drifted (query added/removed): unarmed, not a skewed wf
-    assert(Bench.wallFactor(44.0, floors, Some(80)).isEmpty)
-    // legacy floor file without the fingerprint keeps the old behavior
-    assert(Bench.wallFactor(44.0, Map("total" -> 40.06), Some(80)).isDefined)
-    // caller that states no suite size (spec call sites) is not gated
+    assert(Bench.wallFactor(44.0, floors, Some(80), Some(32)).isEmpty)
+    // lower-core PERF leg: the 32-core wall floor does not apply there —
+    // unarmed instead of self-labeling "coload" on a quiet host
+    assert(Bench.wallFactor(44.0, floors, Some(79), Some(8)).isEmpty)
+    // legacy floor file without the fingerprints keeps the old behavior
+    assert(Bench.wallFactor(44.0, Map("total" -> 40.06), Some(80), Some(8)).isDefined)
+    // caller that states neither shape (spec call sites) is not gated
     assert(Bench.wallFactor(44.0, floors).isDefined)
   }
 }
