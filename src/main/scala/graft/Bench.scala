@@ -366,17 +366,22 @@ object Bench {
     * `None` = the check itself failed (no git binary / not a work tree) —
     * kept distinct so a failed check can never masquerade as clean.
     *
-    * SCOPED TO BUILD INPUTS (r21, the r20 verdict's task 1): the porcelain
-    * check covers `src project build.sbt` only. The tree-wide check made
-    * every driver-run official read `-dirty` forever — the driver's own
-    * artifacts (modified LEAKCHECK.json, untracked BENCH/CORRECTNESS_r*.json)
-    * tripped it while none of them affect the built binary, which diluted
-    * the exact stale-binary signal the suffix exists to carry. Tracked
-    * non-build files (LEAKCHECK.json, the floor TSVs, docs) are excluded by
-    * the same path scope; anything touched under src or project, or
-    * build.sbt itself, still reads `-dirty` (BenchSpec pins both directions).
+    * SCOPED TO ADJUDICATION INPUTS (r21, the r20 verdict's task 1): the
+    * porcelain check covers the build inputs (`src project build.sbt`)
+    * PLUS the three floor TSVs — the floors are runtime inputs to the
+    * cpu_flags/hf/wf verdicts the sidecar records, so an uncommitted floor
+    * edit must not certify a clean SHA any more than an uncommitted source
+    * edit would (a locally raised floor could mask a real regression into
+    * cpu_flags:0 invisibly). The r20 tree-wide check made every driver-run
+    * official read `-dirty` forever — the driver's own artifacts (modified
+    * LEAKCHECK.json, untracked BENCH/CORRECTNESS_r*.json) tripped it while
+    * none of them affect the binary or the verdicts; those stay excluded
+    * by the path scope. Anything touched under src or project, build.sbt,
+    * or a floor TSV still reads `-dirty` (BenchSpec pins both directions).
     */
-  private[graft] val DirtyCheckScope = Seq("src", "project", "build.sbt")
+  private[graft] val DirtyCheckScope = Seq("src", "project", "build.sbt",
+    "tools/bench_cpu_floor.tsv", "tools/bench_wall_floor.tsv",
+    "tools/bench_driver_overhead.tsv")
 
   private[graft] def gitDirty(workDir: String = "."): Option[Boolean] = try {
     // gated on the SAME `.git` gitHeadSha reads: without this, `git
@@ -898,12 +903,18 @@ object Bench {
         case None =>
           // "partial" (a failed query truncated the total — not comparable
           // to the floor) is kept distinct from "unarmed" (no floor to
-          // compare against). The loaded floor value is still written when
-          // available (r21, ADVICE): in the partial case it is the one
-          // piece of context that lets a reader judge how far the
-          // truncated total sits from quiet; wall_factor stays null.
-          val floorJson = wallFloors.get("total").filter(_ > 0)
-            .map(f2).getOrElse("null")
+          // compare against). The loaded floor value is written in the
+          // PARTIAL case only (r21, ADVICE): there it is the one piece of
+          // context that lets a reader judge how far the truncated total
+          // sits from quiet. An "unarmed" run keeps null even when a floor
+          // loaded — the fingerprint-mismatch unarm (wrong core count /
+          // query set) exists precisely because that floor is the wrong
+          // denominator for this run, so re-presenting it would invite the
+          // exact misreading the guard withholds; wall_factor stays null.
+          val floorJson =
+            if (anyFailed) wallFloors.get("total").filter(_ > 0)
+              .map(f2).getOrElse("null")
+            else "null"
           s""","wall_total_sec":${f2(total)},"wall_floor_total":$floorJson,"wall_factor":null,"wall_band":${jstr(if (anyFailed) "partial" else "unarmed")}"""
       }
       try w.println(s"""{"queries":$detail,"cpu_host_factor":${f2(cpuHostFactor)},"cpu_regressions":$regJson$wallFrag,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"store_write_sec":$storeWriteSec,"streaming":$streamDetail,"sf":${jstr(sfDir)},"git_sha":${jstr(gitProvenance())},"probe_jvmflags":${jstr(sys.env.getOrElse("SPARK_GRAFT_PROBE_JVMFLAGS", ""))}}""")

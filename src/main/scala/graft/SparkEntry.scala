@@ -703,26 +703,30 @@ object SparkEntry {
     // build's own job sequence stays sequential in its thread, so every
     // store's bytes are byte-identical to the serial build. 3 in flight is
     // the guide's recommendation (fill the tail, don't fight for
-    // executors); measured r21: store_write_sec 63.0 → ~2× lower on the
-    // same host. Failures propagate exactly like the serial version — the
-    // first build exception is rethrown (unwrapped) to Bench's catch.
+    // executors); measured r21: store_write_sec 63.0 → 16–22 s on the
+    // same host. On failure, EVERY sibling build is awaited to completion
+    // (success or its own failure) BEFORE the first exception is rethrown
+    // (unwrapped) — interrupting the pool instead would abort only the
+    // JobWaiter waits, leaving orphaned store-write jobs running into the
+    // timed region (billing their task cpu to the first timed queries) or
+    // into a retrying query's delete-and-rebuild of the same path.
     val builds: Seq[(SparkSession, String) => Any] = Seq(
       traceStore, dependencyStore, bucketedTraceStore, compactedTraceStore,
       compactedDependencyStore, autocompleteStore, ivfIndexStore,
       ivfIncrementalStore, shardStore)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     try {
-      val futures = builds.map(b =>
-        pool.submit(new java.util.concurrent.Callable[Any] {
+      val outcomes = builds
+        .map(b => pool.submit(new java.util.concurrent.Callable[Any] {
           override def call(): Any = b(s, dir)
         }))
-      futures.foreach { f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException =>
+        .map(f => scala.util.Try(f.get())) // barrier: every build settled
+      outcomes.collectFirst {
+        case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
           throw Option(e.getCause).getOrElse(e)
-        }
-      }
-    } finally pool.shutdownNow()
+        case scala.util.Failure(e) => throw e
+      }: Unit
+    } finally pool.shutdown()
   }
 
   /** The exported training shards behind q_shard_export: content-addressed
@@ -1771,24 +1775,36 @@ object SparkEntry {
       // original id, so (orig, planted) is already the (id_a < id_b) pair
       // convention the grid join emitted.
       //
-      // FIXTURE GUARD (same deterministic ~512-vector sample pattern as
-      // q_semdedup_recall, ≤131k dot products at any scale): the soundness
-      // argument needs the naturals to stay FAR below 0.9 — a natural pair
-      // at c combines with two 0.3-bumps to at most ≈ c + 0.69 on a
-      // degenerate axis-aligned fixture — so the guard trips at 0.55, not
-      // 0.9, keeping provable headroom. Loud on drift.
+      // FIXTURE GUARD (deterministic ~512-original sample, the
+      // q_semdedup_recall tripwire pattern made DIRECT): the truth side
+      // below is complete iff no NON-planted pair of `all` reaches the 0.9
+      // threshold. A raw-naturals bound is the wrong proxy here — the
+      // worst-case angular arithmetic (a 0.3·‖e‖ bump rotates ≤ arcsin(0.3)
+      // ≈ 17.5°, two bumps ≤ 35°, so naturals would need to stay under
+      // cos(25.9°+35°) ≈ 0.49) trips on this fixture's harmless 0.5–0.6
+      // naturals, while the ACTUAL quantity has 0.28 of margin: the planted
+      // transform is a pure function of (vec_id, embedding), so the sample's
+      // twins are reconstructed exactly and the sample's closure is checked
+      // AT 0.9 itself — max non-planted cosine measured 0.56/0.51/0.62 at
+      // sf0.001/0.01/0.1 vs every planted pair ≥ 0.9539 (closed form: a
+      // planted pair's cosine is (1+0.3a)/√(1.09+0.6a) ≥ √0.91 ≈ 0.954 for
+      // any component ratio a ∈ [−1,1]). ≤ C(1024,2) ≈ 524k dot products
+      // at any corpus size; loud on drift.
       val stride = math.max(1L, (plantOffset + 511L) / 512L)
-      val samp = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+      val sampAll = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+        .unionByName(planted.where(
+          pmod(col("vec_id") - lit(plantOffset), lit(stride)) === 0))
         .select(col("vec_id").as("sid"), col("embedding").as("sv"))
-      val naturals = samp.as("x")
-        .join(broadcast(samp.as("y")), col("x.sid") < col("y.sid"))
-        .where(Similarity.cosine(col("x.sv"), col("y.sv")) >= lit(0.55))
+      val nonPlanted = sampAll.as("x")
+        .join(broadcast(sampAll.as("y")), col("x.sid") < col("y.sid"))
+        .where(col("y.sid") =!= col("x.sid") + lit(plantOffset) &&
+          Similarity.cosine(col("x.sv"), col("y.sv")) >= lit(0.9))
         .count()
-      require(naturals == 0L,
-        s"q_emb_lsh_recall fixture drift: $naturals natural cosine>=0.55 " +
-          "pair(s) in the raw embeddings sample — the planted-pair truth " +
-          "side is no longer provably the 0.9-closure; restore the exact " +
-          "grid truth join or regenerate the fixture")
+      require(nonPlanted == 0L,
+        s"q_emb_lsh_recall fixture drift: $nonPlanted non-planted pair(s) " +
+          "at cosine>=0.9 in the sampled originals+twins — the planted-pair " +
+          "truth side is no longer the sample's 0.9-closure; restore the " +
+          "exact grid truth join or regenerate the fixture")
       val exact = emb
         .select(col("vec_id").as("id_a"), col("embedding").as("ov"))
         .join(broadcast(planted.select(col("vec_id").as("id_b"),

@@ -231,8 +231,10 @@ final class BenchSpec extends AnyFunSuite {
     sh("git", "config", "user.email", "spec@example.invalid")
     sh("git", "config", "user.name", "spec")
     Files.createDirectories(dir.resolve("src"))
+    Files.createDirectories(dir.resolve("tools"))
     Files.write(dir.resolve("src/A.scala"), "object A\n".getBytes("UTF-8"))
     Files.write(dir.resolve("build.sbt"), "// build\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("tools/bench_cpu_floor.tsv"), "q_x\t1.0\n".getBytes("UTF-8"))
     sh("git", "add", "-A")
     sh("git", "commit", "-q", "-m", "seed")
     assert(Bench.gitDirty(dir.toString).contains(false))
@@ -251,6 +253,14 @@ final class BenchSpec extends AnyFunSuite {
     assert(Bench.gitDirty(dir.toString).contains(false))
     // … and build.sbt itself, including an UNTRACKED new source file
     Files.write(dir.resolve("src/B.scala"), "object B\n".getBytes("UTF-8"))
+    assert(Bench.gitDirty(dir.toString).contains(true))
+    Files.delete(dir.resolve("src/B.scala"))
+    assert(Bench.gitDirty(dir.toString).contains(false))
+    // … and the floor TSVs: they are runtime inputs to the recorded
+    // cpu_flags/hf/wf verdicts, so an uncommitted floor edit must not
+    // certify a clean SHA
+    Files.write(dir.resolve("tools/bench_cpu_floor.tsv"),
+      "q_x\t9.9\n".getBytes("UTF-8"))
     assert(Bench.gitDirty(dir.toString).contains(true))
   }
 

@@ -56,8 +56,12 @@ object ProfileStages {
       }
     })
 
-    // code warm-up at sf0.001, untimed (the bench's protocol)
-    val warm = "/root/testdata/sf0.001"
+    // code warm-up at the sibling sf0.001, untimed (the bench's protocol;
+    // derived from the timed dir's parent like Bench does, so a non-default
+    // SPARK_GRAFT_SF_DIR still warms instead of silently riding the 2–5×
+    // JIT transient into round 1)
+    val warm = new java.io.File(new java.io.File(dir).getParentFile, "sf0.001")
+      .getAbsolutePath
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warm).queryExecution.toRdd.foreach(_ => ())
       catch { case e: Throwable => System.err.println(s"warm $n: $e") }
