@@ -222,6 +222,59 @@ object Bench {
   private[graft] def lineKey(k: String): String =
     if (k.startsWith("q_")) k.substring(2) else k
 
+  /** Stdout degrade ladder (r22 order; spec-pinned). Tiers shrink the line
+    * until it fits the driver's tail budget, and the ORDER encodes what the
+    * record can least afford to lose:
+    *   1. full-precision walls → 2. 1-decimal walls → 3. integer cpu array →
+    *   4. drop the cpu array → 5. cap `cpu_flagged` at [[FlaggedNameCap]]
+    *   names → 6. compact streaming (bare small/big rps) → 7. null
+    *   streaming → 8. error keys only → 9. error count only.
+    * Tier 5 is the r22 reorder (r21 VERDICT task 2): under co-load the
+    * flagged-name list grows exactly when the line is tightest — r21's
+    * 7-name list pushed the line to 1832 chars and the old ladder nulled
+    * the STREAMING rates to pay for it, blinding the driver's only
+    * streaming channel in the one round where it was contentious. The
+    * flag COUNT always rides in `cpu_flags`, and sidecar + stderr keep
+    * every flagged name, so capped names lose diagnostics depth only on
+    * the line; the streaming rates exist nowhere else in the driver's
+    * record. `mkLine(queries, cpuArray, flaggedFrag, errors, streaming)`
+    * is main's line renderer, passed in so the ladder is testable pure.
+    */
+  private[graft] def degradeLadder(
+      mkLine: (String, String, String, String, String) => String,
+      qs: String, q1dec: String, cpuFull: String, cpuInt: String,
+      flaggedFull: String, flaggedCapped: String,
+      errs: String, errKeys: String, errCount: String,
+      streamFull: String, streamCompact: String,
+      budget: Int = 1860): String = {
+    val tiers = Seq(
+      () => mkLine(qs, cpuFull, flaggedFull, errs, streamFull),
+      () => mkLine(q1dec, cpuFull, flaggedFull, errs, streamFull),
+      () => mkLine(q1dec, cpuInt, flaggedFull, errs, streamFull),
+      () => mkLine(q1dec, "[]", flaggedFull, errs, streamFull),
+      () => mkLine(q1dec, "[]", flaggedCapped, errs, streamFull),
+      () => mkLine(q1dec, "[]", flaggedCapped, errs, streamCompact),
+      () => mkLine(q1dec, "[]", flaggedCapped, errs, "null"),
+      () => mkLine("{}", "[]", flaggedCapped, errKeys, "null"),
+      () => mkLine("{}", "[]", flaggedCapped, errCount, "null"))
+    tiers.view.map(_()).find(_.length <= budget)
+      .getOrElse(mkLine("{}", "[]", flaggedCapped, errCount, "null"))
+  }
+
+  /** Flagged names kept on the line once the ladder reaches its capped
+    * tier: 3 names ≈ 60 bytes, enough to aim a human at the sidecar
+    * without re-crowding the budget the cap exists to protect.
+    */
+  private[graft] val FlaggedNameCap = 3
+
+  /** The line's suite task-cpu total (r22, spec-pinned): sum of per-query
+    * MIN task-cpu, 1 decimal — the co-load-immune counterpart of `value`
+    * (see the cpuTotalJson comment in main). Pure so the fragment's grammar
+    * and its sum-of-minima semantics are pinned without running a bench.
+    */
+  private[graft] def cpuTotalFrag(minTaskCpus: Seq[Double]): String =
+    s""","cpu_total":${f1(minTaskCpus.sum)}"""
+
   /** Floor-TSV parsing core (shared by every channel's loader; spec-pinned):
     * comment/blank lines are skipped BEFORE tab-splitting (r21, ADVICE) —
     * a '#' comment containing one tab with a non-numeric tail would
@@ -820,46 +873,45 @@ object Bench {
               case _ => "wall AND cpu elevated; check load + per-query cpu_vs_floor in the sidecar"
             }))
     }
-    val flaggedJson =
-      if (cpuRegressions.isEmpty) ""
-      else cpuRegressions.take(8).map(r => jstr(lineKey(r._1)))
+    def flaggedFrag(names: Seq[(String, Double, Double)]): String =
+      if (names.isEmpty) ""
+      else names.map(r => jstr(lineKey(r._1)))
         .mkString(""","cpu_flagged":[""", ",", "]")
-    def mkLine(qjson: String, cpuJson: String = cpus_q, errJson: String = errs,
-        streaming: String = streamJson): String =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpuJson,"cpu_flags":$cpuFlagsJson$hfJson$wfJson$flaggedJson,"errors":$errJson,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streaming$streamErrJson,"sf":${jstr(sfDir)}}"""
+    val flaggedJson = flaggedFrag(cpuRegressions.take(8))
+    // capped variant for the ladder's tier 5 (see degradeLadder's doc):
+    // the count stays in cpu_flags, sidecar + stderr keep the full list
+    val flaggedCapped = flaggedFrag(cpuRegressions.take(FlaggedNameCap))
+    // suite task-cpu TOTAL (r22, r21 VERDICT task 3): the sum of per-query
+    // MIN task-cpu — the co-load-immune counterpart of `value`. r21 proved
+    // the wall total can be worthless (wf 3.14) while task-cpu stays
+    // adjudicable (hf 1.00); with the total ON the line, a round-over-round
+    // cpu signal survives even when every wall is environment. Always
+    // present (task metrics have no sentinel case), ~20 bytes, and kept in
+    // the fixed part of the line so no ladder tier sheds it.
+    val cpuTotalJson = cpuTotalFrag(results.map(_._3))
+    def mkLine(qjson: String, cpuJson: String, flagged: String,
+        errJson: String, streaming: String): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qjson,"cpu_sec":$cpuJson,"cpu_flags":$cpuFlagsJson$hfJson$wfJson$cpuTotalJson$flagged,"errors":$errJson,"store_write_sec":${f2(storeWriteSec)},"load":[$load1Before,${loadavg1()}],"streaming":$streaming$streamErrJson,"sf":${jstr(sfDir)}}"""
     // degrade ladder, CHECKED at each tier (a long line is worthless — the
     // driver keeps only the last ~2KB of stdout, and an overflow loses the
-    // whole result exactly when it carries failure diagnostics): full
-    // precision → 1-decimal queries → integer cpu → drop cpu (sidecar +
-    // stderr keep it) → drop the query map too with error KEYS only →
-    // error count alone. The per-QUERY wall map is the last thing
-    // sacrificed — it is the round-over-round comparison surface, and at
-    // 60+ queries the full-precision line started overflowing, which
-    // under the old ladder silently dropped the whole map.
+    // whole result exactly when it carries failure diagnostics). Tier order
+    // and rationale live on degradeLadder; the per-QUERY wall map is still
+    // the last thing sacrificed — it is the round-over-round comparison
+    // surface, and at 60+ queries the full-precision line started
+    // overflowing, which under the oldest ladder silently dropped the map.
     val q1dec = results.map { case (k, v, _, _, _) => s"\"" + lineKey(k) + "\":" + f1(v) }
       .mkString("{", ",", "}")
     val cpuInt = results.map { case (_, _, tc, _, _) => math.round(tc).toString }
       .mkString("[", ",", "]")
-    val line = Seq(
-      () => mkLine(qs),
-      () => mkLine(q1dec),
-      () => mkLine(q1dec, cpuInt),
-      () => mkLine(q1dec, "[]"),
-      // the streaming object shrinks BEFORE the query map drops (sidecar +
-      // stderr keep the full form): at 73 queries the 1-decimal map alone
-      // is ~1.5 KB and the ~200-byte streaming frag was what pushed the
-      // line past budget. First tier keeps the amortization evidence as
-      // two bare rates (~45 B); only then is streaming nulled entirely —
-      // the per-query map is still the last thing sacrificed
-      () => mkLine(q1dec, "[]", errs, streamSmall.map(sm =>
-        s"""{"small_rps":${f1(sm.rps)}${streamBig.map(b =>
-          s""","big_rps":${f1(b.rps)}""").getOrElse("")}}""").getOrElse("null")),
-      () => mkLine(q1dec, "[]", errs, "null"),
-      () => mkLine("{}", "[]", results.collect {
-        case (k, _, _, _, Some(_)) => s"\"" + lineKey(k) + "\":\"\"" }.mkString("{", ",", "}")),
-      () => mkLine("{}", "[]", s"""{"_failed":${results.count(_._5.isDefined)}}""")
-    ).view.map(_()).find(_.length <= 1860)
-      .getOrElse(mkLine("{}", "[]", s"""{"_failed":${results.count(_._5.isDefined)}}"""))
+    val streamCompact = streamSmall.map(sm =>
+      s"""{"small_rps":${f1(sm.rps)}${streamBig.map(b =>
+        s""","big_rps":${f1(b.rps)}""").getOrElse("")}}""").getOrElse("null")
+    val errKeys = results.collect {
+      case (k, _, _, _, Some(_)) => s"\"" + lineKey(k) + "\":\"\"" }.mkString("{", ",", "}")
+    val errCount = s"""{"_failed":${results.count(_._5.isDefined)}}"""
+    val line = degradeLadder(mkLine, qs, q1dec, cpus_q, cpuInt,
+      flaggedJson, flaggedCapped, errs, errKeys, errCount,
+      streamJson, streamCompact)
     // full-precision per-query wall+CPU detail for BOTH passes goes to a
     // sidecar file (the stdout line is the driver's parse target and must
     // fit its tail window)

@@ -710,22 +710,57 @@ object SparkEntry {
     // JobWaiter waits, leaving orphaned store-write jobs running into the
     // timed region (billing their task cpu to the first timed queries) or
     // into a retrying query's delete-and-rebuild of the same path.
+    //
+    // INVARIANT the overlap relies on (r21 ADVICE): events()'s conf window
+    // (nanosAsLong / inferTimestampNTZ flips under eventsConfLock) is
+    // serialized against other events() CALLERS only — a sibling build's
+    // concurrent NON-events parquet read (compaction read-backs, the
+    // embeddings scans under the IVF builds) can observe the flipped confs.
+    // That is benign exactly as long as no store-build-side parquet file
+    // carries TIMESTAMP(NANOS) or NTZ columns (today they are BIGINT/DATE/
+    // float arrays); a store that ever gains a timestamp column must read
+    // it through a conf-isolated helper like events(), or this pool must
+    // serialize against the lock too.
     val builds: Seq[(SparkSession, String) => Any] = Seq(
       traceStore, dependencyStore, bucketedTraceStore, compactedTraceStore,
       compactedDependencyStore, autocompleteStore, ivfIndexStore,
       ivfIncrementalStore, shardStore)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     try {
+      // the await-all barrier also holds across an INTERRUPT of the calling
+      // thread (r21 ADVICE): scala.util.Try catches NonFatal only, so a bare
+      // Try(f.get()) would let InterruptedException propagate before the
+      // sibling builds settled — the exact orphaned-jobs leak the barrier
+      // exists to prevent. An interrupt is recorded, the wait RESUMES (the
+      // builds are bounded, so delayed interrupt delivery is the lesser
+      // evil), and the flag is re-asserted + InterruptedException rethrown
+      // only after every future settles. Fatal VM errors still propagate
+      // immediately — awaiting siblings on a dying JVM helps nobody.
+      var interrupted = false
       val outcomes = builds
         .map(b => pool.submit(new java.util.concurrent.Callable[Any] {
           override def call(): Any = b(s, dir)
         }))
-        .map(f => scala.util.Try(f.get())) // barrier: every build settled
+        .map { f =>
+          def await(): scala.util.Try[Any] =
+            try scala.util.Success(f.get())
+            catch {
+              case _: InterruptedException => interrupted = true; await()
+              case scala.util.control.NonFatal(e) => scala.util.Failure(e)
+            }
+          await()
+        }
+      // re-assert the flag BEFORE the rethrow below, so a failed build's
+      // exception leaves the interrupt visible to the caller either way
+      if (interrupted) Thread.currentThread().interrupt()
       outcomes.collectFirst {
         case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
           throw Option(e.getCause).getOrElse(e)
         case scala.util.Failure(e) => throw e
       }: Unit
+      if (interrupted)
+        throw new InterruptedException(
+          "prepareStores interrupted — every store build was awaited to completion first")
     } finally pool.shutdown()
   }
 
@@ -1791,20 +1826,38 @@ object SparkEntry {
       // any component ratio a ∈ [−1,1]). ≤ C(1024,2) ≈ 524k dot products
       // at any corpus size; loud on drift.
       val stride = math.max(1L, (plantOffset + 511L) / 512L)
-      val sampAll = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
-        .unionByName(planted.where(
-          pmod(col("vec_id") - lit(plantOffset), lit(stride)) === 0))
-        .select(col("vec_id").as("sid"), col("embedding").as("sv"))
-      val nonPlanted = sampAll.as("x")
-        .join(broadcast(sampAll.as("y")), col("x.sid") < col("y.sid"))
-        .where(col("y.sid") =!= col("x.sid") + lit(plantOffset) &&
-          Similarity.cosine(col("x.sv"), col("y.sv")) >= lit(0.9))
-        .count()
-      require(nonPlanted == 0L,
-        s"q_emb_lsh_recall fixture drift: $nonPlanted non-planted pair(s) " +
-          "at cosine>=0.9 in the sampled originals+twins — the planted-pair " +
-          "truth side is no longer the sample's 0.9-closure; restore the " +
-          "exact grid truth join or regenerate the fixture")
+      // r22 hardening (r21 VERDICT task 7 + ADVICE): TWO differently-phased
+      // strides — a LOCALIZED fixture drift (a future generator clustering
+      // naturals in an id range one stride skips) could hollow a
+      // single-phase gate silently; the half-stride phase halves that blind
+      // spot for one more bounded sample join. Each phase now records the
+      // sample's MAX non-planted cosine (same pairwise work the old
+      // filtered count evaluated): the hard trip stays at the 0.9
+      // threshold itself, and margin EROSION — the measured 0.56/0.51/0.62
+      // maxima creeping toward 0.9 — is surfaced on stderr at 0.75 instead
+      // of staying invisible until the day a pair crosses the gate.
+      val phases = if (stride == 1) Seq(0L) else Seq(0L, stride / 2)
+      phases.foreach { ph =>
+        val sampAll = emb.where(pmod(col("vec_id"), lit(stride)) === ph)
+          .unionByName(planted.where(
+            pmod(col("vec_id") - lit(plantOffset), lit(stride)) === ph))
+          .select(col("vec_id").as("sid"), col("embedding").as("sv"))
+        val worst = sampAll.as("x")
+          .join(broadcast(sampAll.as("y")), col("x.sid") < col("y.sid"))
+          .where(col("y.sid") =!= col("x.sid") + lit(plantOffset))
+          .agg(max(Similarity.cosine(col("x.sv"), col("y.sv")))).first()
+        val maxNonPlanted = if (worst.isNullAt(0)) -1.0 else worst.getDouble(0)
+        require(maxNonPlanted < 0.9,
+          f"q_emb_lsh_recall fixture drift: sampled non-planted pair at " +
+            f"cosine $maxNonPlanted%.4f >= 0.9 (phase $ph) — the " +
+            "planted-pair truth side is no longer the sample's 0.9-closure; " +
+            "restore the exact grid truth join or regenerate the fixture")
+        if (maxNonPlanted >= 0.75) System.err.println(
+          f"[q_emb_lsh_recall] WARNING: sampled non-planted cosine max " +
+            f"$maxNonPlanted%.4f (phase $ph) — the documented ~0.28 margin " +
+            "to the 0.9 gate is eroding; investigate the fixture before it " +
+            "crosses")
+      }
       val exact = emb
         .select(col("vec_id").as("id_a"), col("embedding").as("ov"))
         .join(broadcast(planted.select(col("vec_id").as("id_b"),
@@ -1812,6 +1865,20 @@ object SparkEntry {
           col("id_b") === col("id_a") + lit(plantOffset))
         .where(Similarity.cosine(col("ov"), col("pv")) >= 0.9)
         .select("id_a", "id_b")
+      // planted-completeness tripwire (r21 VERDICT task 7): every original
+      // contributes exactly one planted pair, and the closed form puts every
+      // planted cosine ≥ 0.954 ≫ 0.9 — so the truth side must have exactly
+      // corpus-many pairs. A smaller count means pairs silently fell out
+      // (zero-norm rows whose cosine nulls, a generator change), shrinking
+      // the recall denominator — the gate would weaken invisibly. O(n)
+      // broadcast join + two footer-cheap counts, loud on drift.
+      val nTruth = exact.count()
+      val nEmb = emb.count()
+      require(nTruth == nEmb,
+        s"q_emb_lsh_recall fixture drift: truth side has $nTruth planted " +
+          s"pair(s) for $nEmb corpus vectors — planted pairs fell below the " +
+          "0.9 gate (zero-norm or transformed fixture); the recall " +
+          "denominator is no longer the full planted set")
       val approx = Similarity.cosinePairsLSH(all, "vec_id", "embedding", 0.9)
         .select("id_a", "id_b").withColumn("found", lit(1))
       // one pass over the linear truth side: left_outer marks hits and

@@ -275,6 +275,54 @@ final class BenchSpec extends AnyFunSuite {
     assert(floors == Map("q_x" -> 2.5, "total" -> 40.06))
   }
 
+  test("degrade ladder sheds flagged NAMES before any streaming " +
+      "information (r21 VERDICT task 2): a 7-flag co-load line still " +
+      "carries small_rps/big_rps") {
+    // mkLine mirrors main's renderer shape: fixed part + the five
+    // ladder-controlled fragments. Sizes emulate the r21 official: a
+    // ~1510-char 1-decimal query map, ~150 chars of flagged names, a
+    // ~95-char full streaming frag — full-precision and cpu tiers always
+    // overflow, so the ladder's choice is exactly "flag names vs streaming"
+    def mk(q: String, cpu: String, flagged: String, errs: String,
+        stream: String): String =
+      s"""{"metric":"total","value":125.96,"queries":$q,"cpu_sec":$cpu,"cpu_flags":7,"hf":1.00,"wf":3.14,"cpu_total":160.2$flagged,"errors":$errs,"streaming":$stream}"""
+    // 1572 chars — calibrated so tier 5 (capped flags + FULL streaming,
+    // 1941/1877 chars) still overflows and tier 6 (capped + compact
+    // streaming, 1814) is the first fit, mirroring the r21 official's
+    // crowding
+    val qs = (1 to 79).map(i => s""""qryx_name_$i":12.345678""").mkString("{", ",", "}")
+    val q1dec = (1 to 79).map(i => s""""qryx_name_$i":12.3""").mkString("{", ",", "}")
+    val cpuFull = (1 to 79).map(_ => "12.3").mkString("[", ",", "]")
+    val cpuInt = (1 to 79).map(_ => "12").mkString("[", ",", "]")
+    val names = Seq("q1_agg", "a3_dependency_links", "a4_dependency_windows",
+      "ann_ivf_int8_recall", "j4_trace_many", "sc6_json", "store_compacted")
+    def frag(ns: Seq[String]) =
+      ns.map("\"" + _ + "\"").mkString(""","cpu_flagged":[""", ",", "]")
+    val full = frag(names)
+    val capped = frag(names.take(Bench.FlaggedNameCap))
+    val streamFull = """{"rows":10000,"batches":5,"sec":10.63,"rps":940.7,"big":{"rows":100000,"sec":15.36,"rps":6510.6}}"""
+    val streamCompact = """{"small_rps":940.7,"big_rps":6510.6}"""
+    val line = Bench.degradeLadder(mk, qs, q1dec, cpuFull, cpuInt,
+      full, capped, "{}", "{}", """{"_failed":0}""", streamFull, streamCompact)
+    assert(line.length <= 1860)
+    // the streaming rates survive; the flagged list is the capped 3
+    assert(line.contains("small_rps") && line.contains("big_rps"))
+    assert(line.contains(capped) && !line.contains(full))
+    // the query map — the round-over-round surface — is intact
+    assert(line.contains(q1dec))
+    // an UNCROWDED line keeps everything: full flags, full streaming
+    val small = (1 to 10).map(i => s""""q$i":1.2""").mkString("{", ",", "}")
+    val easy = Bench.degradeLadder(mk, small, small, "[1.0]", "[1]",
+      full, capped, "{}", "{}", """{"_failed":0}""", streamFull, streamCompact)
+    assert(easy.contains(full) && easy.contains(streamFull))
+  }
+
+  test("cpu_total fragment: sum of per-query min task-cpu, 1 decimal, " +
+      "always-present grammar (r21 VERDICT task 3)") {
+    assert(Bench.cpuTotalFrag(Seq(1.25, 2.0, 0.05)) == ""","cpu_total":3.3""")
+    assert(Bench.cpuTotalFrag(Seq.empty) == ""","cpu_total":0.0""")
+  }
+
   test("wallFactor unarms on a query-set or core-count fingerprint " +
       "mismatch and arms on a match or an un-fingerprinted floor (r21)") {
     val floors = Map("total" -> 40.06, "total_n" -> 79.0, "total_cpus" -> 32.0)

@@ -354,6 +354,47 @@ class PlanSpec extends SparkSpec {
     assert(e.getMessage.contains("fixture drift"), e.getMessage)
   }
 
+  test("q_emb_lsh_recall fixture guard phase 2: drift clustered in ids the " +
+      "base stride skips still trips (r22 hardening)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lshguard2").toString
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == axis) 1.0f else 0.0f)
+    // maxId 1023 → plantOffset 1024 → stride 2: phase 0 samples even ids,
+    // phase 1 odd ids. The drifted identical pair sits at ODD ids 1 and 3 —
+    // the r21 single-phase guard (phase 0 only) never sampled it; the r22
+    // half-stride phase must trip. Even ids stay mutually orthogonal so
+    // phase 0 passes first.
+    Seq(0L -> oneHot(0), 2L -> oneHot(1), 4L -> oneHot(2),
+        1L -> oneHot(4), 3L -> oneHot(4), 1023L -> oneHot(5))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_emb_lsh_recall")(spark, tmp)
+    }
+    assert(e.getMessage.contains("fixture drift") &&
+      e.getMessage.contains("phase 1"), e.getMessage)
+  }
+
+  test("q_emb_lsh_recall planted-completeness guard: a planted pair " +
+      "falling below the 0.9 gate (zero-norm vector) trips instead of " +
+      "silently shrinking the recall denominator (r22 hardening)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lshguard3").toString
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == axis) 1.0f else 0.0f)
+    // the zero vector's planted twin is itself the zero vector; their
+    // guarded cosine is −2, so the pair drops out of the ≥0.9 truth side —
+    // exactly the silent-denominator-shrink the count tripwire exists for
+    Seq(0L -> oneHot(0), 1L -> oneHot(1), 2L -> Array.fill(8)(0.0f))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_emb_lsh_recall")(spark, tmp)
+    }
+    assert(e.getMessage.contains("truth side has"), e.getMessage)
+  }
+
   test("driver smoke contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
