@@ -318,7 +318,24 @@ object Dedup {
     // at every scale), so this is the cheapest intermediate the query pins;
     // same cache contract as shingleIndexWithDf (callers clear per run).
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")).cache()
-    val joined = wide.as("a").join(wide.as("b"),
+    // r22 (guide §3.1 — pick the join strategy deliberately): while the
+    // capped index fits the broadcast threshold the planner broadcasts the
+    // build side (the official sf0.1 plan — the gate below cannot strip
+    // that, it uses the SAME estimate the planner's own broadcast decision
+    // reads). Past the threshold the planner's default is SORT-merge over
+    // STRING shingle keys; the SHUFFLE_HASH hint flips that to a
+    // per-partition hash build (bounded: ≈ index_rows/parts rows per task
+    // under shuffleWidth's σ-proportional width — zero spill measured at
+    // ×30). Measured honestly at ×40 (plans/r22/
+    // q_dedup_ngram_scale_{before,after}.txt + OPTIMIZATION_r22.md §4):
+    // CONVERGED cpu is a wash (sorted runs C2-compile into cheap
+    // prefix-comparison loops), but the FIRST execution — the only
+    // execution a one-shot batch job at scale ever runs — pays the SMJ
+    // sort+deopt churn: join stage 233 → 86 cpu-s, stage GC 38 → 5 s,
+    // query 463 → 301 cpu-s, and the ×30 leg's warm min-of-2 wall drops
+    // 22.0 → 19.0 s. Same 50,631,160 pair rows out either way.
+    val buildSide = if (broadcastable(sh)) wide else wide.hint("SHUFFLE_HASH")
+    val joined = wide.as("a").join(buildSide.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // re-key the pair-count agg at the proportional width too — THIS is
