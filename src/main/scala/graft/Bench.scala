@@ -228,7 +228,8 @@ object Bench {
     *   1. full-precision walls → 2. 1-decimal walls → 3. integer cpu array →
     *   4. drop the cpu array → 5. cap `cpu_flagged` at [[FlaggedNameCap]]
     *   names → 6. compact streaming (bare small/big rps) → 7. null
-    *   streaming → 8. error keys only → 9. error count only.
+    *   streaming → 8. error keys + compact streaming → 9. error keys →
+    *   10. error count only.
     * Tier 5 is the r22 reorder (r21 VERDICT task 2): under co-load the
     * flagged-name list grows exactly when the line is tightest — r21's
     * 7-name list pushed the line to 1832 chars and the old ladder nulled
@@ -255,6 +256,11 @@ object Bench {
       () => mkLine(q1dec, "[]", flaggedCapped, errs, streamFull),
       () => mkLine(q1dec, "[]", flaggedCapped, errs, streamCompact),
       () => mkLine(q1dec, "[]", flaggedCapped, errs, "null"),
+      // once the query map is gone the line is small again — carry the
+      // compact rates through the failure tiers (the old ladder kept the
+      // FULL streaming frag beside error keys; dropping to the bare rates
+      // is the strictly-dominating middle ground) before nulling them
+      () => mkLine("{}", "[]", flaggedCapped, errKeys, streamCompact),
       () => mkLine("{}", "[]", flaggedCapped, errKeys, "null"),
       () => mkLine("{}", "[]", flaggedCapped, errCount, "null"))
     tiers.view.map(_()).find(_.length <= budget)
